@@ -1,0 +1,117 @@
+"""Headline benchmark: ViT-B/16 training throughput on one TPU chip.
+
+Measures the full jitted train step (mixup + fwd + bwd + clip + AdamW + EMA,
+bf16 compute / fp32 params) on synthetic data — the flagship configuration
+of the reference (ViT-B/16, reference run_train.sh:14-15; EMA on, mixup 0.8 /
+cutmix 1.0, AdamW, cosine schedule, reference main.py:169-230).
+
+The reference publishes no numbers (BASELINE.md), so `vs_baseline` is
+reported against the rebuild's north-star target of 40% MFU (BASELINE.json):
+vs_baseline = measured_MFU / 0.40.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...extras}.
+"""
+from __future__ import annotations
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+
+
+def _peak_flops_per_sec(device) -> float:
+    """bf16 peak for the benched chip."""
+    kind = getattr(device, "device_kind", "").lower()
+    table = {
+        "v5 lite": 197e12, "v5litepod": 197e12, "v5e": 197e12,
+        "v4": 275e12, "v5p": 459e12, "v6e": 918e12, "v6 lite": 918e12,
+    }
+    for key, val in table.items():
+        if key in kind:
+            return val
+    return 197e12  # default: v5e
+
+
+def vit_train_flops_per_image(img: int = 224, patch: int = 16,
+                              dim: int = 768, depth: int = 12,
+                              num_classes: int = 1000) -> float:
+    """Analytic FLOPs: fwd = patch proj + per-block attn/mlp + head; train = 3x fwd."""
+    s = (img // patch) ** 2 + 1
+    patch_proj = 2 * s * (patch * patch * 3) * dim
+    per_block = (2 * s * dim * 3 * dim          # qkv
+                 + 2 * s * s * dim * 2          # scores + PV
+                 + 2 * s * dim * dim            # proj
+                 + 2 * s * dim * 4 * dim * 2)   # mlp fc1+fc2
+    head = 2 * dim * num_classes
+    fwd = patch_proj + depth * per_block + head
+    return 3.0 * fwd
+
+
+def main():
+    from flax import linen as nn
+
+    from vision_transformers_torch_xla_tpu import create_model
+    from vision_transformers_torch_xla_tpu.train.mixup import MixupConfig
+    from vision_transformers_torch_xla_tpu.train.optim import create_optimizer
+    from vision_transformers_torch_xla_tpu.train.schedules import cosine_schedule_fn
+    from vision_transformers_torch_xla_tpu.train.state import create_train_state
+    from vision_transformers_torch_xla_tpu.train.steps import StepConfig, make_train_step
+
+    device = jax.devices()[0]
+    batch = 128
+    model = create_model("my_vit_b", drop_path_rate=0.1)
+
+    images_host = jnp.zeros((batch, 224, 224, 3), jnp.float32)
+    init_fn = jax.jit(
+        lambda k: nn.meta.unbox(model.init(k, images_host, True))["params"])
+    params = init_fn({"params": jax.random.key(0)})
+
+    lr_fn = cosine_schedule_fn(4e-3, 1e-6, 300, 300, warmup_epochs=20)
+    tx = create_optimizer("adamw", lr_fn, params, weight_decay=0.05,
+                          clip_grad=None, model_depth=12)
+    state = create_train_state(params, tx, with_ema=True)
+    cfg = StepConfig(mixup=MixupConfig(num_classes=1000), num_classes=1000,
+                     ema_decay=0.9999, lr_schedule=None)
+    step = jax.jit(make_train_step(model.apply, tx, cfg), donate_argnums=(0,))
+
+    import numpy as np
+
+    rng = np.random.default_rng(0)
+    images = jnp.asarray(rng.normal(size=(batch, 224, 224, 3)), jnp.float32)
+    labels = jnp.asarray(rng.integers(0, 1000, batch), jnp.int32)
+    key = jax.random.key(0)
+
+    # warmup / compile. NOTE: on this image's relay backend
+    # jax.block_until_ready does not actually block, so synchronization is
+    # done with an explicit host read of a scalar that depends on every step.
+    for _ in range(3):
+        state, metrics = step(state, images, labels, key)
+    float(metrics["loss"])
+
+    iters = 20
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        state, metrics = step(state, images, labels, key)
+    final_loss = float(metrics["loss"])  # forces the whole chain
+    dt = time.perf_counter() - t0
+
+    step_time = dt / iters
+    ips = batch / step_time
+    mfu = ips * vit_train_flops_per_image() / _peak_flops_per_sec(device)
+
+    print(json.dumps({
+        "metric": "vit_b16_train_images_per_sec_per_chip",
+        "value": round(ips, 2),
+        "unit": "images/sec/chip",
+        "vs_baseline": round(mfu / 0.40, 4),
+        "step_time_ms": round(step_time * 1e3, 2),
+        "mfu": round(mfu, 4),
+        "batch": batch,
+        "device": str(getattr(device, "device_kind", device)),
+        "loss": round(final_loss, 4),
+    }))
+
+
+if __name__ == "__main__":
+    main()

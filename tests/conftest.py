@@ -1,0 +1,42 @@
+"""Test harness config.
+
+Multi-device-on-CPU testing (SURVEY §4 'Implication for the rebuild'): we
+fake an 8-device host platform so sharding/collective correctness is tested
+without TPU hardware — the capability the reference approximated with
+--world-size/--rank overrides (reference tools/test_tfds_loader.py:119-122).
+
+NOTE: this environment force-registers a TPU-like 'axon' platform via
+sitecustomize, so tests explicitly build meshes from jax.devices('cpu').
+"""
+import os
+
+# must be set before jax initializes its backends
+os.environ.setdefault("XLA_FLAGS", "")
+if "--xla_force_host_platform_device_count" not in os.environ["XLA_FLAGS"]:
+    os.environ["XLA_FLAGS"] += " --xla_force_host_platform_device_count=8"
+
+import jax  # noqa: E402
+
+jax.config.update("jax_compilation_cache_dir",
+                  os.path.join(os.path.dirname(__file__), "..", ".jax_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+# This image routes default-backend compiles through a remote TPU compile
+# service with high per-program latency; unit tests run on the host CPU
+# backend (compiled locally) instead. TPU-specific tests opt in explicitly.
+jax.config.update("jax_default_device", jax.devices("cpu")[0])
+
+import pytest  # noqa: E402
+
+
+@pytest.fixture(scope="session")
+def cpu_devices():
+    devs = jax.devices("cpu")
+    assert len(devs) >= 8, "conftest failed to fake 8 host devices"
+    return devs
+
+
+@pytest.fixture(scope="session")
+def tiny_model_kwargs():
+    """Small enough to compile fast on the 1-core test host."""
+    return dict(img_size=32, patch_size=16, embed_dim=64, depth=2,
+                num_heads=2, num_classes=10)

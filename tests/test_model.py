@@ -1,0 +1,85 @@
+"""ViT model structure tests (reference models/vision_transformer.py:444-995)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from vision_transformers_torch_xla_tpu.models.vit import (
+    VisionTransformer,
+    resample_pos_embed,
+)
+
+
+@pytest.fixture(scope="module")
+def tiny(tiny_model_kwargs):
+    m = VisionTransformer(**tiny_model_kwargs, dtype=jnp.float32)
+    x = jnp.ones((2, 32, 32, 3), jnp.float32)
+    vs = m.init({"params": jax.random.key(0)}, x, True)
+    return m, vs, x
+
+
+def test_param_tree_structure(tiny):
+    m, vs, _ = tiny
+    p = vs["params"]
+    for key in ["patch_embed", "cls_token", "pos_embed", "blocks_0",
+                "blocks_1", "norm", "fc_norm", "head"]:
+        assert key in p, key
+    # seq = (32/16)^2 + 1 cls = 5
+    assert p["pos_embed"].value.shape == (1, 5, 64)
+    assert p["blocks_0"]["attn"]["qkv"]["kernel"].value.shape == (64, 192)
+
+
+def test_forward_shapes_and_dtype(tiny):
+    m, vs, x = tiny
+    y = m.apply(vs, x, True)
+    assert y.shape == (2, 10)
+    assert y.dtype == jnp.float32
+
+
+def test_pool_modes(tiny_model_kwargs):
+    x = jnp.ones((2, 32, 32, 3), jnp.float32)
+    for pool in ["avg", "token", "map"]:
+        m = VisionTransformer(**tiny_model_kwargs, global_pool=pool,
+                              dtype=jnp.float32)
+        vs = m.init({"params": jax.random.key(0)}, x, True)
+        assert m.apply(vs, x, True).shape == (2, 10), pool
+
+
+def test_droppath_stochastic(tiny_model_kwargs):
+    m = VisionTransformer(**tiny_model_kwargs, drop_path_rate=0.5,
+                          dtype=jnp.float32)
+    x = jnp.ones((4, 32, 32, 3), jnp.float32)
+    vs = m.init({"params": jax.random.key(0)}, x, True)
+    y1 = m.apply(vs, x, False, rngs={"dropout": jax.random.key(1),
+                                     "droppath": jax.random.key(2)})
+    y2 = m.apply(vs, x, False, rngs={"dropout": jax.random.key(1),
+                                     "droppath": jax.random.key(3)})
+    assert not np.allclose(np.asarray(y1), np.asarray(y2))
+    # deterministic mode is reproducible
+    y3 = m.apply(vs, x, True)
+    y4 = m.apply(vs, x, True)
+    np.testing.assert_allclose(np.asarray(y3), np.asarray(y4))
+
+
+def test_layerscale_params(tiny_model_kwargs):
+    m = VisionTransformer(**tiny_model_kwargs, init_values=1e-5, dtype=jnp.float32)
+    x = jnp.ones((1, 32, 32, 3), jnp.float32)
+    vs = m.init({"params": jax.random.key(0)}, x, True)
+    g = vs["params"]["blocks_0"]["ls1"]["gamma"].value
+    np.testing.assert_allclose(np.asarray(g), 1e-5)
+
+
+def test_resample_pos_embed():
+    pe = jnp.asarray(np.random.default_rng(0).normal(size=(1, 5, 8)), jnp.float32)
+    out = resample_pos_embed(pe, new_grid=(4, 4), old_grid=(2, 2),
+                             num_prefix_tokens=1)
+    assert out.shape == (1, 17, 8)
+    np.testing.assert_allclose(np.asarray(out[:, 0]), np.asarray(pe[:, 0]))
+
+
+def test_reg_tokens(tiny_model_kwargs):
+    m = VisionTransformer(**tiny_model_kwargs, reg_tokens=2, dtype=jnp.float32)
+    x = jnp.ones((1, 32, 32, 3), jnp.float32)
+    vs = m.init({"params": jax.random.key(0)}, x, True)
+    assert vs["params"]["pos_embed"].value.shape == (1, 4 + 3, 64)
+    assert m.apply(vs, x, True).shape == (1, 10)

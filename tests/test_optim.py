@@ -1,0 +1,98 @@
+"""Optimizer factory tests (reference optim_factory.py:70-296 semantics)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from vision_transformers_torch_xla_tpu.train.optim import (
+    create_optimizer,
+    scale_by_layer_decay,
+    vit_layer_id,
+    wd_mask,
+)
+
+
+def _params():
+    return {
+        "patch_embed": {"proj": {"kernel": jnp.ones((4, 8)), "bias": jnp.ones(8)}},
+        "pos_embed": jnp.ones((1, 5, 8)),
+        "cls_token": jnp.ones((1, 1, 8)),
+        "blocks_0": {"attn": {"qkv": {"kernel": jnp.ones((8, 24)), "bias": jnp.ones(24)}}},
+        "blocks_1": {"mlp": {"fc1": {"kernel": jnp.ones((8, 32))}}},
+        "head": {"kernel": jnp.ones((8, 10)), "bias": jnp.ones(10)},
+    }
+
+
+def test_wd_mask_excludes_1d_and_no_decay_names():
+    """Parity: no-decay for bias/1-D + name list (optim_factory.py:104-113)."""
+    mask = wd_mask(_params())
+    assert mask["patch_embed"]["proj"]["kernel"] is True
+    assert mask["patch_embed"]["proj"]["bias"] is False
+    assert mask["pos_embed"] is False          # despite ndim 3: name-listed
+    assert mask["cls_token"] is False
+    assert mask["blocks_0"]["attn"]["qkv"]["kernel"] is True
+    assert mask["head"]["bias"] is False
+
+
+def test_layer_ids():
+    assert vit_layer_id("patch_embed/proj/kernel", 12) == 0
+    assert vit_layer_id("pos_embed", 12) == 0
+    assert vit_layer_id("blocks_0/attn/qkv/kernel", 12) == 1
+    assert vit_layer_id("blocks_11/mlp/fc1/kernel", 12) == 12
+    assert vit_layer_id("head/kernel", 12) == 13
+
+
+def test_layer_decay_scales():
+    params = _params()
+    tx = scale_by_layer_decay(0.5, depth=2)
+    state = tx.init(params)
+    grads = jax.tree.map(jnp.ones_like, params)
+    updates, _ = tx.update(grads, state, params)
+    # head: layer_id=3, num_layers=4 -> 0.5^0 = 1
+    assert float(updates["head"]["kernel"][0, 0]) == 1.0
+    # patch_embed: layer 0 -> 0.5^3
+    np.testing.assert_allclose(float(updates["patch_embed"]["proj"]["kernel"][0, 0]), 0.125)
+    # blocks_0: layer 1 -> 0.25
+    np.testing.assert_allclose(float(updates["blocks_0"]["attn"]["qkv"]["kernel"][0, 0]), 0.25)
+
+
+@pytest.mark.parametrize("name", ["adamw", "sgd", "momentum", "lamb", "lion",
+                                  "adafactor", "rmsproptf", "nadamw", "radam"])
+def test_optimizers_step(name):
+    params = {"w": jnp.ones((4, 4)), "b": jnp.zeros(4)}
+    tx = create_optimizer(name, 1e-3, params, weight_decay=0.01, clip_grad=1.0)
+    state = tx.init(params)
+    grads = jax.tree.map(jnp.ones_like, params)
+    updates, state = tx.update(grads, state, params)
+    new = jax.tree.map(lambda p, u: p + u, params, updates)
+    assert float(new["w"][0, 0]) != 1.0  # moved
+
+
+def test_update_freq_accumulates():
+    """--update_freq parity (reference engine.py:164-190): update every k."""
+    params = {"w": jnp.ones(3)}
+    tx = create_optimizer("sgd", 1.0, params, update_freq=2, momentum=0.0)
+    state = tx.init(params)
+    g = {"w": jnp.ones(3)}
+    u1, state = tx.update(g, state, params)
+    assert float(jnp.abs(u1["w"]).sum()) == 0.0  # first microstep: no update
+    u2, state = tx.update(g, state, params)
+    assert float(jnp.abs(u2["w"]).sum()) > 0.0   # second: applies mean grad
+
+
+def test_wd_schedule_injection():
+    """weight_decay_end cosine schedule (reference engine.py:98-103 semantics)."""
+    params = {"w": jnp.ones((2, 2))}
+    wd_fn = lambda step: 0.05 if int(step) == 0 else 0.01
+    tx = create_optimizer("adamw", 1e-3, params, weight_decay=0.05,
+                          weight_decay_schedule=lambda s: 0.05 * (1 - s * 0))
+    state = tx.init(params)
+    g = {"w": jnp.zeros((2, 2))}
+    updates, state = tx.update(g, state, params)
+    # zero grads but nonzero wd -> param moves (decoupled decay applied)
+    assert float(jnp.abs(updates["w"]).sum()) > 0.0
+
+
+def test_unknown_optimizer_raises():
+    with pytest.raises(ValueError):
+        create_optimizer("madgrad", 1e-3, {"w": jnp.ones(2)})

@@ -1,0 +1,255 @@
+"""Input pipelines: TFDS (parity path), image-folder, and synthetic.
+
+TPU-native redesign of the reference's loader
+(reference datasets.py:80-389 `BigVisionImageNetDataset`):
+
+  * per-process sharding via `tfds.even_splits`-style interleaving keyed on
+    `jax.process_index()` (the reference keys on torch.distributed rank,
+    datasets.py:174-176);
+  * per-epoch reseeded shuffle (datasets.py:258-261);
+  * the reference's numpy -> torch -> XLA double hop (datasets.py:301-308)
+    is gone: batches go straight to device as NHWC jnp arrays, and
+    normalization/mixup happen inside the jitted step;
+  * host options parity (private threadpool, no intra-op parallelism,
+    datasets.py:70-77).
+
+Because this machine has no TFDS install and no ImageNet, `synthetic` (an
+infinite deterministic random-image stream with real labels) and `folder`
+(PIL over a class-per-directory tree) keep everything runnable end-to-end.
+"""
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Iterator, Optional, Tuple
+
+import jax
+import numpy as np
+
+IMAGENET_DEFAULT_MEAN = (0.485, 0.456, 0.406)
+IMAGENET_DEFAULT_STD = (0.229, 0.224, 0.225)
+
+# default pp strings — parity with the reference's defaults
+# (reference main.py:289-295: pp_train / pp_eval flags)
+DEFAULT_PP_TRAIN = ("decode_jpeg_and_inception_crop(224)|flip_lr|"
+                    "value_range(0, 1)|keep(\"image\", \"label\")")
+DEFAULT_PP_EVAL = ("decode|resize_small(256)|central_crop(224)|"
+                   "value_range(0, 1)|keep(\"image\", \"label\")")
+
+
+@dataclasses.dataclass
+class DatasetInfo:
+    num_examples: int          # GLOBAL size (parity: datasets.py:171-172)
+    num_classes: int
+
+    def steps_per_epoch(self, global_batch: int) -> int:
+        return self.num_examples // global_batch
+
+
+class SyntheticDataset:
+    """Deterministic synthetic ImageNet-shaped stream.
+
+    Images are procedural (class-conditioned low-frequency patterns + noise)
+    so a model CAN fit them — loss decreasing end-to-end is testable without
+    real data.
+    """
+
+    def __init__(self, batch_size: int, image_size: int = 224,
+                 num_classes: int = 1000, num_examples: int = 1_281_167,
+                 seed: int = 0, normalize: bool = True):
+        self.batch_size = batch_size
+        self.image_size = image_size
+        self.num_classes = num_classes
+        self.info = DatasetInfo(num_examples, num_classes)
+        self._seed = seed
+        self._normalize = normalize
+
+    def __iter__(self) -> Iterator[Tuple[np.ndarray, np.ndarray]]:
+        rng = np.random.default_rng(self._seed + jax.process_index())
+        s = self.image_size
+        yy, xx = np.mgrid[0:s, 0:s].astype(np.float32) / s
+        while True:
+            labels = rng.integers(0, self.num_classes, self.batch_size)
+            freq = (labels % 16 + 1).astype(np.float32)
+            phase = (labels // 16 % 64).astype(np.float32) / 64 * 2 * np.pi
+            base = np.sin(freq[:, None, None] * 6.28 * (yy + xx)[None] +
+                          phase[:, None, None])
+            images = base[..., None].repeat(3, axis=-1) * 0.25 + 0.5
+            images += rng.normal(0, 0.05, images.shape).astype(np.float32)
+            images = images.astype(np.float32)
+            if self._normalize:
+                images = (images - np.asarray(IMAGENET_DEFAULT_MEAN)) / \
+                    np.asarray(IMAGENET_DEFAULT_STD)
+            yield images, labels.astype(np.int32)
+
+
+def _tfds_dataset(cfg, is_train: bool, pp_spec: str, batch_size: int,
+                  epoch_seed: int = 0):
+    """TFDS -> tf.data pipeline (reference datasets.py:178-247 semantics)."""
+    import tensorflow as tf
+    import tensorflow_datasets as tfds
+
+    from vision_transformers_torch_xla_tpu.data.pp_builder import get_preprocess_fn
+
+    builder = tfds.builder(cfg.tfds_name,
+                           data_dir=cfg.tfds_data_dir or None)
+    split_name = cfg.train_split if is_train else cfg.val_split
+    num_examples = builder.info.splits[split_name].num_examples
+    num_classes = builder.info.features["label"].num_classes
+
+    # per-process shard (reference datasets.py:174-176)
+    split = tfds.even_splits(split_name, jax.process_count())[jax.process_index()]
+    read_config = tfds.ReadConfig(
+        shuffle_seed=epoch_seed if is_train else None,
+        skip_prefetch=True)
+    ds = builder.as_dataset(
+        split=split, shuffle_files=is_train, read_config=read_config,
+        decoders={"image": tfds.decode.SkipDecoding()})
+
+    # host options (reference datasets.py:70-77)
+    opts = tf.data.Options()
+    opts.threading.private_threadpool_size = 48
+    opts.threading.max_intra_op_parallelism = 1
+    opts.experimental_optimization.inject_prefetch = False
+    ds = ds.with_options(opts)
+
+    if is_train:
+        if cfg.cache_raw:
+            ds = ds.cache()
+        ds = ds.repeat()
+        ds = ds.shuffle(cfg.shuffle_buffer, seed=epoch_seed)
+    pp_fn = get_preprocess_fn(pp_spec)
+    ds = ds.map(pp_fn, num_parallel_calls=cfg.num_parallel_calls)
+    ds = ds.batch(batch_size, drop_remainder=is_train)
+    ds = ds.prefetch(cfg.prefetch)
+    return ds, DatasetInfo(num_examples, num_classes)
+
+
+class TfdsDataset:
+    def __init__(self, cfg, is_train: bool, pp_spec: str, batch_size: int):
+        self.cfg, self.is_train = cfg, is_train
+        self.pp_spec, self.batch_size = pp_spec, batch_size
+        self._epoch = -1
+        _, self.info = _tfds_dataset(cfg, is_train, pp_spec, batch_size)
+
+    def __iter__(self):
+        # per-epoch reseed (reference datasets.py:258-261)
+        self._epoch += 1
+        ds, _ = _tfds_dataset(self.cfg, self.is_train, self.pp_spec,
+                              self.batch_size,
+                              epoch_seed=self.cfg.seed + self._epoch)
+        mean = np.asarray(IMAGENET_DEFAULT_MEAN, np.float32)
+        std = np.asarray(IMAGENET_DEFAULT_STD, np.float32)
+        for batch in ds.as_numpy_iterator():
+            images = (batch["image"].astype(np.float32) - mean) / std
+            yield images, batch["label"].astype(np.int32)
+
+
+class FolderDataset:
+    """class-per-directory image tree via PIL (no TF needed)."""
+
+    def __init__(self, root: str, batch_size: int, image_size: int = 224,
+                 is_train: bool = True, seed: int = 0):
+        import pathlib
+
+        self.root = pathlib.Path(root)
+        classes = sorted(d.name for d in self.root.iterdir() if d.is_dir())
+        self.class_to_idx = {c: i for i, c in enumerate(classes)}
+        self.samples = [
+            (p, self.class_to_idx[d.name])
+            for d in sorted(self.root.iterdir()) if d.is_dir()
+            for p in sorted(d.iterdir())
+            if p.suffix.lower() in (".jpg", ".jpeg", ".png")]
+        # per-process shard
+        self.samples = self.samples[jax.process_index()::jax.process_count()]
+        self.batch_size = batch_size
+        self.image_size = image_size
+        self.is_train = is_train
+        self._seed = seed
+        self.info = DatasetInfo(
+            len(self.samples) * jax.process_count(), len(classes))
+
+    def _load(self, path, rng):
+        from PIL import Image
+
+        img = Image.open(path).convert("RGB")
+        s = self.image_size
+        if self.is_train:
+            scale = rng.uniform(0.4, 1.0)
+            w, h = img.size
+            cw = max(1, int(w * math.sqrt(scale)))
+            ch = max(1, int(h * math.sqrt(scale)))
+            x0 = rng.integers(0, w - cw + 1)
+            y0 = rng.integers(0, h - ch + 1)
+            img = img.crop((x0, y0, x0 + cw, y0 + ch)).resize((s, s))
+            if rng.random() < 0.5:
+                img = img.transpose(0)  # FLIP_LEFT_RIGHT
+        else:
+            w, h = img.size
+            ratio = (s * 256 // 224) / min(w, h)
+            img = img.resize((int(w * ratio), int(h * ratio)))
+            w, h = img.size
+            img = img.crop(((w - s) // 2, (h - s) // 2,
+                            (w - s) // 2 + s, (h - s) // 2 + s))
+        arr = np.asarray(img, np.float32) / 255.0
+        return (arr - np.asarray(IMAGENET_DEFAULT_MEAN)) / \
+            np.asarray(IMAGENET_DEFAULT_STD)
+
+    def __iter__(self):
+        rng = np.random.default_rng(self._seed)
+        order = rng.permutation(len(self.samples)) if self.is_train \
+            else np.arange(len(self.samples))
+        for i in range(0, len(order) - self.batch_size + 1, self.batch_size):
+            idx = order[i:i + self.batch_size]
+            images = np.stack([self._load(self.samples[j][0], rng) for j in idx])
+            labels = np.asarray([self.samples[j][1] for j in idx], np.int32)
+            yield images.astype(np.float32), labels
+
+
+def build_dataset(cfg, is_train: bool):
+    """(dataset, info) by cfg.data_set — parity with reference
+    datasets.py:325-389 build_dataset returning (dataset, nb_classes)."""
+    batch = cfg.batch_size if is_train else cfg.eval_batch_size()
+    if cfg.data_set == "synthetic":
+        ds = SyntheticDataset(
+            batch, cfg.input_size, cfg.nb_classes,
+            cfg.synthetic_train_size if is_train else cfg.synthetic_val_size,
+            seed=cfg.seed, normalize=True)
+        return ds, ds.info
+    if cfg.data_set == "tfds":
+        pp = (cfg.pp_train or DEFAULT_PP_TRAIN) if is_train else \
+            (cfg.pp_eval or DEFAULT_PP_EVAL)
+        ds = TfdsDataset(cfg, is_train, pp, batch)
+        return ds, ds.info
+    if cfg.data_set == "folder":
+        root = cfg.data_path if is_train else (cfg.eval_data_path or cfg.data_path)
+        ds = FolderDataset(root, batch, cfg.input_size, is_train, cfg.seed)
+        return ds, ds.info
+    raise ValueError(f"unknown data_set {cfg.data_set!r}")
+
+
+def device_prefetch(iterator, image_sharding, label_sharding, size: int = 2):
+    """Move host batches to (sharded) device buffers `size` steps ahead.
+
+    Replaces torch_xla's MpDeviceLoader background upload
+    (reference main.py:1008-1029).
+    """
+    import collections
+    import itertools
+
+    queue = collections.deque()
+
+    def _put(batch):
+        images, labels = batch
+        return (jax.device_put(images, image_sharding),
+                jax.device_put(labels, label_sharding))
+
+    it = iter(iterator)
+    for batch in itertools.islice(it, size):
+        queue.append(_put(batch))
+    while queue:
+        yield queue.popleft()
+        try:
+            queue.append(_put(next(it)))
+        except StopIteration:
+            pass

@@ -1,0 +1,23 @@
+"""Model zoo.
+
+Like the reference (models/__init__.py:11-12 eagerly imports only my_vit +
+vision_transformer; other families need explicit import), the ViT family is
+registered eagerly and additional families register on import.
+"""
+from vision_transformers_torch_xla_tpu.models.registry import (  # noqa: F401
+    get_default_cfg,
+    is_model,
+    list_models,
+    model_entrypoint,
+    register_model,
+    split_model_name_tag,
+)
+from vision_transformers_torch_xla_tpu.models.factory import create_model  # noqa: F401
+from vision_transformers_torch_xla_tpu.models.vit import (  # noqa: F401
+    NO_WEIGHT_DECAY_KEYWORDS,
+    VisionTransformer,
+)
+
+# eager registrations (parity: reference models/__init__.py:11-12)
+import vision_transformers_torch_xla_tpu.models.vision_transformer_zoo  # noqa: F401,E402
+import vision_transformers_torch_xla_tpu.models.my_vit  # noqa: F401,E402

@@ -1,0 +1,263 @@
+"""Flax building blocks for the ViT family.
+
+Capability parity with the reference's vendored timm blocks
+(reference models/vision_transformer.py:80-417): LayerScale, DropPath
+(stochastic depth), PatchEmbed, Mlp, Attention, pre-norm Block, and the
+MAP attention-pool head. Re-designed for TPU:
+
+  * PatchEmbed is a reshape + one big matmul (B·196 × 768 × 768) instead of a
+    strided conv — it lands directly on the MXU with no im2col.
+  * All dense kernels carry flax *logical* partition names so the same model
+    runs replicated (pure DP) or tensor-parallel over a 'model' mesh axis
+    (qkv/fc1 column-parallel, proj/fc2 row-parallel) purely by changing the
+    axis rules — no model code changes. The reference has no TP (SURVEY §2.3).
+  * Softmax/statistics in fp32, matmuls in the policy compute dtype (bf16).
+"""
+from __future__ import annotations
+
+from typing import Callable, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from vision_transformers_torch_xla_tpu.ops.attention import multi_head_attention
+
+Dtype = jnp.dtype
+
+trunc_init = nn.initializers.truncated_normal(stddev=0.02)
+
+
+def _dense(features: int, names: Tuple[Optional[str], Optional[str]],
+           use_bias: bool, dtype, param_dtype, name: str,
+           kernel_init: Callable = trunc_init) -> nn.Dense:
+    bias_axis = (names[1],) if names[1] else (None,)
+    return nn.Dense(
+        features,
+        use_bias=use_bias,
+        dtype=dtype,
+        param_dtype=param_dtype,
+        kernel_init=nn.with_logical_partitioning(kernel_init, names),
+        bias_init=nn.with_logical_partitioning(nn.initializers.zeros_init(), bias_axis),
+        name=name,
+    )
+
+
+def _layer_norm(dtype, param_dtype, name: str, eps: float = 1e-6) -> nn.LayerNorm:
+    return nn.LayerNorm(
+        epsilon=eps,
+        dtype=dtype,
+        param_dtype=param_dtype,
+        scale_init=nn.with_logical_partitioning(nn.initializers.ones_init(), ("embed",)),
+        bias_init=nn.with_logical_partitioning(nn.initializers.zeros_init(), ("embed",)),
+        name=name,
+    )
+
+
+def drop_path(x: jax.Array, rate: float, deterministic: bool,
+              rng: Optional[jax.Array]) -> jax.Array:
+    """Stochastic depth (per-sample residual drop).
+
+    Parity with reference models/vision_transformer.py DropPath usage in
+    Block:109-178; scaling by 1/keep like timm's `drop_path(scale_by_keep=True)`.
+    """
+    if deterministic or rate == 0.0:
+        return x
+    keep = 1.0 - rate
+    shape = (x.shape[0],) + (1,) * (x.ndim - 1)
+    mask = jax.random.bernoulli(rng, p=keep, shape=shape)
+    return jnp.where(mask, x / keep, jnp.zeros_like(x)).astype(x.dtype)
+
+
+class PatchEmbed(nn.Module):
+    """Image -> patch tokens via reshape + matmul (MXU-friendly).
+
+    Parity: reference models/vision_transformer.py:552-560 (Conv2d k16 s16).
+    A stride-p conv over non-overlapping patches is exactly a reshape +
+    (p*p*C, D) matmul; the reshape is free on TPU.
+    """
+
+    patch_size: int = 16
+    embed_dim: int = 768
+    use_bias: bool = True
+    dtype: Dtype = jnp.bfloat16
+    param_dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        b, h, w, c = x.shape
+        p = self.patch_size
+        gh, gw = h // p, w // p
+        x = x.reshape(b, gh, p, gw, p, c)
+        x = x.transpose(0, 1, 3, 2, 4, 5).reshape(b, gh * gw, p * p * c)
+        x = _dense(self.embed_dim, ("patch", "embed"), self.use_bias,
+                   self.dtype, self.param_dtype, "proj")(x.astype(self.dtype))
+        return x
+
+
+class Mlp(nn.Module):
+    """Transformer MLP: fc1 -> GELU -> fc2 (col-/row-parallel over 'model')."""
+
+    hidden_dim: int
+    out_dim: int
+    dropout: float = 0.0
+    use_bias: bool = True
+    dtype: Dtype = jnp.bfloat16
+    param_dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array, deterministic: bool = True) -> jax.Array:
+        x = _dense(self.hidden_dim, ("embed", "mlp"), self.use_bias,
+                   self.dtype, self.param_dtype, "fc1")(x)
+        x = nn.gelu(x, approximate=True)
+        x = nn.Dropout(self.dropout)(x, deterministic=deterministic)
+        x = _dense(self.out_dim, ("mlp", "embed"), self.use_bias,
+                   self.dtype, self.param_dtype, "fc2")(x)
+        x = nn.Dropout(self.dropout)(x, deterministic=deterministic)
+        return x
+
+
+class Attention(nn.Module):
+    """Multi-head self-attention.
+
+    Parity with timm's Attention as used by the reference ViT
+    (reference models/vision_transformer.py:48-63 via _compat; SDPA fused path).
+    qkv is a single fused projection; the core softmax-attention runs through
+    ops.multi_head_attention (Pallas fused kernel on TPU, jnp elsewhere).
+    """
+
+    num_heads: int
+    qkv_bias: bool = True
+    qk_norm: bool = False
+    attn_drop: float = 0.0
+    proj_drop: float = 0.0
+    use_pallas: bool = False
+    dtype: Dtype = jnp.bfloat16
+    param_dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array, deterministic: bool = True) -> jax.Array:
+        b, s, d = x.shape
+        h = self.num_heads
+        hd = d // h
+        qkv = _dense(3 * d, ("embed", "qkv_out"), self.qkv_bias,
+                     self.dtype, self.param_dtype, "qkv")(x)
+        qkv = qkv.reshape(b, s, 3, h, hd).transpose(2, 0, 3, 1, 4)  # (3,B,H,S,hd)
+        q, k, v = qkv[0], qkv[1], qkv[2]
+        if self.qk_norm:
+            qk_ln = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype,
+                                 param_dtype=self.param_dtype, name="q_norm")
+            q = qk_ln(q)
+            k = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype,
+                             param_dtype=self.param_dtype, name="k_norm")(k)
+        o = multi_head_attention(q, k, v, scale=hd ** -0.5,
+                                 use_pallas=self.use_pallas)
+        o = o.transpose(0, 2, 1, 3).reshape(b, s, d)
+        o = _dense(d, ("qkv_out", "embed"), True, self.dtype,
+                   self.param_dtype, "proj")(o)
+        o = nn.Dropout(self.proj_drop)(o, deterministic=deterministic)
+        return o
+
+
+class LayerScale(nn.Module):
+    """Per-channel learned residual scaling (reference vision_transformer.py:80-106)."""
+
+    dim: int
+    init_values: float = 1e-5
+    param_dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        gamma = self.param(
+            "gamma",
+            nn.with_logical_partitioning(
+                nn.initializers.constant(self.init_values), ("embed",)),
+            (self.dim,), self.param_dtype)
+        return x * gamma.astype(x.dtype)
+
+
+class Block(nn.Module):
+    """Pre-norm transformer block: x + DP(LS(attn(LN(x)))) + DP(LS(mlp(LN(x)))).
+
+    Parity: reference models/vision_transformer.py:109-178.
+    """
+
+    num_heads: int
+    mlp_ratio: float = 4.0
+    qkv_bias: bool = True
+    qk_norm: bool = False
+    init_values: Optional[float] = None
+    drop_path_rate: float = 0.0
+    proj_drop: float = 0.0
+    attn_drop: float = 0.0
+    use_pallas: bool = False
+    dtype: Dtype = jnp.bfloat16
+    param_dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array, deterministic: bool = True) -> jax.Array:
+        d = x.shape[-1]
+        attn_out = Attention(
+            num_heads=self.num_heads, qkv_bias=self.qkv_bias,
+            qk_norm=self.qk_norm, attn_drop=self.attn_drop,
+            proj_drop=self.proj_drop, use_pallas=self.use_pallas,
+            dtype=self.dtype, param_dtype=self.param_dtype, name="attn",
+        )(_layer_norm(self.dtype, self.param_dtype, "norm1")(x), deterministic)
+        if self.init_values is not None:
+            attn_out = LayerScale(d, self.init_values, self.param_dtype,
+                                  name="ls1")(attn_out)
+        rng = None if deterministic or self.drop_path_rate == 0.0 else \
+            self.make_rng("droppath")
+        x = x + drop_path(attn_out, self.drop_path_rate, deterministic, rng)
+
+        mlp_out = Mlp(
+            hidden_dim=int(d * self.mlp_ratio), out_dim=d,
+            dropout=self.proj_drop, dtype=self.dtype,
+            param_dtype=self.param_dtype, name="mlp",
+        )(_layer_norm(self.dtype, self.param_dtype, "norm2")(x), deterministic)
+        if self.init_values is not None:
+            mlp_out = LayerScale(d, self.init_values, self.param_dtype,
+                                 name="ls2")(mlp_out)
+        rng = None if deterministic or self.drop_path_rate == 0.0 else \
+            self.make_rng("droppath")
+        x = x + drop_path(mlp_out, self.drop_path_rate, deterministic, rng)
+        return x
+
+
+class AttentionPoolLatent(nn.Module):
+    """MAP head: one latent query cross-attends over all tokens.
+
+    Parity with timm's AttentionPoolLatent used when global_pool='map'
+    (reference models/vision_transformer.py:603-618).
+    """
+
+    num_heads: int
+    mlp_ratio: float = 4.0
+    dtype: Dtype = jnp.bfloat16
+    param_dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        b, s, d = x.shape
+        h = self.num_heads
+        hd = d // h
+        latent = self.param(
+            "latent",
+            nn.with_logical_partitioning(trunc_init, (None, None, "embed")),
+            (1, 1, d), self.param_dtype).astype(x.dtype)
+        q = _dense(d, ("embed", "qkv_out"), True, self.dtype,
+                   self.param_dtype, "q")(jnp.broadcast_to(latent, (b, 1, d)))
+        kv = _dense(2 * d, ("embed", "qkv_out"), True, self.dtype,
+                    self.param_dtype, "kv")(x)
+        k, v = jnp.split(kv, 2, axis=-1)
+        q = q.reshape(b, 1, h, hd).transpose(0, 2, 1, 3)
+        k = k.reshape(b, s, h, hd).transpose(0, 2, 1, 3)
+        v = v.reshape(b, s, h, hd).transpose(0, 2, 1, 3)
+        o = multi_head_attention(q, k, v, scale=hd ** -0.5)
+        o = o.transpose(0, 2, 1, 3).reshape(b, 1, d)
+        o = _dense(d, ("qkv_out", "embed"), True, self.dtype,
+                   self.param_dtype, "proj")(o)
+        o = o + Mlp(int(d * self.mlp_ratio), d, dtype=self.dtype,
+                    param_dtype=self.param_dtype, name="mlp")(
+            _layer_norm(self.dtype, self.param_dtype, "norm")(o))
+        return o[:, 0]

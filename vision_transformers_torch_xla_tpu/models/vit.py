@@ -1,0 +1,177 @@
+"""Flax VisionTransformer.
+
+Capability parity with the reference's vendored timm ViT
+(reference models/vision_transformer.py:444-995): patch embed, cls/reg
+tokens, learned position embedding, pre-norm blocks with LayerScale and
+stochastic depth, avg/token/map pooling, fc_norm, classifier head, and
+gradient checkpointing (`set_grad_checkpointing` :686 -> here `remat=True`
+wraps each block in `jax.checkpoint`). Dynamic-size pos-embed resampling
+(reference :743-780) is provided by `resample_pos_embed` below.
+
+TPU-first design notes: NHWC inputs, patch embedding as one matmul,
+parameters annotated with logical axes for DP/TP/FSDP via mesh rules,
+fp32 params + bf16 compute via the dtype policy.
+"""
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from vision_transformers_torch_xla_tpu.models.layers import (
+    AttentionPoolLatent,
+    Block,
+    PatchEmbed,
+    _layer_norm,
+    trunc_init,
+)
+
+
+def resample_pos_embed(pos_embed: jax.Array, new_grid: tuple,
+                       old_grid: tuple, num_prefix_tokens: int = 1) -> jax.Array:
+    """Bicubic-resample a learned (1, P+N, D) pos-embed to a new grid size.
+
+    Parity with reference models/vision_transformer.py:748-756 /
+    resize_pos_embed :1066.
+    """
+    prefix = pos_embed[:, :num_prefix_tokens]
+    grid = pos_embed[:, num_prefix_tokens:]
+    d = grid.shape[-1]
+    grid = grid.reshape(1, old_grid[0], old_grid[1], d)
+    grid = jax.image.resize(grid, (1, new_grid[0], new_grid[1], d), method="cubic")
+    grid = grid.reshape(1, new_grid[0] * new_grid[1], d)
+    return jnp.concatenate([prefix, grid], axis=1)
+
+
+class VisionTransformer(nn.Module):
+    img_size: int = 224
+    patch_size: int = 16
+    in_chans: int = 3
+    num_classes: int = 1000
+    embed_dim: int = 768
+    depth: int = 12
+    num_heads: int = 12
+    mlp_ratio: float = 4.0
+    qkv_bias: bool = True
+    qk_norm: bool = False
+    init_values: Optional[float] = None       # LayerScale init; None disables
+    class_token: bool = True
+    reg_tokens: int = 0
+    global_pool: str = "avg"                   # '' | 'avg' | 'token' | 'map'
+    fc_norm: Optional[bool] = None             # default: global_pool == 'avg'
+    drop_rate: float = 0.0
+    pos_drop_rate: float = 0.0
+    proj_drop_rate: float = 0.0
+    attn_drop_rate: float = 0.0
+    drop_path_rate: float = 0.0                # linearly scaled over depth
+    pre_norm: bool = False
+    use_pallas_attn: bool = False
+    remat: bool = False                        # gradient checkpointing
+    dtype: jnp.dtype = jnp.bfloat16
+    param_dtype: jnp.dtype = jnp.float32
+
+    @property
+    def num_prefix_tokens(self) -> int:
+        return (1 if self.class_token else 0) + self.reg_tokens
+
+    @nn.compact
+    def __call__(self, x: jax.Array, deterministic: bool = True) -> jax.Array:
+        x = self.forward_features(x, deterministic)
+        return self.forward_head(x, deterministic)
+
+    def forward_features(self, x: jax.Array, deterministic: bool = True) -> jax.Array:
+        """Parity: reference vision_transformer.py:934-951."""
+        b = x.shape[0]
+        x = PatchEmbed(self.patch_size, self.embed_dim, dtype=self.dtype,
+                       param_dtype=self.param_dtype, name="patch_embed")(x)
+        n_patches = x.shape[1]
+
+        prefix = []
+        if self.class_token:
+            cls = self.param(
+                "cls_token",
+                nn.with_logical_partitioning(trunc_init, (None, None, "embed")),
+                (1, 1, self.embed_dim), self.param_dtype)
+            prefix.append(jnp.broadcast_to(cls.astype(x.dtype), (b, 1, self.embed_dim)))
+        if self.reg_tokens:
+            reg = self.param(
+                "reg_token",
+                nn.with_logical_partitioning(trunc_init, (None, "seq", "embed")),
+                (1, self.reg_tokens, self.embed_dim), self.param_dtype)
+            prefix.append(jnp.broadcast_to(reg.astype(x.dtype),
+                                           (b, self.reg_tokens, self.embed_dim)))
+        if prefix:
+            x = jnp.concatenate(prefix + [x], axis=1)
+
+        pos = self.param(
+            "pos_embed",
+            nn.with_logical_partitioning(trunc_init, (None, "seq", "embed")),
+            (1, n_patches + self.num_prefix_tokens, self.embed_dim),
+            self.param_dtype)
+        x = x + pos.astype(x.dtype)
+        x = nn.Dropout(self.pos_drop_rate)(x, deterministic=deterministic)
+        if self.pre_norm:
+            x = _layer_norm(self.dtype, self.param_dtype, "norm_pre")(x)
+
+        block_cls = Block
+        if self.remat:
+            block_cls = nn.remat(Block, static_argnums=(2,),
+                                 policy=jax.checkpoint_policies.nothing_saveable)
+        for i in range(self.depth):
+            dpr = self.drop_path_rate * i / max(self.depth - 1, 1)
+            x = block_cls(
+                num_heads=self.num_heads, mlp_ratio=self.mlp_ratio,
+                qkv_bias=self.qkv_bias, qk_norm=self.qk_norm,
+                init_values=self.init_values, drop_path_rate=dpr,
+                proj_drop=self.proj_drop_rate, attn_drop=self.attn_drop_rate,
+                use_pallas=self.use_pallas_attn, dtype=self.dtype,
+                param_dtype=self.param_dtype, name=f"blocks_{i}",
+            )(x, deterministic)
+        x = _layer_norm(self.dtype, self.param_dtype, "norm")(x)
+        return x
+
+    def forward_head(self, x: jax.Array, deterministic: bool = True,
+                     pre_logits: bool = False) -> jax.Array:
+        """Pool + fc_norm + head. Parity: reference vision_transformer.py:953-990."""
+        npt = self.num_prefix_tokens
+        if self.global_pool == "avg":
+            pooled = jnp.mean(x[:, npt:], axis=1)
+        elif self.global_pool == "token":
+            pooled = x[:, 0]
+        elif self.global_pool == "map":
+            pooled = AttentionPoolLatent(self.num_heads, self.mlp_ratio,
+                                         dtype=self.dtype,
+                                         param_dtype=self.param_dtype,
+                                         name="attn_pool")(x)
+        else:
+            pooled = x  # no pooling: return token features
+
+        use_fc_norm = self.fc_norm if self.fc_norm is not None else \
+            self.global_pool == "avg"
+        if use_fc_norm and self.global_pool:
+            pooled = nn.LayerNorm(
+                epsilon=1e-6, dtype=self.dtype, param_dtype=self.param_dtype,
+                scale_init=nn.with_logical_partitioning(
+                    nn.initializers.ones_init(), ("embed",)),
+                bias_init=nn.with_logical_partitioning(
+                    nn.initializers.zeros_init(), ("embed",)),
+                name="fc_norm")(pooled)
+        pooled = nn.Dropout(self.drop_rate)(pooled, deterministic=deterministic)
+        if pre_logits or self.num_classes == 0:
+            return pooled
+        logits = nn.Dense(
+            self.num_classes, dtype=self.dtype, param_dtype=self.param_dtype,
+            kernel_init=nn.with_logical_partitioning(trunc_init, ("embed", "classes")),
+            bias_init=nn.with_logical_partitioning(
+                nn.initializers.zeros_init(), ("classes",)),
+            name="head")(pooled)
+        return logits.astype(jnp.float32)
+
+
+# Param name fragments excluded from weight decay — parity with
+# reference vision_transformer.py:666 (no_weight_decay = {pos_embed, cls_token,
+# dist_token}) plus the usual 1-D param rule (optim_factory.py:104-113).
+NO_WEIGHT_DECAY_KEYWORDS = ("pos_embed", "cls_token", "reg_token", "latent",
+                            "dist_token", "gamma", "bias", "scale")

@@ -1,0 +1,106 @@
+"""Device mesh + distributed init.
+
+TPU-native replacement for the reference's process-per-core model
+(`torch_xla.launch`, reference main.py:1253) and torch.distributed `xla`
+backend rendezvous (`init_process_group("xla", "xla://")`, reference
+utils/__init__.py:57-61). JAX runs one process per host with all local
+devices visible; collectives are expressed through shardings on a
+`jax.sharding.Mesh` and lowered by XLA onto ICI/DCN automatically.
+
+The mesh has two named axes by default:
+  data  -- data parallelism (the reference's only strategy, SURVEY §2.3)
+  model -- tensor parallelism over attention heads / MLP hidden dim (new)
+"""
+from __future__ import annotations
+
+import logging
+import os
+from typing import List, Optional, Sequence, Tuple
+
+import jax
+import numpy as np
+from jax.sharding import Mesh
+
+log = logging.getLogger(__name__)
+
+# Logical-axis -> mesh-axis rules used by flax.linen logical partitioning.
+# 'fsdp' params additionally shard their embed axis over 'data' (ZeRO-3 style);
+# plain DP leaves params replicated.
+LOGICAL_AXIS_RULES = (
+    ("batch", "data"),
+    ("heads", "model"),
+    ("mlp", "model"),
+    ("qkv_out", "model"),
+    ("embed", None),
+    ("seq", None),
+    ("classes", None),
+    ("patch", None),
+)
+
+FSDP_AXIS_RULES = LOGICAL_AXIS_RULES[:4] + (
+    ("embed", "data"),
+) + LOGICAL_AXIS_RULES[5:]
+
+
+def init_distributed(coordinator_address: Optional[str] = None,
+                     num_processes: Optional[int] = None,
+                     process_id: Optional[int] = None) -> None:
+    """Initialize multi-host JAX.
+
+    Mirrors the defensive behavior of reference utils/__init__.py:26-97:
+    auto-detects the environment, falls back silently to single-process when
+    no cluster env is present instead of failing the run.
+    """
+    if jax.process_count() > 1:
+        return  # already initialized
+    env_says_multihost = any(
+        k in os.environ for k in ("COORDINATOR_ADDRESS", "MEGASCALE_COORDINATOR_ADDRESS")
+    ) or coordinator_address is not None
+    if not env_says_multihost:
+        log.info("single-process mode (no coordinator env found)")
+        return
+    try:
+        jax.distributed.initialize(
+            coordinator_address=coordinator_address,
+            num_processes=num_processes,
+            process_id=process_id,
+        )
+        log.info("jax.distributed initialized: process %d/%d",
+                 jax.process_index(), jax.process_count())
+    except Exception as e:  # pragma: no cover - defensive, parity with ref :82-96
+        log.warning("distributed init failed (%s); continuing single-process", e)
+
+
+def create_mesh(axes: Sequence[Tuple[str, int]] = (("data", -1),),
+                devices: Optional[List[jax.Device]] = None,
+                platform: Optional[str] = None) -> Mesh:
+    """Build a Mesh from (name, size) pairs; one size may be -1 (inferred).
+
+    On real hardware, prefer `jax.experimental.mesh_utils` device ordering so
+    the 'data' axis rides ICI within a slice. Pass platform='cpu' to build a
+    host-simulated mesh (tests use XLA_FLAGS=--xla_force_host_platform_device_count=N).
+    """
+    devices = list(devices if devices is not None else jax.devices(platform))
+    n = len(devices)
+    names = [a for a, _ in axes]
+    sizes = [s for _, s in axes]
+    if sizes.count(-1) > 1:
+        raise ValueError("at most one mesh axis may be -1")
+    known = int(np.prod([s for s in sizes if s != -1])) if any(s != -1 for s in sizes) else 1
+    if -1 in sizes:
+        if n % known:
+            raise ValueError(f"{n} devices not divisible by fixed axes {known}")
+        sizes[sizes.index(-1)] = n // known
+    if int(np.prod(sizes)) != n:
+        raise ValueError(f"mesh {dict(zip(names, sizes))} != {n} devices")
+    try:
+        from jax.experimental import mesh_utils
+
+        dev_array = mesh_utils.create_device_mesh(sizes, devices=devices)
+    except Exception:
+        dev_array = np.array(devices).reshape(sizes)
+    return Mesh(dev_array, axis_names=tuple(names))
+
+
+def axis_rules(param_sharding: str = "replicated"):
+    return FSDP_AXIS_RULES if param_sharding == "fsdp" else LOGICAL_AXIS_RULES

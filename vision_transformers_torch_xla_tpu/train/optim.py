@@ -1,0 +1,169 @@
+"""Optimizer factory on optax.
+
+Surface parity with the reference's `create_optimizer` /
+`get_parameter_groups` (reference optim_factory.py:214-296, :70-211):
+
+  * name-dispatched optimizers (sgd/momentum/adam/adamw/nadam/nadamw/radam/
+    adadelta/adagrad/adamax/adafactor/rmsprop/rmsproptf/novograd/lamb/lars/
+    lion) with a `lookahead_` prefix wrapper;
+  * weight-decay masking: 1-D params, biases, and the model's
+    `no_weight_decay` names are excluded (optim_factory.py:104-113 — the
+    reference's TPU branch groups by *name only*, :85-149; here the mask is a
+    pure function of the param tree so there is nothing device-side to touch);
+  * layer-wise LR decay (LayerDecayValueAssigner, optim_factory.py:59-67)
+    as an optax transform scaling updates per layer id;
+  * cosine weight-decay schedule via inject_hyperparams
+    (replaces the per-iteration param-group writes at reference engine.py:98-103);
+  * gradient clipping and `--update_freq` accumulation
+    (reference engine.py:164-190) chained in.
+"""
+from __future__ import annotations
+
+import re
+from typing import Any, Callable, Optional, Sequence, Union
+
+import jax
+import optax
+
+from vision_transformers_torch_xla_tpu.models.vit import NO_WEIGHT_DECAY_KEYWORDS
+
+ScalarOrSchedule = Union[float, Callable]
+
+
+def wd_mask(params: Any, extra_no_decay: Sequence[str] = ()) -> Any:
+    """True where weight decay applies: ndim>1 and name not in the skip list."""
+    skip = tuple(NO_WEIGHT_DECAY_KEYWORDS) + tuple(extra_no_decay)
+
+    def leaf_mask(path, leaf):
+        name = "/".join(str(getattr(p, "key", getattr(p, "idx", p))) for p in path)
+        if any(k in name for k in skip):
+            return False
+        return getattr(leaf, "ndim", 0) > 1
+
+    return jax.tree_util.tree_map_with_path(leaf_mask, params)
+
+
+def vit_layer_id(path_name: str, depth: int) -> int:
+    """Layer id for layer-decay: embeddings 0, block i -> i+1, rest depth+1.
+
+    Mirrors the assignment logic of reference optim_factory.py:29-67 applied
+    to a ViT trunk.
+    """
+    if any(k in path_name for k in ("patch_embed", "cls_token", "pos_embed", "reg_token")):
+        return 0
+    m = re.search(r"blocks_(\d+)", path_name)
+    if m:
+        return int(m.group(1)) + 1
+    return depth + 1
+
+
+def scale_by_layer_decay(decay: float, depth: int) -> optax.GradientTransformation:
+    """Multiply updates by decay^(num_layers - 1 - layer_id).
+
+    Equivalent to the reference's per-group `lr_scale`
+    (optim_factory.py:59-67 + engine.py:101).
+    """
+    num_layers = depth + 2
+
+    def scales(params):
+        def leaf_scale(path, _):
+            name = "/".join(str(getattr(p, "key", getattr(p, "idx", p))) for p in path)
+            lid = vit_layer_id(name, depth)
+            return decay ** (num_layers - 1 - lid)
+
+        return jax.tree_util.tree_map_with_path(leaf_scale, params)
+
+    def init(params):
+        return scales(params)
+
+    def update(updates, state, params=None):
+        updates = jax.tree.map(lambda u, s: u * s, updates, state)
+        return updates, state
+
+    return optax.GradientTransformation(init, update)
+
+
+def _lookup(opt_name: str) -> Callable:
+    table = {
+        "sgd": lambda lr, cfg, mask: optax.sgd(lr, momentum=cfg.get("momentum", 0.9), nesterov=True),
+        "nesterov": lambda lr, cfg, mask: optax.sgd(lr, momentum=cfg.get("momentum", 0.9), nesterov=True),
+        "momentum": lambda lr, cfg, mask: optax.sgd(lr, momentum=cfg.get("momentum", 0.9), nesterov=False),
+        "adam": lambda lr, cfg, mask: optax.adam(lr, *cfg.get("betas", (0.9, 0.999)), eps=cfg.get("eps", 1e-8)),
+        "adamw": lambda lr, cfg, mask: optax.inject_hyperparams(optax.adamw)(
+            lr, b1=cfg.get("betas", (0.9, 0.999))[0], b2=cfg.get("betas", (0.9, 0.999))[1],
+            eps=cfg.get("eps", 1e-8), weight_decay=cfg.get("weight_decay", 0.0),
+            mask=lambda p: mask),
+        "nadam": lambda lr, cfg, mask: optax.nadam(lr, eps=cfg.get("eps", 1e-8)),
+        "nadamw": lambda lr, cfg, mask: optax.inject_hyperparams(optax.nadamw)(
+            lr, eps=cfg.get("eps", 1e-8), weight_decay=cfg.get("weight_decay", 0.0),
+            mask=lambda p: mask),
+        "radam": lambda lr, cfg, mask: optax.radam(lr, eps=cfg.get("eps", 1e-8)),
+        "adadelta": lambda lr, cfg, mask: optax.adadelta(lr),
+        "adagrad": lambda lr, cfg, mask: optax.adagrad(lr),
+        "adamax": lambda lr, cfg, mask: optax.adamax(lr, eps=cfg.get("eps", 1e-8)),
+        "adafactor": lambda lr, cfg, mask: optax.adafactor(lr),
+        "rmsprop": lambda lr, cfg, mask: optax.rmsprop(
+            lr, decay=0.9, eps=cfg.get("eps", 1e-8), momentum=cfg.get("momentum", 0.9)),
+        "rmsproptf": lambda lr, cfg, mask: optax.rmsprop(
+            lr, decay=0.9, eps=cfg.get("eps", 1e-8), momentum=cfg.get("momentum", 0.9),
+            initial_scale=1.0),
+        "novograd": lambda lr, cfg, mask: optax.novograd(
+            lr, b1=0.95, b2=0.98, eps=cfg.get("eps", 1e-8),
+            weight_decay=cfg.get("weight_decay", 0.0)),
+        "lamb": lambda lr, cfg, mask: optax.lamb(
+            lr, eps=cfg.get("eps", 1e-6), weight_decay=cfg.get("weight_decay", 0.0),
+            mask=lambda p: mask),
+        "lars": lambda lr, cfg, mask: optax.lars(
+            lr, weight_decay=cfg.get("weight_decay", 0.0)),
+        "lion": lambda lr, cfg, mask: optax.lion(
+            lr, weight_decay=cfg.get("weight_decay", 0.0), mask=lambda p: mask),
+    }
+    try:
+        return table[opt_name]
+    except KeyError:
+        raise ValueError(f"unsupported optimizer {opt_name!r}; supported: {sorted(table)}")
+
+
+def create_optimizer(
+    opt: str,
+    learning_rate: ScalarOrSchedule,
+    params: Any,
+    weight_decay: float = 0.0,
+    weight_decay_schedule: Optional[Callable] = None,
+    opt_eps: float = 1e-8,
+    opt_betas: Optional[tuple] = None,
+    momentum: float = 0.9,
+    clip_grad: Optional[float] = None,
+    layer_decay: float = 1.0,
+    model_depth: int = 12,
+    update_freq: int = 1,
+    extra_no_decay: Sequence[str] = (),
+) -> optax.GradientTransformation:
+    """Build the full update chain: [clip] -> optimizer -> [layer decay] -> [accum]."""
+    opt = opt.lower()
+    use_lookahead = opt.startswith("lookahead_")
+    if use_lookahead:
+        opt = opt[len("lookahead_"):]
+
+    mask = wd_mask(params, extra_no_decay)
+    cfg = {"eps": opt_eps, "momentum": momentum, "weight_decay": weight_decay}
+    if opt_betas is not None:
+        cfg["betas"] = tuple(opt_betas)
+    if weight_decay_schedule is not None and opt in ("adamw", "nadamw"):
+        cfg["weight_decay"] = weight_decay_schedule  # inject_hyperparams handles it
+
+    tx = _lookup(opt)(learning_rate, cfg, mask)
+
+    chain = []
+    if clip_grad is not None and clip_grad > 0:
+        chain.append(optax.clip_by_global_norm(clip_grad))
+    chain.append(tx)
+    if layer_decay < 1.0:
+        chain.append(scale_by_layer_decay(layer_decay, model_depth))
+    tx = optax.chain(*chain) if len(chain) > 1 else chain[0]
+
+    if use_lookahead:
+        tx = optax.lookahead(tx, sync_period=5, slow_step_size=0.5)
+    if update_freq > 1:
+        tx = optax.MultiSteps(tx, every_k_schedule=update_freq)
+    return tx

@@ -1,0 +1,41 @@
+"""Train state: one PyTree holding everything the step updates.
+
+Replaces the reference's scattered mutable objects (model params, optimizer
+state, `ModelEma` forced onto CPU at reference main.py:402/744-754, epoch
+counters): here params, optimizer state, and EMA params live in a single
+sharded PyTree so the whole update — including EMA — is one jitted graph
+(collapsing reference engine.py:98-201 into one XLA program).
+"""
+from __future__ import annotations
+
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+
+
+class TrainState(struct.PyTreeNode):
+    step: jax.Array
+    params: Any
+    opt_state: Any
+    ema_params: Optional[Any] = None
+
+
+def create_train_state(params: Any, tx: optax.GradientTransformation,
+                       with_ema: bool = False) -> TrainState:
+    return TrainState(
+        step=jnp.zeros((), jnp.int32),
+        params=params,
+        opt_state=tx.init(params),
+        ema_params=jax.tree.map(jnp.copy, params) if with_ema else None,
+    )
+
+
+def ema_update(ema_params: Any, params: Any, decay: float) -> Any:
+    """ema <- ema*d + p*(1-d); parity with timm ModelEmaV2 used at
+    reference engine.py:198-201."""
+    return jax.tree.map(
+        lambda e, p: e * decay + p.astype(e.dtype) * (1.0 - decay),
+        ema_params, params)
