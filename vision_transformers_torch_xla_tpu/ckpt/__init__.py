@@ -1,0 +1,2 @@
+from vision_transformers_torch_xla_tpu.ckpt.checkpoint import CheckpointManager  # noqa: F401
+from vision_transformers_torch_xla_tpu.ckpt.torch_compat import load_reference_checkpoint  # noqa: F401

@@ -1,0 +1,113 @@
+"""Load reference torch checkpoints into the Flax ViT.
+
+The reference fine-tunes from `.pth` pickles with timm state_dict naming
+(reference main.py:232-238 --finetune, utils/__init__.py:550-596
+load_state_dict; checkpoint dict keys model/optimizer/epoch per
+utils/__init__.py:710-722). This converter maps that naming onto our
+param tree so users can migrate checkpoints without retraining.
+
+torch is used only here (CPU wheel, read-only unpickling).
+"""
+from __future__ import annotations
+
+import logging
+import re
+from typing import Any, Dict
+
+import numpy as np
+
+log = logging.getLogger(__name__)
+
+
+def _t(x) -> np.ndarray:
+    return np.asarray(x.detach().cpu().numpy() if hasattr(x, "detach") else x)
+
+
+def convert_vit_state_dict(sd: Dict[str, Any]) -> Dict[str, Any]:
+    """timm VisionTransformer state_dict -> our flax params tree."""
+    params: Dict[str, Any] = {}
+
+    def put(path, value):
+        node = params
+        for k in path[:-1]:
+            node = node.setdefault(k, {})
+        node[path[-1]] = value
+
+    for name, w in sd.items():
+        w = _t(w)
+        if name == "cls_token":
+            put(("cls_token",), w)
+        elif name == "reg_token":
+            put(("reg_token",), w)
+        elif name == "pos_embed":
+            put(("pos_embed",), w)
+        elif name == "patch_embed.proj.weight":
+            # OIHW conv -> (kh*kw*C, D) matmul kernel (patchify flattens
+            # (p_h, p_w, c) in that order; see models/layers.py PatchEmbed)
+            d, c, kh, kw = w.shape
+            put(("patch_embed", "proj", "kernel"),
+                w.transpose(2, 3, 1, 0).reshape(kh * kw * c, d))
+        elif name == "patch_embed.proj.bias":
+            put(("patch_embed", "proj", "bias"), w)
+        elif m := re.match(r"blocks\.(\d+)\.(.+)", name):
+            i, rest = m.group(1), m.group(2)
+            blk = f"blocks_{i}"
+            if m2 := re.match(r"(norm1|norm2)\.(weight|bias)", rest):
+                put((blk, m2.group(1),
+                     "scale" if m2.group(2) == "weight" else "bias"), w)
+            elif m2 := re.match(r"attn\.(qkv|proj)\.(weight|bias)", rest):
+                sub, kind = m2.group(1), m2.group(2)
+                if kind == "weight":
+                    put((blk, "attn", sub, "kernel"), w.T)
+                else:
+                    put((blk, "attn", sub, "bias"), w)
+            elif m2 := re.match(r"attn\.(q_norm|k_norm)\.(weight|bias)", rest):
+                put((blk, "attn", m2.group(1),
+                     "scale" if m2.group(2) == "weight" else "bias"), w)
+            elif m2 := re.match(r"mlp\.(fc1|fc2)\.(weight|bias)", rest):
+                sub, kind = m2.group(1), m2.group(2)
+                if kind == "weight":
+                    put((blk, "mlp", sub, "kernel"), w.T)
+                else:
+                    put((blk, "mlp", sub, "bias"), w)
+            elif m2 := re.match(r"(ls1|ls2)\.gamma", rest):
+                put((blk, m2.group(1), "gamma"), w)
+            else:
+                log.warning("unmapped block param %s", name)
+        elif m := re.match(r"(norm|fc_norm)\.(weight|bias)", name):
+            put((m.group(1), "scale" if m.group(2) == "weight" else "bias"), w)
+        elif m := re.match(r"head\.(weight|bias)", name):
+            if m.group(1) == "weight":
+                put(("head", "kernel"), w.T)
+            else:
+                put(("head", "bias"), w)
+        elif name.startswith("norm_pre"):
+            put(("norm_pre", "scale" if name.endswith("weight") else "bias"), w)
+        else:
+            log.warning("unmapped param %s (shape %s)", name, w.shape)
+    return params
+
+
+def load_reference_checkpoint(path: str, model_key: str = "model|module") -> Dict:
+    """Unpickle a reference checkpoint-<epoch>.pth and convert the model tree.
+
+    model_key parity with reference --model_key (main.py:235): first matching
+    key among 'model|module|...' wins; falls back to the raw dict.
+    """
+    import torch
+
+    ckpt = torch.load(path, map_location="cpu", weights_only=False)
+    sd = None
+    if isinstance(ckpt, dict):
+        for key in model_key.split("|"):
+            if key in ckpt:
+                sd = ckpt[key]
+                break
+        if sd is None:
+            sd = ckpt
+    else:
+        sd = ckpt
+    # strip DDP 'module.' prefixes
+    sd = {k[len("module."):] if k.startswith("module.") else k: v
+          for k, v in sd.items()}
+    return convert_vit_state_dict(sd)

@@ -143,6 +143,10 @@ class TrainConfig:
     # --- eval sizing (main.py:603: eval batch = 1.5x train) ---
     eval_batch_mult: float = 1.5
 
+    # --- debug limits (new; 0 = no limit) ---
+    limit_steps_per_epoch: int = 0
+    limit_eval_batches: int = 0
+
     def eval_batch_size(self) -> int:
         return int(self.batch_size * self.eval_batch_mult)
 

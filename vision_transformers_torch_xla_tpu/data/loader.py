@@ -78,9 +78,9 @@ class SyntheticDataset:
             images += rng.normal(0, 0.05, images.shape).astype(np.float32)
             images = images.astype(np.float32)
             if self._normalize:
-                images = (images - np.asarray(IMAGENET_DEFAULT_MEAN)) / \
-                    np.asarray(IMAGENET_DEFAULT_STD)
-            yield images, labels.astype(np.int32)
+                images = (images - np.asarray(IMAGENET_DEFAULT_MEAN, np.float32)) / \
+                    np.asarray(IMAGENET_DEFAULT_STD, np.float32)
+            yield images.astype(np.float32), labels.astype(np.int32)
 
 
 def _tfds_dataset(cfg, is_train: bool, pp_spec: str, batch_size: int,
@@ -142,7 +142,7 @@ class TfdsDataset:
         std = np.asarray(IMAGENET_DEFAULT_STD, np.float32)
         for batch in ds.as_numpy_iterator():
             images = (batch["image"].astype(np.float32) - mean) / std
-            yield images, batch["label"].astype(np.int32)
+            yield images.astype(np.float32), batch["label"].astype(np.int32)
 
 
 class FolderDataset:
@@ -192,8 +192,8 @@ class FolderDataset:
             img = img.crop(((w - s) // 2, (h - s) // 2,
                             (w - s) // 2 + s, (h - s) // 2 + s))
         arr = np.asarray(img, np.float32) / 255.0
-        return (arr - np.asarray(IMAGENET_DEFAULT_MEAN)) / \
-            np.asarray(IMAGENET_DEFAULT_STD)
+        return (arr - np.asarray(IMAGENET_DEFAULT_MEAN, np.float32)) / \
+            np.asarray(IMAGENET_DEFAULT_STD, np.float32)
 
     def __iter__(self):
         rng = np.random.default_rng(self._seed)

@@ -1,0 +1,335 @@
+"""Training CLI — the composition root.
+
+Re-designs the reference's `main()` wiring + epoch loop (reference
+main.py:355-1153) for JAX: one process per host (not per core — no
+`torch_xla.launch` spawn, reference main.py:1235-1257), a single jitted
+train step instead of the torch_xla lazy-step scope, device-resident
+mixup/EMA, Orbax checkpoints, and host metric pulls only at log_freq.
+
+Run:
+    python -m vision_transformers_torch_xla_tpu.launch.main \
+        --model my_vit_b --data_set tfds --batch_size 128 ...
+"""
+from __future__ import annotations
+
+import dataclasses
+import logging
+import os
+import time
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from vision_transformers_torch_xla_tpu.ckpt.checkpoint import CheckpointManager
+from vision_transformers_torch_xla_tpu.core.config import TrainConfig, config_from_args
+from vision_transformers_torch_xla_tpu.core.dtypes import get_policy
+from vision_transformers_torch_xla_tpu.data.loader import build_dataset
+from vision_transformers_torch_xla_tpu.models import create_model
+from vision_transformers_torch_xla_tpu.obs.loggers import build_loggers, is_main_process
+from vision_transformers_torch_xla_tpu.obs.metrics import MetricLogger
+from vision_transformers_torch_xla_tpu.parallel import sharding as shd
+from vision_transformers_torch_xla_tpu.parallel.mesh import (
+    axis_rules,
+    create_mesh,
+    init_distributed,
+)
+from vision_transformers_torch_xla_tpu.train.mixup import MixupConfig
+from vision_transformers_torch_xla_tpu.train.optim import create_optimizer
+from vision_transformers_torch_xla_tpu.train.schedules import cosine_schedule_fn
+from vision_transformers_torch_xla_tpu.train.state import TrainState, create_train_state
+from vision_transformers_torch_xla_tpu.train.steps import (
+    StepConfig,
+    make_eval_step,
+    make_train_step,
+)
+
+log = logging.getLogger(__name__)
+
+
+@dataclasses.dataclass
+class TrainerContext:
+    cfg: TrainConfig
+    mesh: Any
+    model: Any
+    state: TrainState
+    train_step: Any
+    eval_step: Any
+    train_ds: Any
+    val_ds: Any
+    steps_per_epoch: int
+    loggers: dict
+    ckpt: Optional[CheckpointManager]
+    rng: jax.Array
+    teacher_params: Any = None
+    start_epoch: int = 0
+
+
+def _to_global(arr: np.ndarray, mesh, spec: P):
+    """Host-local batch -> global sharded jax.Array."""
+    sharding = NamedSharding(mesh, spec)
+    if jax.process_count() == 1:
+        return jax.device_put(arr, sharding)
+    return jax.make_array_from_process_local_data(sharding, arr)
+
+
+def _flatten_with_names(tree):
+    flat = jax.tree_util.tree_flatten_with_path(tree)[0]
+    return {tuple(str(getattr(k, "key", k)) for k in path): leaf
+            for path, leaf in flat}
+
+
+def _load_params_into(params, loaded):
+    """Graft loaded leaves onto params; keep originals on shape mismatch
+    (reference utils/__init__.py:550-596 lenient load)."""
+    flat_l = _flatten_with_names(loaded)
+    n_loaded = 0
+
+    def merge(path, leaf):
+        nonlocal n_loaded
+        key = tuple(str(getattr(k, "key", k)) for k in path)
+        cand = flat_l.get(key)
+        if cand is not None and tuple(cand.shape) == tuple(leaf.shape):
+            n_loaded += 1
+            return jnp.asarray(cand, leaf.dtype)
+        if cand is not None:
+            log.warning("skip %s (shape %s vs %s)", "/".join(key),
+                        cand.shape, leaf.shape)
+        return leaf
+
+    out = jax.tree_util.tree_map_with_path(merge, params)
+    log.info("loaded %d params from checkpoint", n_loaded)
+    return out
+
+
+def _enable_compile_cache():
+    """Persistent XLA compile cache: first compile is slow (~20-40 s/graph on
+    TPU), reruns of the same config are instant."""
+    cache_dir = os.environ.get("JAX_COMPILE_CACHE_DIR",
+                               os.path.expanduser("~/.cache/vtx_jax"))
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception as e:  # pragma: no cover
+        log.warning("compile cache unavailable: %s", e)
+
+
+def setup(cfg: TrainConfig) -> TrainerContext:
+    _enable_compile_cache()
+    init_distributed()
+    mesh = create_mesh(cfg.parse_mesh_shape())
+    policy = get_policy(cfg.precision)
+
+    train_ds, info = build_dataset(cfg, is_train=True)
+    val_ds, _ = build_dataset(cfg, is_train=False) if not cfg.disable_eval else (None, None)
+    global_batch = cfg.batch_size * jax.process_count()
+    steps_per_epoch = max(info.num_examples // global_batch, 1)
+
+    model = create_model(
+        cfg.model, num_classes=cfg.nb_classes, img_size=cfg.input_size,
+        drop_path_rate=cfg.drop_path, global_pool=cfg.global_pool,
+        init_values=cfg.layer_scale_init_value or None,
+        remat=cfg.grad_checkpointing,
+        dtype=policy.compute_dtype, param_dtype=policy.param_dtype)
+
+    sample = jnp.zeros((cfg.batch_size, cfg.input_size, cfg.input_size, 3),
+                       jnp.float32)
+    abstract = jax.eval_shape(lambda k: model.init(k, sample, True),
+                              {"params": jax.random.key(cfg.seed)})
+    shardings = shd.params_sharding(mesh, abstract,
+                                    axis_rules(cfg.param_sharding, mesh))["params"]
+    init_fn = jax.jit(lambda k: nn.meta.unbox(model.init(k, sample, True))["params"],
+                      out_shardings=shardings)
+    params = init_fn({"params": jax.random.key(cfg.seed)})
+
+    if cfg.finetune:
+        from vision_transformers_torch_xla_tpu.ckpt.torch_compat import (
+            load_reference_checkpoint,
+        )
+
+        loaded = load_reference_checkpoint(cfg.finetune, cfg.model_key)
+        params = _load_params_into(params, loaded)
+
+    lr_fn = cosine_schedule_fn(cfg.lr, cfg.min_lr, cfg.epochs, steps_per_epoch,
+                               warmup_epochs=cfg.warmup_epochs,
+                               start_warmup_value=cfg.warmup_lr,
+                               warmup_steps=cfg.warmup_steps)
+    wd_fn = None
+    if cfg.weight_decay_end is not None and cfg.weight_decay_end != cfg.weight_decay:
+        wd_fn = cosine_schedule_fn(cfg.weight_decay, cfg.weight_decay_end,
+                                   cfg.epochs, steps_per_epoch)
+    tx = create_optimizer(
+        cfg.opt, lr_fn, params, weight_decay=cfg.weight_decay,
+        weight_decay_schedule=wd_fn, opt_eps=cfg.opt_eps,
+        opt_betas=cfg.opt_betas, momentum=cfg.momentum,
+        clip_grad=cfg.clip_grad, layer_decay=cfg.layer_decay,
+        model_depth=getattr(model, "depth", 12), update_freq=cfg.update_freq)
+    state = create_train_state(params, tx, with_ema=cfg.model_ema)
+
+    # knowledge distillation (reference main.py:691-742, 836-851)
+    teacher_params = None
+    teacher_apply = None
+    if cfg.kd:
+        teacher = create_model(cfg.teacher_model, num_classes=cfg.nb_classes,
+                               img_size=cfg.input_size,
+                               dtype=policy.compute_dtype,
+                               param_dtype=policy.param_dtype)
+        t_init = jax.jit(lambda k: nn.meta.unbox(
+            teacher.init(k, sample, True))["params"])
+        teacher_params = t_init({"params": jax.random.key(cfg.seed + 1)})
+        if cfg.teacher_path:
+            from vision_transformers_torch_xla_tpu.ckpt.torch_compat import (
+                load_reference_checkpoint,
+            )
+
+            teacher_params = _load_params_into(
+                teacher_params, load_reference_checkpoint(cfg.teacher_path))
+        else:
+            log.warning("KD enabled without --teacher_path: teacher is random")
+        teacher_apply = teacher.apply
+
+    mix = MixupConfig(
+        mixup_alpha=cfg.mixup, cutmix_alpha=cfg.cutmix, prob=cfg.mixup_prob,
+        switch_prob=cfg.mixup_switch_prob, label_smoothing=cfg.smoothing,
+        num_classes=cfg.nb_classes)
+    step_cfg = StepConfig(
+        mixup=mix, label_smoothing=cfg.smoothing, num_classes=cfg.nb_classes,
+        ema_decay=cfg.model_ema_decay if cfg.model_ema else None,
+        kd_alpha=cfg.kd_alpha, kd_temperature=cfg.kd_temperature,
+        lr_schedule=lr_fn)
+    train_step = jax.jit(make_train_step(model.apply, tx, step_cfg, teacher_apply),
+                         donate_argnums=(0,))
+    eval_step = jax.jit(make_eval_step(model.apply))
+
+    ckpt = None
+    start_epoch = cfg.start_epoch
+    if cfg.output_dir and cfg.save_ckpt:
+        import os
+
+        ckpt = CheckpointManager(os.path.abspath(
+            os.path.join(cfg.output_dir, "checkpoints")),
+            max_to_keep=cfg.save_ckpt_num,
+            save_interval_epochs=cfg.save_ckpt_freq)
+        if cfg.auto_resume and not cfg.resume:
+            restored, meta = ckpt.restore(state)
+            if restored is not None:
+                state = restored
+                start_epoch = (meta or {}).get("epoch", ckpt.latest_epoch()) + 1
+                log.info("auto-resumed at epoch %d", start_epoch)
+
+    return TrainerContext(
+        cfg=cfg, mesh=mesh, model=model, state=state, train_step=train_step,
+        eval_step=eval_step, train_ds=train_ds, val_ds=val_ds,
+        steps_per_epoch=steps_per_epoch, loggers=build_loggers(cfg), ckpt=ckpt,
+        rng=jax.random.key(cfg.seed), teacher_params=teacher_params,
+        start_epoch=start_epoch)
+
+
+def train_one_epoch(ctx: TrainerContext, epoch: int,
+                    max_steps: Optional[int] = None) -> dict:
+    """Host loop for one epoch (reference engine.py:19-333 equivalent)."""
+    cfg = ctx.cfg
+    logger = MetricLogger()
+    n_steps = min(ctx.steps_per_epoch, max_steps or ctx.steps_per_epoch)
+    it = iter(ctx.train_ds)
+    t0 = time.time()
+    for i in range(n_steps):
+        try:
+            images, labels = next(it)
+        except StopIteration:
+            break
+        images = _to_global(np.asarray(images), ctx.mesh, P("data"))
+        labels = _to_global(np.asarray(labels), ctx.mesh, P("data"))
+        ctx.state, metrics = ctx.train_step(ctx.state, images, labels, ctx.rng,
+                                            *([ctx.teacher_params] if
+                                              ctx.teacher_params is not None else []))
+        if i % cfg.log_freq == 0 or i == n_steps - 1:
+            host = {k: float(v) for k, v in metrics.items()}
+            logger.update(**host)
+            if is_main_process():
+                ips = cfg.batch_size * jax.process_count() * (i + 1) / (time.time() - t0)
+                print(f"epoch {epoch} [{i}/{n_steps}] "
+                      f"loss {host['loss']:.4f} lr {host.get('lr', 0):.2e} "
+                      f"grad_norm {host.get('grad_norm', 0):.2f} "
+                      f"({ips:.0f} img/s)", flush=True)
+            if "tb" in ctx.loggers:
+                ctx.loggers["tb"].update(head="train", step=epoch * n_steps + i, **host)
+    logger.synchronize_between_processes()
+    return {f"train_{k}": m.global_avg for k, m in logger.meters.items()}
+
+
+def evaluate(ctx: TrainerContext, use_ema: bool = False,
+             max_batches: Optional[int] = None) -> dict:
+    """Eval pass: top-1/top-5/loss summed on device, reduced at the end
+    (reference engine.py:339-430)."""
+    params = ctx.state.ema_params if use_ema else ctx.state.params
+    totals = {"top1": 0.0, "top5": 0.0, "count": 0.0, "loss_sum": 0.0}
+    for bi, (images, labels) in enumerate(iter(ctx.val_ds)):
+        if max_batches is not None and bi >= max_batches:
+            break
+        images = _to_global(np.asarray(images), ctx.mesh, P("data"))
+        labels = _to_global(np.asarray(labels), ctx.mesh, P("data"))
+        m = ctx.eval_step(params, images, labels)
+        for k in totals:
+            totals[k] += float(m[k])
+    n = max(totals["count"], 1.0)
+    prefix = "ema_" if use_ema else ""
+    return {f"{prefix}acc1": 100.0 * totals["top1"] / n,
+            f"{prefix}acc5": 100.0 * totals["top5"] / n,
+            f"{prefix}loss": totals["loss_sum"] / n,
+            f"{prefix}count": n}
+
+
+def main(cfg: TrainConfig, max_steps_per_epoch: Optional[int] = None,
+         max_eval_batches: Optional[int] = None) -> dict:
+    if max_steps_per_epoch is None and cfg.limit_steps_per_epoch:
+        max_steps_per_epoch = cfg.limit_steps_per_epoch
+    if max_eval_batches is None and cfg.limit_eval_batches:
+        max_eval_batches = cfg.limit_eval_batches
+    if is_main_process():
+        print(f"config: {cfg}", flush=True)
+        print(f"devices: {jax.device_count()} "
+              f"({jax.process_count()} processes)", flush=True)
+    ctx = setup(cfg)
+
+    if cfg.eval_only:
+        stats = evaluate(ctx, max_batches=max_eval_batches)
+        print(f"eval: top-1 {stats['acc1']:.2f}% top-5 {stats['acc5']:.2f}%")
+        return stats
+
+    max_accuracy = 0.0
+    last_stats: dict = {}
+    for epoch in range(ctx.start_epoch, cfg.epochs):
+        train_stats = train_one_epoch(ctx, epoch, max_steps_per_epoch)
+        stats = {"epoch": epoch, **train_stats}
+        if ctx.val_ds is not None:
+            eval_stats = evaluate(ctx, max_batches=max_eval_batches)
+            if cfg.model_ema and cfg.model_ema_eval:
+                eval_stats.update(evaluate(ctx, use_ema=True,
+                                           max_batches=max_eval_batches))
+            max_accuracy = max(max_accuracy, eval_stats["acc1"])
+            stats.update(eval_stats)
+            stats["max_accuracy"] = max_accuracy
+            if is_main_process():
+                print(f"epoch {epoch}: top-1 {eval_stats['acc1']:.2f}% "
+                      f"(best {max_accuracy:.2f}%)", flush=True)
+        if ctx.ckpt is not None:
+            ctx.ckpt.save(epoch, ctx.state, metadata={"epoch": epoch})
+        ctx.loggers["jsonl"].log(stats)
+        if "wandb" in ctx.loggers:
+            ctx.loggers["wandb"].log(stats)
+        last_stats = stats
+    if ctx.ckpt is not None:
+        ctx.ckpt.wait()
+        ctx.ckpt.close()
+    if "wandb" in ctx.loggers:
+        ctx.loggers["wandb"].finish()
+    return last_stats
+
+
+if __name__ == "__main__":
+    logging.basicConfig(level=logging.INFO)
+    main(config_from_args())

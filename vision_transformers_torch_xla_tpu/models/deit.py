@@ -1,0 +1,115 @@
+"""DeiT: ViT with a distillation token.
+
+Parity with the reference's dormant deit.py (417 LoC, incl.
+`VisionTransformerDistilled` with its distillation token, reference
+models/deit.py:28). The distilled variant adds a second prefix token whose
+head is trained against the teacher (pairs with the trainer's KD loss,
+reference main.py:939-970); at eval the two head outputs are averaged.
+"""
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from vision_transformers_torch_xla_tpu.models.layers import _layer_norm, trunc_init
+from vision_transformers_torch_xla_tpu.models.registry import register_model
+from vision_transformers_torch_xla_tpu.models.vit import VisionTransformer
+
+__all__ = []
+
+
+class VisionTransformerDistilled(VisionTransformer):
+    """ViT + dist_token; returns (cls_logits + dist_logits) / 2 at eval and
+    concatenated token logits pair in train mode when `return_both=True`."""
+
+    @nn.compact
+    def __call__(self, x: jax.Array, deterministic: bool = True,
+                 return_both: bool = False) -> jax.Array:
+        b = x.shape[0]
+        from vision_transformers_torch_xla_tpu.models.layers import Block, PatchEmbed
+
+        x = PatchEmbed(self.patch_size, self.embed_dim, dtype=self.dtype,
+                       param_dtype=self.param_dtype, name="patch_embed")(x)
+        n_patches = x.shape[1]
+        cls = self.param("cls_token",
+                         nn.with_logical_partitioning(trunc_init, (None, None, "embed")),
+                         (1, 1, self.embed_dim), self.param_dtype)
+        dist = self.param("dist_token",
+                          nn.with_logical_partitioning(trunc_init, (None, None, "embed")),
+                          (1, 1, self.embed_dim), self.param_dtype)
+        x = jnp.concatenate([
+            jnp.broadcast_to(cls.astype(x.dtype), (b, 1, self.embed_dim)),
+            jnp.broadcast_to(dist.astype(x.dtype), (b, 1, self.embed_dim)),
+            x], axis=1)
+        pos = self.param("pos_embed",
+                         nn.with_logical_partitioning(trunc_init, (None, "seq", "embed")),
+                         (1, n_patches + 2, self.embed_dim), self.param_dtype)
+        x = x + pos.astype(x.dtype)
+        x = nn.Dropout(self.pos_drop_rate)(x, deterministic=deterministic)
+        for i in range(self.depth):
+            dpr = self.drop_path_rate * i / max(self.depth - 1, 1)
+            x = Block(num_heads=self.num_heads, mlp_ratio=self.mlp_ratio,
+                      qkv_bias=self.qkv_bias, init_values=self.init_values,
+                      drop_path_rate=dpr, dtype=self.dtype,
+                      param_dtype=self.param_dtype,
+                      name=f"blocks_{i}")(x, deterministic)
+        x = _layer_norm(self.dtype, self.param_dtype, "norm")(x)
+
+        head = nn.Dense(self.num_classes, dtype=self.dtype,
+                        param_dtype=self.param_dtype,
+                        kernel_init=nn.with_logical_partitioning(
+                            trunc_init, ("embed", "classes")),
+                        name="head")
+        head_dist = nn.Dense(self.num_classes, dtype=self.dtype,
+                             param_dtype=self.param_dtype,
+                             kernel_init=nn.with_logical_partitioning(
+                                 trunc_init, ("embed", "classes")),
+                             name="head_dist")
+        logits = head(x[:, 0]).astype(jnp.float32)
+        logits_dist = head_dist(x[:, 1]).astype(jnp.float32)
+        if return_both:
+            return logits, logits_dist
+        return (logits + logits_dist) / 2.0
+
+
+def _deit(distilled, patch, dim, depth, heads, img_size=224, **kw):
+    kw.pop("pretrained_tag", None)
+    cls = VisionTransformerDistilled if distilled else VisionTransformer
+    if not distilled:
+        kw.setdefault("global_pool", "token")
+        kw.setdefault("fc_norm", False)
+    return cls(img_size=img_size, patch_size=patch, embed_dim=dim, depth=depth,
+               num_heads=heads, **kw)
+
+
+@register_model
+def deit_tiny_patch16_224(**kw):
+    return _deit(False, 16, 192, 12, 3, **kw)
+
+
+@register_model
+def deit_small_patch16_224(**kw):
+    return _deit(False, 16, 384, 12, 6, **kw)
+
+
+@register_model
+def deit_base_patch16_224(**kw):
+    return _deit(False, 16, 768, 12, 12, **kw)
+
+
+@register_model
+def deit_tiny_distilled_patch16_224(**kw):
+    return _deit(True, 16, 192, 12, 3, **kw)
+
+
+@register_model
+def deit_small_distilled_patch16_224(**kw):
+    return _deit(True, 16, 384, 12, 6, **kw)
+
+
+@register_model
+def deit_base_distilled_patch16_224(**kw):
+    return _deit(True, 16, 768, 12, 12, **kw)

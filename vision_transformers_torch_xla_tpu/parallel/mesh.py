@@ -102,5 +102,12 @@ def create_mesh(axes: Sequence[Tuple[str, int]] = (("data", -1),),
     return Mesh(dev_array, axis_names=tuple(names))
 
 
-def axis_rules(param_sharding: str = "replicated"):
-    return FSDP_AXIS_RULES if param_sharding == "fsdp" else LOGICAL_AXIS_RULES
+def axis_rules(param_sharding: str = "replicated", mesh: Optional[Mesh] = None):
+    """Logical->mesh rules, dropping mappings to axes absent from the mesh
+    (e.g. a pure-DP 'data' mesh has no 'model' axis: TP rules fall back to
+    replication)."""
+    rules = FSDP_AXIS_RULES if param_sharding == "fsdp" else LOGICAL_AXIS_RULES
+    if mesh is None:
+        return rules
+    return tuple((logical, phys if phys in mesh.axis_names else None)
+                 for logical, phys in rules)

@@ -25,12 +25,23 @@ class TrainState(struct.PyTreeNode):
 
 def create_train_state(params: Any, tx: optax.GradientTransformation,
                        with_ema: bool = False) -> TrainState:
-    return TrainState(
-        step=jnp.zeros((), jnp.int32),
-        params=params,
-        opt_state=tx.init(params),
-        ema_params=jax.tree.map(jnp.copy, params) if with_ema else None,
-    )
+    """Build the initial state UNDER JIT.
+
+    jit (rather than eager ops) matters beyond compile speed: backends that
+    execute through a remote relay (this image's axon platform) never
+    materialize eagerly-built arrays to the host, which wedges anything that
+    later reads them (e.g. Orbax restore inspecting the template).
+    """
+
+    def _init(params):
+        return TrainState(
+            step=jnp.zeros((), jnp.int32),
+            params=params,
+            opt_state=tx.init(params),
+            ema_params=jax.tree.map(lambda p: p + 0, params) if with_ema else None,
+        )
+
+    return jax.jit(_init)(params)
 
 
 def ema_update(ema_params: Any, params: Any, decay: float) -> Any:
