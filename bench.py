@@ -51,6 +51,10 @@ def vit_train_flops_per_image(img: int = 224, patch: int = 16,
 def main():
     from flax import linen as nn
 
+    from vision_transformers_torch_xla_tpu.core.cache import enable_persistent_cache
+
+    enable_persistent_cache()
+
     from vision_transformers_torch_xla_tpu import create_model
     from vision_transformers_torch_xla_tpu.train.mixup import MixupConfig
     from vision_transformers_torch_xla_tpu.train.optim import create_optimizer

@@ -65,6 +65,16 @@ class SyntheticDataset:
         self._normalize = normalize
 
     def __iter__(self) -> Iterator[Tuple[np.ndarray, np.ndarray]]:
+        from vision_transformers_torch_xla_tpu.data import native
+
+        if self._normalize and native.available():
+            # native path: ~3 orders of magnitude faster than the numpy one
+            seed = self._seed + jax.process_index() * 1_000_003 + 1
+            step = 0
+            while True:
+                yield native.synth_batch(self.batch_size, self.image_size,
+                                         self.num_classes, seed + step)
+                step += 1
         rng = np.random.default_rng(self._seed + jax.process_index())
         s = self.image_size
         yy, xx = np.mgrid[0:s, 0:s].astype(np.float32) / s

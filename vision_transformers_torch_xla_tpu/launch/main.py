@@ -105,20 +105,10 @@ def _load_params_into(params, loaded):
     return out
 
 
-def _enable_compile_cache():
-    """Persistent XLA compile cache: first compile is slow (~20-40 s/graph on
-    TPU), reruns of the same config are instant."""
-    cache_dir = os.environ.get("JAX_COMPILE_CACHE_DIR",
-                               os.path.expanduser("~/.cache/vtx_jax"))
-    try:
-        jax.config.update("jax_compilation_cache_dir", cache_dir)
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-    except Exception as e:  # pragma: no cover
-        log.warning("compile cache unavailable: %s", e)
-
-
 def setup(cfg: TrainConfig) -> TrainerContext:
-    _enable_compile_cache()
+    from vision_transformers_torch_xla_tpu.core.cache import enable_persistent_cache
+
+    enable_persistent_cache()
     init_distributed()
     mesh = create_mesh(cfg.parse_mesh_shape())
     policy = get_policy(cfg.precision)

@@ -149,7 +149,10 @@ def fused_attention(q: jax.Array, k: jax.Array, v: jax.Array,
 
         return _reference_attention(q, k, v, scale)
     sp = max(_round_up(s, 128), 128)
-    dp = max(_round_up(d, 128), 128)
+    # pad head_dim only to the fp32 sublane quantum (8): a 64-wide lane dim
+    # wastes half the VPU lanes but halves matmul FLOPs vs padding to 128 —
+    # measured faster for ViT head_dim 64.
+    dp = max(_round_up(d, 8), 8)
 
     def prep(x):
         x = x.reshape(b * h, s, d)
