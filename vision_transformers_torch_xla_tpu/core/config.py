@@ -43,6 +43,7 @@ class TrainConfig:
     global_pool: str = "avg"             # 'avg' | 'token' | 'map' | ''
     layer_scale_init_value: float = 0.0  # 0 disables LayerScale
     grad_checkpointing: bool = False     # jax.checkpoint on blocks
+    scan_blocks: bool = False            # lax.scan over layers (fast compile)
 
     # --- EMA (main.py:161-167) ---
     model_ema: bool = False

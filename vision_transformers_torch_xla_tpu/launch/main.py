@@ -123,6 +123,7 @@ def setup(cfg: TrainConfig) -> TrainerContext:
         drop_path_rate=cfg.drop_path, global_pool=cfg.global_pool,
         init_values=cfg.layer_scale_init_value or None,
         remat=cfg.grad_checkpointing,
+        scan_blocks=cfg.scan_blocks or None,
         dtype=policy.compute_dtype, param_dtype=policy.param_dtype)
 
     sample = jnp.zeros((cfg.batch_size, cfg.input_size, cfg.input_size, 3),

@@ -88,10 +88,13 @@ class PatchEmbed(nn.Module):
         b, h, w, c = x.shape
         p = self.patch_size
         gh, gw = h // p, w // p
+        # cast BEFORE the patchify transpose: the transpose is HBM-bound and
+        # bf16 halves its traffic (the matmul casts anyway)
+        x = x.astype(self.dtype)
         x = x.reshape(b, gh, p, gw, p, c)
         x = x.transpose(0, 1, 3, 2, 4, 5).reshape(b, gh * gw, p * p * c)
         x = _dense(self.embed_dim, ("patch", "embed"), self.use_bias,
-                   self.dtype, self.param_dtype, "proj")(x.astype(self.dtype))
+                   self.dtype, self.param_dtype, "proj")(x)
         return x
 
 

@@ -45,6 +45,21 @@ def resample_pos_embed(pos_embed: jax.Array, new_grid: tuple,
     return jnp.concatenate([prefix, grid], axis=1)
 
 
+class _ScanBody(nn.Module):
+    """lax.scan body: one transformer block returning (carry, None)."""
+
+    block_kwargs: tuple  # dict items, kept hashable for the module dataclass
+
+    @nn.compact
+    def __call__(self, x, deterministic):
+        kw = dict(self.block_kwargs)
+        block_cls = Block
+        if kw.pop("remat", False):
+            block_cls = nn.remat(Block, static_argnums=(2,),
+                                 policy=jax.checkpoint_policies.nothing_saveable)
+        return block_cls(**kw, name="block")(x, deterministic), None
+
+
 class VisionTransformer(nn.Module):
     img_size: int = 224
     patch_size: int = 16
@@ -69,6 +84,10 @@ class VisionTransformer(nn.Module):
     pre_norm: bool = False
     use_pallas_attn: bool = False
     remat: bool = False                        # gradient checkpointing
+    scan_blocks: bool = False                  # lax.scan over layers: one
+    # compiled block instead of `depth` (compile time ~depth x lower; params
+    # stacked on a leading layer axis). DropPath rates are uniform at
+    # drop_path_rate/2 avg parity is NOT kept: scan uses the mean rate.
     dtype: jnp.dtype = jnp.bfloat16
     param_dtype: jnp.dtype = jnp.float32
 
@@ -119,16 +138,31 @@ class VisionTransformer(nn.Module):
         if self.remat:
             block_cls = nn.remat(Block, static_argnums=(2,),
                                  policy=jax.checkpoint_policies.nothing_saveable)
-        for i in range(self.depth):
-            dpr = self.drop_path_rate * i / max(self.depth - 1, 1)
-            x = block_cls(
-                num_heads=self.num_heads, mlp_ratio=self.mlp_ratio,
-                qkv_bias=self.qkv_bias, qk_norm=self.qk_norm,
-                init_values=self.init_values, drop_path_rate=dpr,
-                proj_drop=self.proj_drop_rate, attn_drop=self.attn_drop_rate,
-                use_pallas=self.use_pallas_attn, dtype=self.dtype,
-                param_dtype=self.param_dtype, name=f"blocks_{i}",
-            )(x, deterministic)
+        block_kwargs = dict(
+            num_heads=self.num_heads, mlp_ratio=self.mlp_ratio,
+            qkv_bias=self.qkv_bias, qk_norm=self.qk_norm,
+            init_values=self.init_values,
+            proj_drop=self.proj_drop_rate, attn_drop=self.attn_drop_rate,
+            use_pallas=self.use_pallas_attn, dtype=self.dtype,
+            param_dtype=self.param_dtype)  # shared by loop + scan paths
+        if self.scan_blocks:
+            scanned = nn.scan(
+                _ScanBody,
+                variable_axes={"params": 0},
+                split_rngs={"params": True, "dropout": True, "droppath": True},
+                in_axes=nn.broadcast,
+                length=self.depth,
+                metadata_params={nn.PARTITION_NAME: "layers"},
+            )(block_kwargs=tuple(
+                dict(drop_path_rate=self.drop_path_rate / 2,
+                     remat=self.remat, **block_kwargs).items()),
+              name="blocks_stacked")
+            x, _ = scanned(x, deterministic)
+        else:
+            for i in range(self.depth):
+                dpr = self.drop_path_rate * i / max(self.depth - 1, 1)
+                x = block_cls(drop_path_rate=dpr, **block_kwargs,
+                              name=f"blocks_{i}")(x, deterministic)
         x = _layer_norm(self.dtype, self.param_dtype, "norm")(x)
         return x
 

@@ -35,6 +35,7 @@ LOGICAL_AXIS_RULES = (
     ("seq", None),
     ("classes", None),
     ("patch", None),
+    ("layers", None),   # scan_blocks stacked-layer axis: never sharded
 )
 
 FSDP_AXIS_RULES = LOGICAL_AXIS_RULES[:4] + (

@@ -66,8 +66,16 @@ def scale_by_layer_decay(decay: float, depth: int) -> optax.GradientTransformati
     num_layers = depth + 2
 
     def scales(params):
-        def leaf_scale(path, _):
+        import numpy as np
+
+        def leaf_scale(path, leaf):
             name = "/".join(str(getattr(p, "key", getattr(p, "idx", p))) for p in path)
+            if "blocks_stacked" in name:
+                # scan_blocks: leaf carries all layers on axis 0 -> per-layer
+                # scale vector broadcast over the stacked axis
+                lids = np.arange(leaf.shape[0]) + 1
+                vec = decay ** (num_layers - 1 - lids)
+                return vec.reshape((-1,) + (1,) * (leaf.ndim - 1)).astype(np.float32)
             lid = vit_layer_id(name, depth)
             return decay ** (num_layers - 1 - lid)
 
