@@ -112,6 +112,7 @@ class TrainConfig:
     # --- bookkeeping (main.py:303-330) ---
     output_dir: str = ""
     log_dir: Optional[str] = None
+    device: str = ""                     # '' = default backend; 'cpu' forces host
     seed: int = 0
     resume: str = ""
     auto_resume: bool = True

@@ -110,7 +110,10 @@ def setup(cfg: TrainConfig) -> TrainerContext:
 
     enable_persistent_cache()
     init_distributed()
-    mesh = create_mesh(cfg.parse_mesh_shape())
+    if cfg.device:
+        jax.config.update("jax_default_device", jax.devices(cfg.device)[0])
+    mesh = create_mesh(cfg.parse_mesh_shape(),
+                       platform=cfg.device or None)
     policy = get_policy(cfg.precision)
 
     train_ds, info = build_dataset(cfg, is_train=True)

@@ -163,6 +163,10 @@ class VisionTransformer(nn.Module):
                 dpr = self.drop_path_rate * i / max(self.depth - 1, 1)
                 x = block_cls(drop_path_rate=dpr, **block_kwargs,
                               name=f"blocks_{i}")(x, deterministic)
+                # feature taps (parity: forward_intermediates, reference
+                # vision_transformer.py:782-875): free unless the caller
+                # applies with mutable=["intermediates"]
+                self.sow("intermediates", f"block_{i}", x)
         x = _layer_norm(self.dtype, self.param_dtype, "norm")(x)
         return x
 

@@ -92,7 +92,11 @@ def create_mesh(axes: Sequence[Tuple[str, int]] = (("data", -1),),
         if n % known:
             raise ValueError(f"{n} devices not divisible by fixed axes {known}")
         sizes[sizes.index(-1)] = n // known
-    if int(np.prod(sizes)) != n:
+    want = int(np.prod(sizes))
+    if want < n:
+        devices = devices[:want]  # explicit smaller mesh: use a device subset
+        n = want
+    if want != n:
         raise ValueError(f"mesh {dict(zip(names, sizes))} != {n} devices")
     try:
         from jax.experimental import mesh_utils
