@@ -57,7 +57,8 @@ def test_layer_decay_scales():
 
 
 @pytest.mark.parametrize("name", ["adamw", "sgd", "momentum", "lamb", "lion",
-                                  "adafactor", "rmsproptf", "nadamw", "radam"])
+                                  "adafactor", "rmsproptf", "nadamw", "radam",
+                                  "adamp", "sgdp", "lookahead_adamw"])
 def test_optimizers_step(name):
     params = {"w": jnp.ones((4, 4)), "b": jnp.zeros(4)}
     tx = create_optimizer(name, 1e-3, params, weight_decay=0.01, clip_grad=1.0)

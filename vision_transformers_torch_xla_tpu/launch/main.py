@@ -133,11 +133,22 @@ def setup(cfg: TrainConfig) -> TrainerContext:
                        jnp.float32)
     abstract = jax.eval_shape(lambda k: model.init(k, sample, True),
                               {"params": jax.random.key(cfg.seed)})
-    shardings = shd.params_sharding(mesh, abstract,
-                                    axis_rules(cfg.param_sharding, mesh))["params"]
-    init_fn = jax.jit(lambda k: nn.meta.unbox(model.init(k, sample, True))["params"],
-                      out_shardings=shardings)
-    params = init_fn({"params": jax.random.key(cfg.seed)})
+    # mutable model collections beyond params (e.g. BatchNorm batch_stats);
+    # 'intermediates' are feature taps, never part of train state
+    mutable_cols = tuple(k for k in abstract if k not in ("params", "intermediates"))
+    all_rules = axis_rules(cfg.param_sharding, mesh)
+    full_shardings = shd.params_sharding(mesh, abstract, all_rules)
+    keep = ("params",) + mutable_cols
+
+    def _init_all(k):
+        variables = nn.meta.unbox(model.init(k, sample, True))
+        return {c: variables[c] for c in keep}
+
+    init_fn = jax.jit(_init_all,
+                      out_shardings={c: full_shardings[c] for c in keep})
+    variables = init_fn({"params": jax.random.key(cfg.seed)})
+    params = variables["params"]
+    model_state = {c: variables[c] for c in mutable_cols}
 
     if cfg.finetune:
         from vision_transformers_torch_xla_tpu.ckpt.torch_compat import (
@@ -161,7 +172,8 @@ def setup(cfg: TrainConfig) -> TrainerContext:
         opt_betas=cfg.opt_betas, momentum=cfg.momentum,
         clip_grad=cfg.clip_grad, layer_decay=cfg.layer_decay,
         model_depth=getattr(model, "depth", 12), update_freq=cfg.update_freq)
-    state = create_train_state(params, tx, with_ema=cfg.model_ema)
+    state = create_train_state(params, tx, with_ema=cfg.model_ema,
+                               model_state=model_state)
 
     # knowledge distillation (reference main.py:691-742, 836-851)
     teacher_params = None
@@ -194,9 +206,11 @@ def setup(cfg: TrainConfig) -> TrainerContext:
         ema_decay=cfg.model_ema_decay if cfg.model_ema else None,
         kd_alpha=cfg.kd_alpha, kd_temperature=cfg.kd_temperature,
         lr_schedule=lr_fn)
-    train_step = jax.jit(make_train_step(model.apply, tx, step_cfg, teacher_apply),
+    train_step = jax.jit(make_train_step(model.apply, tx, step_cfg, teacher_apply,
+                                         mutable_collections=mutable_cols),
                          donate_argnums=(0,))
-    eval_step = jax.jit(make_eval_step(model.apply))
+    eval_step = jax.jit(make_eval_step(model.apply,
+                                       mutable_collections=mutable_cols))
 
     ckpt = None
     start_epoch = cfg.start_epoch
@@ -266,7 +280,7 @@ def evaluate(ctx: TrainerContext, use_ema: bool = False,
             break
         images = _to_global(np.asarray(images), ctx.mesh, P("data"))
         labels = _to_global(np.asarray(labels), ctx.mesh, P("data"))
-        m = ctx.eval_step(params, images, labels)
+        m = ctx.eval_step(params, images, labels, ctx.state.model_state)
         for k in totals:
             totals[k] += float(m[k])
     n = max(totals["count"], 1.0)

@@ -91,6 +91,46 @@ def scale_by_layer_decay(decay: float, depth: int) -> optax.GradientTransformati
     return optax.GradientTransformation(init, update)
 
 
+def lookahead(tx: optax.GradientTransformation, sync_period: int = 5,
+              slow_step_size: float = 0.5) -> optax.GradientTransformation:
+    """Lookahead (Zhang et al.) as a transparent wrapper.
+
+    Parity with the reference's `lookahead_` optimizer prefix
+    (optim_factory.py via timm). Unlike optax.lookahead it does not require
+    wrapping params: slow weights live in the optimizer state.
+    """
+    import jax.numpy as jnp
+
+    def init(params):
+        return (tx.init(params), jax.tree.map(lambda p: p + 0, params),
+                jnp.zeros((), jnp.int32))
+
+    def update(grads, state, params):
+        inner_state, slow, count = state
+        updates, inner_state = tx.update(grads, inner_state, params)
+        count = count + 1
+        sync = (count % sync_period == 0).astype(jnp.float32)
+
+        def blend(u, p, s):
+            fast_next = p + u
+            synced = s + slow_step_size * (fast_next - s)
+            return sync * (synced - p) + (1 - sync) * u
+
+        new_updates = jax.tree.map(blend, updates, params, slow)
+        new_slow = jax.tree.map(
+            lambda s, p, u: sync * (p + u) + (1 - sync) * s,
+            slow, params, new_updates)
+        return new_updates, (inner_state, new_slow, count)
+
+    return optax.GradientTransformation(init, update)
+
+
+def _adamp():
+    from vision_transformers_torch_xla_tpu.train import adamp as mod
+
+    return mod
+
+
 def _lookup(opt_name: str) -> Callable:
     table = {
         "sgd": lambda lr, cfg, mask: optax.sgd(lr, momentum=cfg.get("momentum", 0.9), nesterov=True),
@@ -125,6 +165,12 @@ def _lookup(opt_name: str) -> Callable:
             lr, weight_decay=cfg.get("weight_decay", 0.0)),
         "lion": lambda lr, cfg, mask: optax.lion(
             lr, weight_decay=cfg.get("weight_decay", 0.0), mask=lambda p: mask),
+        "adamp": lambda lr, cfg, mask: _adamp().adamp(
+            lr, *cfg.get("betas", (0.9, 0.999)), eps=cfg.get("eps", 1e-8),
+            weight_decay=cfg.get("weight_decay", 0.0), mask=mask),
+        "sgdp": lambda lr, cfg, mask: _adamp().sgdp(
+            lr, momentum=cfg.get("momentum", 0.9),
+            weight_decay=cfg.get("weight_decay", 0.0), mask=mask),
     }
     try:
         return table[opt_name]
@@ -171,7 +217,7 @@ def create_optimizer(
     tx = optax.chain(*chain) if len(chain) > 1 else chain[0]
 
     if use_lookahead:
-        tx = optax.lookahead(tx, sync_period=5, slow_step_size=0.5)
+        tx = lookahead(tx, sync_period=5, slow_step_size=0.5)
     if update_freq > 1:
         tx = optax.MultiSteps(tx, every_k_schedule=update_freq)
     return tx

@@ -21,10 +21,12 @@ class TrainState(struct.PyTreeNode):
     params: Any
     opt_state: Any
     ema_params: Optional[Any] = None
+    model_state: Any = None  # mutable collections (e.g. BatchNorm batch_stats)
 
 
 def create_train_state(params: Any, tx: optax.GradientTransformation,
-                       with_ema: bool = False) -> TrainState:
+                       with_ema: bool = False,
+                       model_state: Any = None) -> TrainState:
     """Build the initial state UNDER JIT.
 
     jit (rather than eager ops) matters beyond compile speed: backends that
@@ -33,15 +35,16 @@ def create_train_state(params: Any, tx: optax.GradientTransformation,
     later reads them (e.g. Orbax restore inspecting the template).
     """
 
-    def _init(params):
+    def _init(params, model_state):
         return TrainState(
             step=jnp.zeros((), jnp.int32),
             params=params,
             opt_state=tx.init(params),
             ema_params=jax.tree.map(lambda p: p + 0, params) if with_ema else None,
+            model_state=model_state if model_state else {},
         )
 
-    return jax.jit(_init)(params)
+    return jax.jit(_init)(params, model_state or {})
 
 
 def ema_update(ema_params: Any, params: Any, decay: float) -> Any:

@@ -44,12 +44,15 @@ class StepConfig:
 
 def make_train_step(model_apply: Callable, tx: optax.GradientTransformation,
                     cfg: StepConfig,
-                    teacher_apply: Optional[Callable] = None) -> Callable:
+                    teacher_apply: Optional[Callable] = None,
+                    mutable_collections: tuple = ()) -> Callable:
     """Returns train_step(state, images, labels, rng, [teacher_params]).
 
     model_apply(params_dict, images, deterministic, rngs) -> logits.
     With `teacher_apply`, the KD path matches reference main.py:836-851
     (StudentWithDistillation: teacher frozen, eval mode, no grad) + :939-970.
+    `mutable_collections` (e.g. ("batch_stats",)) are threaded through
+    TrainState.model_state for BatchNorm-style models.
     """
 
     def train_step(state: TrainState, images: jax.Array, labels: jax.Array,
@@ -63,18 +66,28 @@ def make_train_step(model_apply: Callable, tx: optax.GradientTransformation,
             targets = smoothed_one_hot(labels, cfg.num_classes, cfg.label_smoothing)
 
         def loss_fn(params):
-            logits = model_apply(
-                {"params": params}, images, False,
-                rngs={"dropout": dropout_rng, "droppath": droppath_rng})
+            variables = {"params": params}
+            if mutable_collections:
+                variables.update(state.model_state)
+                logits, new_mstate = model_apply(
+                    variables, images, False,
+                    rngs={"dropout": dropout_rng, "droppath": droppath_rng},
+                    mutable=list(mutable_collections))
+            else:
+                logits = model_apply(
+                    variables, images, False,
+                    rngs={"dropout": dropout_rng, "droppath": droppath_rng})
+                new_mstate = state.model_state
             loss = soft_target_cross_entropy(logits, targets)
             if teacher_apply is not None:
                 t_logits = jax.lax.stop_gradient(
                     teacher_apply({"params": teacher_params}, images, True))
                 loss = distillation_loss(logits, t_logits, loss,
                                          cfg.kd_alpha, cfg.kd_temperature)
-            return loss, logits
+            return loss, new_mstate
 
-        (loss, _), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
+        (loss, new_mstate), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params)
         updates, new_opt_state = tx.update(grads, state.opt_state, state.params)
         new_params = optax.apply_updates(state.params, updates)
 
@@ -84,7 +97,8 @@ def make_train_step(model_apply: Callable, tx: optax.GradientTransformation,
 
         new_state = state.replace(
             step=state.step + 1, params=new_params,
-            opt_state=new_opt_state, ema_params=new_ema)
+            opt_state=new_opt_state, ema_params=new_ema,
+            model_state=new_mstate)
 
         metrics = {
             "loss": loss,
@@ -97,7 +111,8 @@ def make_train_step(model_apply: Callable, tx: optax.GradientTransformation,
     return train_step
 
 
-def make_eval_step(model_apply: Callable) -> Callable:
+def make_eval_step(model_apply: Callable,
+                   mutable_collections: tuple = ()) -> Callable:
     """eval_step(params, images, labels) -> summable metric dict.
 
     Parity with reference engine.py:339-430 (CE loss, top-1/top-5); counts
@@ -105,8 +120,12 @@ def make_eval_step(model_apply: Callable) -> Callable:
     (engine.py:423) falls out of jit when batches are sharded over 'data'.
     """
 
-    def eval_step(params: Any, images: jax.Array, labels: jax.Array):
-        logits = model_apply({"params": params}, images, True)
+    def eval_step(params: Any, images: jax.Array, labels: jax.Array,
+                  model_state: Any = None):
+        variables = {"params": params}
+        if mutable_collections and model_state:
+            variables.update(model_state)
+        logits = model_apply(variables, images, True)
         metrics = topk_correct(logits, labels, ks=(1, 5))
         n = labels.shape[0]
         metrics["loss_sum"] = cross_entropy(logits, labels) * n
