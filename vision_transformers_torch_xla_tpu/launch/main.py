@@ -242,15 +242,35 @@ def train_one_epoch(ctx: TrainerContext, epoch: int,
     cfg = ctx.cfg
     logger = MetricLogger()
     n_steps = min(ctx.steps_per_epoch, max_steps or ctx.steps_per_epoch)
-    it = iter(ctx.train_ds)
+
+    def _staged_batches():
+        """Stage batches to device 2 steps ahead so H2D overlaps compute
+        (the MpDeviceLoader role, reference main.py:1008-1029)."""
+        import collections
+        import itertools
+
+        def put(batch):
+            images, labels = batch
+            return (_to_global(np.asarray(images), ctx.mesh, P("data")),
+                    _to_global(np.asarray(labels), ctx.mesh, P("data")))
+
+        it = iter(ctx.train_ds)
+        queue = collections.deque(
+            put(b) for b in itertools.islice(it, 2))
+        while queue:
+            yield queue.popleft()
+            try:
+                queue.append(put(next(it)))
+            except StopIteration:
+                pass
+
     t0 = time.time()
+    batches = _staged_batches()
     for i in range(n_steps):
         try:
-            images, labels = next(it)
+            images, labels = next(batches)
         except StopIteration:
             break
-        images = _to_global(np.asarray(images), ctx.mesh, P("data"))
-        labels = _to_global(np.asarray(labels), ctx.mesh, P("data"))
         ctx.state, metrics = ctx.train_step(ctx.state, images, labels, ctx.rng,
                                             *([ctx.teacher_params] if
                                               ctx.teacher_params is not None else []))
