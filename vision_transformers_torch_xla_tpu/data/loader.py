@@ -231,6 +231,13 @@ def build_dataset(cfg, is_train: bool):
             (cfg.pp_eval or DEFAULT_PP_EVAL)
         ds = TfdsDataset(cfg, is_train, pp, batch)
         return ds, ds.info
+    if cfg.data_set in ("wds", "IMNET_WDS"):
+        from vision_transformers_torch_xla_tpu.data.wds import WdsDataset
+
+        spec = cfg.data_path if is_train else (cfg.eval_data_path or cfg.data_path)
+        ds = WdsDataset(spec, batch, cfg.input_size, is_train, cfg.seed,
+                        num_classes=cfg.nb_classes)
+        return ds, ds.info
     if cfg.data_set == "folder":
         root = cfg.data_path if is_train else (cfg.eval_data_path or cfg.data_path)
         ds = FolderDataset(root, batch, cfg.input_size, is_train, cfg.seed)

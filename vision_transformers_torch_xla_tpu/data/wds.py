@@ -1,0 +1,166 @@
+"""WebDataset-format input pipeline (tar shards of JPEG + cls files).
+
+The reference *documents* a WebDataset flow (`--data_set IMNET_WDS`,
+reference WEBDATASET_USAGE_GUIDE.md) but its datasets.py never implements
+it. Here it is real: tar shards are assigned per process, shuffled per
+epoch, and samples decode through the native C++ runtime (fused JPEG
+decode + inception/central crop + resize + normalize, data/native.py) with
+a PIL fallback.
+
+Shard spec: a glob ('.../train-*.tar') or brace range
+('.../train-{0000..0146}.tar'), matching webdataset conventions.
+Sample convention: <key>.jpg/.jpeg + <key>.cls (ASCII class index).
+"""
+from __future__ import annotations
+
+import glob
+import io
+import logging
+import math
+import re
+import tarfile
+from typing import Iterator, List, Optional, Tuple
+
+import numpy as np
+
+import jax
+
+from vision_transformers_torch_xla_tpu.data.loader import (
+    DatasetInfo,
+    IMAGENET_DEFAULT_MEAN,
+    IMAGENET_DEFAULT_STD,
+)
+
+log = logging.getLogger(__name__)
+
+
+def expand_shards(spec: str) -> List[str]:
+    """Expand '{0000..0146}' brace ranges or globs into a shard list."""
+    m = re.search(r"\{(\d+)\.\.(\d+)\}", spec)
+    if m:
+        lo, hi = m.group(1), m.group(2)
+        width = len(lo)
+        return [spec[:m.start()] + str(i).zfill(width) + spec[m.end():]
+                for i in range(int(lo), int(hi) + 1)]
+    expanded = sorted(glob.glob(spec))
+    return expanded if expanded else [spec]
+
+
+def _sample_inception_crop(rng: np.random.Generator, w: int, h: int,
+                           area_min: float = 0.05, area_max: float = 1.0,
+                           ratio_min: float = 3 / 4, ratio_max: float = 4 / 3):
+    """RandomResizedCrop window in source pixels (tf sample_distorted_bbox /
+    reference ops_image.py:36-66 semantics)."""
+    area = w * h
+    for _ in range(10):
+        target = rng.uniform(area_min, area_max) * area
+        ar = math.exp(rng.uniform(math.log(ratio_min), math.log(ratio_max)))
+        cw = int(round(math.sqrt(target * ar)))
+        ch = int(round(math.sqrt(target / ar)))
+        if cw <= w and ch <= h:
+            x0 = int(rng.integers(0, w - cw + 1))
+            y0 = int(rng.integers(0, h - ch + 1))
+            return x0, y0, cw, ch
+    s = min(w, h)
+    return (w - s) // 2, (h - s) // 2, s, s
+
+
+def _central_crop_window(w: int, h: int, out: int, resize_small: int = 256):
+    """Window equivalent of resize_small(256) -> central_crop(224)."""
+    s = min(w, h)
+    cw = int(round(s * out / resize_small))
+    return (w - cw) // 2, (h - cw) // 2, cw, cw
+
+
+class WdsDataset:
+    """Iterable (images, labels) batches from webdataset tar shards."""
+
+    def __init__(self, shard_spec: str, batch_size: int, image_size: int = 224,
+                 is_train: bool = True, seed: int = 0,
+                 num_classes: int = 1000,
+                 num_examples: Optional[int] = None):
+        self.all_shards = expand_shards(shard_spec)
+        self.shards = self.all_shards[jax.process_index()::jax.process_count()]
+        if not self.shards:
+            raise ValueError(f"no shards for process {jax.process_index()} "
+                             f"from {shard_spec!r}")
+        self.batch_size = batch_size
+        self.image_size = image_size
+        self.is_train = is_train
+        self.seed = seed
+        self._epoch = -1
+        if num_examples is None:
+            num_examples = self._count_examples()
+        self.info = DatasetInfo(num_examples, num_classes)
+
+    def _count_examples(self) -> int:
+        """Count one shard, extrapolate (cheap; exact count via metadata)."""
+        n = 0
+        with tarfile.open(self.all_shards[0]) as tar:
+            for m in tar:
+                if m.name.endswith(".cls"):
+                    n += 1
+        return n * len(self.all_shards)
+
+    def _iter_samples(self, rng: np.random.Generator) -> Iterator[Tuple[bytes, int]]:
+        order = rng.permutation(len(self.shards)) if self.is_train \
+            else np.arange(len(self.shards))
+        for si in order:
+            with tarfile.open(self.shards[si]) as tar:
+                pending = {}
+                for m in tar:
+                    key, dot, ext = m.name.rpartition(".")
+                    if not dot:
+                        continue
+                    data = tar.extractfile(m).read()
+                    entry = pending.setdefault(key, {})
+                    entry[ext.lower()] = data
+                    if ("cls" in entry) and any(
+                            e in entry for e in ("jpg", "jpeg")):
+                        img = entry.get("jpg") or entry.get("jpeg")
+                        yield img, int(entry["cls"])
+                        del pending[key]
+
+    def _decode(self, data: bytes, rng: np.random.Generator) -> np.ndarray:
+        from vision_transformers_torch_xla_tpu.data import native
+
+        s = self.image_size
+        if native.available():
+            try:
+                w, h = native.jpeg_dims(data)
+                crop = _sample_inception_crop(rng, w, h) if self.is_train \
+                    else _central_crop_window(w, h, s)
+                img = native.decode_jpeg_crop_resize(data, s, crop=crop)
+            except ValueError:
+                return None
+        else:  # PIL fallback
+            from PIL import Image
+
+            pil = Image.open(io.BytesIO(data)).convert("RGB")
+            w, h = pil.size
+            x0, y0, cw, ch = (_sample_inception_crop(rng, w, h)
+                              if self.is_train else
+                              _central_crop_window(w, h, s))
+            pil = pil.crop((x0, y0, x0 + cw, y0 + ch)).resize((s, s))
+            arr = np.asarray(pil, np.float32) / 255.0
+            img = ((arr - np.asarray(IMAGENET_DEFAULT_MEAN, np.float32)) /
+                   np.asarray(IMAGENET_DEFAULT_STD, np.float32))
+        if self.is_train and rng.random() < 0.5:
+            img = img[:, ::-1]
+        return np.ascontiguousarray(img, np.float32)
+
+    def __iter__(self):
+        self._epoch += 1
+        rng = np.random.default_rng(
+            self.seed + self._epoch * 100_003 + jax.process_index())
+        images, labels = [], []
+        for data, cls in self._iter_samples(rng):
+            img = self._decode(data, rng)
+            if img is None:
+                continue
+            images.append(img)
+            labels.append(cls)
+            if len(images) == self.batch_size:
+                yield (np.stack(images),
+                       np.asarray(labels, np.int32))
+                images, labels = [], []
