@@ -27,6 +27,22 @@ def _reference_attention(q: jax.Array, k: jax.Array, v: jax.Array,
                       preferred_element_type=jnp.float32).astype(q.dtype)
 
 
+def attention_bshd(q: jax.Array, k: jax.Array, v: jax.Array,
+                   scale: Optional[float] = None) -> jax.Array:
+    """Softmax attention in (B, S, H, D) layout — no head transposes.
+
+    The (B,H,S,D) layout forces XLA to materialize big copy ops for the
+    head-major transpose (measured ~11% of the ViT-B step); dot_general
+    handles the head axis as a batch dim in place.
+    """
+    d = q.shape[-1]
+    scale = scale if scale is not None else d ** -0.5
+    s = jnp.einsum("bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32)
+    p = jax.nn.softmax(s * scale, axis=-1)
+    return jnp.einsum("bhqk,bkhd->bqhd", p.astype(v.dtype), v,
+                      preferred_element_type=jnp.float32).astype(q.dtype)
+
+
 @functools.partial(jax.jit, static_argnames=("scale", "use_pallas"))
 def multi_head_attention(q: jax.Array, k: jax.Array, v: jax.Array,
                          scale: Optional[float] = None,
