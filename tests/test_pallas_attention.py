@@ -1,0 +1,73 @@
+"""Pallas attention kernel correctness (interpreter mode on CPU).
+
+On real TPU the same kernels are exercised by tools/bench_attn.py /
+tools/bench_step.py --pallas; measured numbers live in the layer docstrings.
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.experimental.pallas import tpu as pltpu
+
+from vision_transformers_torch_xla_tpu.ops.attention import _reference_attention
+from vision_transformers_torch_xla_tpu.ops.flash_attention import (
+    fused_attention,
+    fused_attention_qkv,
+)
+
+
+@pytest.fixture(autouse=True)
+def interpret_mode():
+    with pltpu.force_tpu_interpret_mode():
+        yield
+
+
+def _rand(shape, seed=0):
+    return jnp.asarray(np.random.default_rng(seed).normal(size=shape),
+                       jnp.float32)
+
+
+def test_fused_attention_fwd():
+    B, H, S, D = 1, 2, 197, 64
+    q, k, v = _rand((B, H, S, D), 0), _rand((B, H, S, D), 1), _rand((B, H, S, D), 2)
+    ref = _reference_attention(q, k, v)
+    got = fused_attention(q, k, v)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=2e-3, rtol=1e-3)
+
+
+def test_fused_attention_grads():
+    B, H, S, D = 1, 1, 130, 64  # non-multiple-of-128 seq
+    q, k, v = _rand((B, H, S, D), 3), _rand((B, H, S, D), 4), _rand((B, H, S, D), 5)
+    g_ref = jax.grad(lambda q, k, v: (_reference_attention(q, k, v) ** 2).sum(),
+                     argnums=(0, 1, 2))(q, k, v)
+    g_pal = jax.grad(lambda q, k, v: (fused_attention(q, k, v) ** 2).sum(),
+                     argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(g_ref, g_pal):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   atol=5e-3, rtol=5e-3)
+
+
+def test_fused_attention_qkv_matches_reference():
+    B, H, S, D = 1, 2, 197, 64
+    qkv = _rand((B, S, 3, H, D), 6)
+    qt = qkv.transpose(2, 0, 3, 1, 4)
+    ref = _reference_attention(qt[0], qt[1], qt[2]) \
+        .transpose(0, 2, 1, 3).reshape(B, S, H * D)
+    got = fused_attention_qkv(qkv)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=2e-3, rtol=1e-3)
+
+
+def test_fused_attention_qkv_grads():
+    B, H, S, D = 1, 2, 197, 64
+    qkv = _rand((B, S, 3, H, D), 7)
+
+    def loss_ref(qkv):
+        qt = qkv.transpose(2, 0, 3, 1, 4)
+        return (_reference_attention(qt[0], qt[1], qt[2]) ** 2).sum()
+
+    g_ref = jax.grad(loss_ref)(qkv)
+    g_pal = jax.grad(lambda x: (fused_attention_qkv(x) ** 2).sum())(qkv)
+    np.testing.assert_allclose(np.asarray(g_pal), np.asarray(g_ref),
+                               atol=1e-2, rtol=5e-3)

@@ -145,20 +145,32 @@ class Attention(nn.Module):
         hd = d // h
         qkv = _dense(3 * d, ("embed", "qkv_out"), self.qkv_bias,
                      self.dtype, self.param_dtype, "qkv")(x)
-        # head-major (B,H,S,hd) layout: the explicit transpose shows up as
-        # copy ops (~11% of step) but XLA's batched dots are fastest in this
-        # layout — measured 154 ms/step vs 170 ms for the transpose-free
-        # (B,S,H,hd) variant (ops.attention_bshd) on v5e.
-        qkv = qkv.reshape(b, s, 3, h, hd).transpose(2, 0, 3, 1, 4)  # (3,B,H,S,hd)
-        q, k, v = qkv[0], qkv[1], qkv[2]
-        if self.qk_norm:
-            q = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype,
-                             param_dtype=self.param_dtype, name="q_norm")(q)
-            k = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype,
-                             param_dtype=self.param_dtype, name="k_norm")(k)
-        o = multi_head_attention(q, k, v, scale=hd ** -0.5,
-                                 use_pallas=self.use_pallas)
-        o = o.transpose(0, 2, 1, 3).reshape(b, s, d)
+        if self.use_pallas and not self.qk_norm:
+            # Pallas kernel reads the fused qkv tensor in place: no
+            # head-major transposes at all (ops/flash_attention.py)
+            from vision_transformers_torch_xla_tpu.ops.flash_attention import (
+                fused_attention_qkv,
+            )
+
+            o = fused_attention_qkv(qkv.reshape(b, s, 3, h, hd),
+                                    scale=hd ** -0.5)
+        else:
+            # head-major (B,H,S,hd) layout: the explicit transpose shows up
+            # as copy ops (~11% of step) but XLA's batched dots are fastest
+            # in this layout — measured 154 ms/step vs 170 ms for the
+            # transpose-free (B,S,H,hd) einsum variant (ops.attention_bshd)
+            # on v5e.
+            qkv = qkv.reshape(b, s, 3, h, hd).transpose(2, 0, 3, 1, 4)
+            q, k, v = qkv[0], qkv[1], qkv[2]
+            if self.qk_norm:
+                q = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype,
+                                 param_dtype=self.param_dtype, name="q_norm")(q)
+                k = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype,
+                                 param_dtype=self.param_dtype, name="k_norm")(k)
+            o = multi_head_attention(q, k, v, scale=hd ** -0.5,
+                                     use_pallas=False)
+            o = o.transpose(0, 2, 1, 3)
+        o = o.reshape(b, s, d)
         o = _dense(d, ("qkv_out", "embed"), True, self.dtype,
                    self.param_dtype, "proj")(o)
         o = nn.Dropout(self.proj_drop)(o, deterministic=deterministic)

@@ -139,6 +139,139 @@ def _fa_bwd(scale, seq_len, res, do):
 _fused_attention_padded.defvjp(_fa_fwd, _fa_bwd)
 
 
+def _softmax_p(q, k, scale, seq_len):
+    """(H,Sp,D)x(H,Sp,D) -> masked softmax probabilities (H,Sp,Sp), fp32."""
+    s = jax.lax.dot_general(q * scale, k, (((2,), (2,)), ((0,), (0,))),
+                            preferred_element_type=jnp.float32)
+    col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 2)
+    s = jnp.where(col < seq_len, s, _NEG_INF)
+    m = jnp.max(s, axis=-1, keepdims=True)
+    p = jnp.exp(s - m)
+    return p / jnp.sum(p, axis=-1, keepdims=True)
+
+
+def _qkv_fwd_kernel(qkv_ref, o_ref, *, scale: float, seq_len: int, h: int):
+    """Attention straight off the fused qkv tensor, one batch elem/program.
+
+    qkv block: (1, Sp, 3H, D); out block (1, Sp, H, D). Heads are batched
+    inside the kernel; no HBM-level head transposes.
+    """
+    blk = qkv_ref[0].astype(jnp.float32)                     # (Sp, 3H, D)
+    q = blk[:, 0 * h:1 * h, :].transpose(1, 0, 2)            # (H, Sp, D)
+    k = blk[:, 1 * h:2 * h, :].transpose(1, 0, 2)
+    v = blk[:, 2 * h:3 * h, :].transpose(1, 0, 2)
+    p = _softmax_p(q, k, scale, seq_len)
+    o = jax.lax.dot_general(p, v, (((2,), (1,)), ((0,), (0,))),
+                            preferred_element_type=jnp.float32)  # (H, Sp, D)
+    o_ref[0] = o.transpose(1, 0, 2).astype(o_ref.dtype)
+
+
+def _qkv_bwd_kernel(qkv_ref, do_ref, dqkv_ref, *, scale: float, seq_len: int,
+                    h: int):
+    blk = qkv_ref[0].astype(jnp.float32)
+    q = blk[:, 0 * h:1 * h, :].transpose(1, 0, 2)
+    k = blk[:, 1 * h:2 * h, :].transpose(1, 0, 2)
+    v = blk[:, 2 * h:3 * h, :].transpose(1, 0, 2)
+    do = do_ref[0].astype(jnp.float32).transpose(1, 0, 2)    # (H, Sp, D)
+
+    p = _softmax_p(q, k, scale, seq_len)
+    dv = jax.lax.dot_general(p, do, (((1,), (1,)), ((0,), (0,))),
+                             preferred_element_type=jnp.float32)
+    dp = jax.lax.dot_general(do, v, (((2,), (2,)), ((0,), (0,))),
+                             preferred_element_type=jnp.float32)
+    ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
+    dq = jax.lax.dot_general(ds, k, (((2,), (1,)), ((0,), (0,))),
+                             preferred_element_type=jnp.float32) * scale
+    dk = jax.lax.dot_general(ds, q, (((1,), (1,)), ((0,), (0,))),
+                             preferred_element_type=jnp.float32) * scale
+    out = jnp.concatenate([dq, dk, dv], axis=0)              # (3H, Sp, D)
+    dqkv_ref[0] = out.transpose(1, 0, 2).astype(dqkv_ref.dtype)
+
+
+def _qkv_specs(sp: int, h: int, d: int):
+    qkv_spec = pl.BlockSpec((1, sp, 3 * h, d), lambda b: (b, 0, 0, 0),
+                            memory_space=pltpu.VMEM)
+    o_spec = pl.BlockSpec((1, sp, h, d), lambda b: (b, 0, 0, 0),
+                          memory_space=pltpu.VMEM)
+    return qkv_spec, o_spec
+
+
+def _qkv_fwd_call(qkv, scale, seq_len):
+    b, sp, three_h, d = qkv.shape
+    h = three_h // 3
+    qkv_spec, o_spec = _qkv_specs(sp, h, d)
+    return pl.pallas_call(
+        functools.partial(_qkv_fwd_kernel, scale=scale, seq_len=seq_len, h=h),
+        grid=(b,),
+        in_specs=[qkv_spec],
+        out_specs=o_spec,
+        out_shape=jax.ShapeDtypeStruct((b, sp, h, d), qkv.dtype),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * b * h * sp * sp * d,
+            bytes_accessed=4 * b * h * sp * d * qkv.dtype.itemsize,
+            transcendentals=b * h * sp * sp),
+    )(qkv)
+
+
+def _qkv_bwd_call(qkv, do, scale, seq_len):
+    b, sp, three_h, d = qkv.shape
+    h = three_h // 3
+    qkv_spec, o_spec = _qkv_specs(sp, h, d)
+    return pl.pallas_call(
+        functools.partial(_qkv_bwd_kernel, scale=scale, seq_len=seq_len, h=h),
+        grid=(b,),
+        in_specs=[qkv_spec, o_spec],
+        out_specs=qkv_spec,
+        out_shape=jax.ShapeDtypeStruct(qkv.shape, qkv.dtype),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        cost_estimate=pl.CostEstimate(
+            flops=10 * b * h * sp * sp * d,
+            bytes_accessed=7 * b * h * sp * d * qkv.dtype.itemsize,
+            transcendentals=b * h * sp * sp),
+    )(qkv, do)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2))
+def _fused_attention_qkv_padded(qkv, scale: float, seq_len: int):
+    return _qkv_fwd_call(qkv, scale, seq_len)
+
+
+def _faq_fwd(qkv, scale, seq_len):
+    return _qkv_fwd_call(qkv, scale, seq_len), qkv
+
+
+def _faq_bwd(scale, seq_len, qkv, do):
+    return (_qkv_bwd_call(qkv, do, scale, seq_len),)
+
+
+_fused_attention_qkv_padded.defvjp(_faq_fwd, _faq_bwd)
+
+
+def fused_attention_qkv(qkv: jax.Array, scale: Optional[float] = None) -> jax.Array:
+    """Attention from a fused qkv tensor (B, S, 3, H, D) -> (B, S, H*D).
+
+    One pad copy in, one slice out — no head-major HBM transposes (the
+    in-kernel head transposes are VMEM-local).
+    """
+    b, s, three, h, d = qkv.shape
+    assert three == 3
+    scale = float(scale if scale is not None else d ** -0.5)
+    if s > _MAX_VMEM_SEQ:
+        from vision_transformers_torch_xla_tpu.ops.attention import _reference_attention
+
+        qt = qkv.transpose(2, 0, 3, 1, 4)
+        o = _reference_attention(qt[0], qt[1], qt[2], scale)
+        return o.transpose(0, 2, 1, 3).reshape(b, s, h * d)
+    sp = max(_round_up(s, 128), 128)
+    qkv_m = qkv.reshape(b, s, 3 * h, d)  # pure view: [q_heads, k_heads, v_heads]
+    qkv_p = jnp.pad(qkv_m, ((0, 0), (0, sp - s), (0, 0), (0, 0)))
+    o = _fused_attention_qkv_padded(qkv_p, scale, s)   # (B, Sp, H, D)
+    return o[:, :s].reshape(b, s, h * d)
+
+
 def fused_attention(q: jax.Array, k: jax.Array, v: jax.Array,
                     scale: Optional[float] = None) -> jax.Array:
     """Fused VMEM-resident attention. q,k,v: (B, H, S, D) -> (B, H, S, D)."""
