@@ -116,6 +116,17 @@ def setup(cfg: TrainConfig) -> TrainerContext:
                        platform=cfg.device or None)
     policy = get_policy(cfg.precision)
 
+    data_size = mesh.shape.get("data", 1)
+    if (cfg.batch_size * jax.process_count()) % data_size:
+        raise ValueError(
+            f"global batch {cfg.batch_size * jax.process_count()} must divide "
+            f"the data mesh axis ({data_size}); adjust --batch_size")
+    if cfg.eval_batch_size() % data_size and not cfg.disable_eval:
+        raise ValueError(
+            f"eval batch {cfg.eval_batch_size()} (= batch_size x "
+            f"{cfg.eval_batch_mult}) must divide the data mesh axis "
+            f"({data_size}); adjust --eval_batch_mult")
+
     train_ds, info = build_dataset(cfg, is_train=True)
     val_ds, _ = build_dataset(cfg, is_train=False) if not cfg.disable_eval else (None, None)
     global_batch = cfg.batch_size * jax.process_count()

@@ -27,3 +27,4 @@ import vision_transformers_torch_xla_tpu.models.deit  # noqa: F401,E402
 import vision_transformers_torch_xla_tpu.models.mlp_mixer  # noqa: F401,E402
 import vision_transformers_torch_xla_tpu.models.resnet  # noqa: F401,E402
 import vision_transformers_torch_xla_tpu.models.swin  # noqa: F401,E402
+import vision_transformers_torch_xla_tpu.models.efficientnet  # noqa: F401,E402
