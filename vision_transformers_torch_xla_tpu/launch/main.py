@@ -66,6 +66,7 @@ class TrainerContext:
     rng: jax.Array
     teacher_params: Any = None
     start_epoch: int = 0
+    watchdog: Any = None
 
 
 def _to_global(arr: np.ndarray, mesh, spec: P):
@@ -285,6 +286,8 @@ def train_one_epoch(ctx: TrainerContext, epoch: int,
         ctx.state, metrics = ctx.train_step(ctx.state, images, labels, ctx.rng,
                                             *([ctx.teacher_params] if
                                               ctx.teacher_params is not None else []))
+        if ctx.watchdog is not None:
+            ctx.watchdog.beat()
         if i % cfg.log_freq == 0 or i == n_steps - 1:
             host = {k: float(v) for k, v in metrics.items()}
             logger.update(**host)
@@ -339,6 +342,10 @@ def main(cfg: TrainConfig, max_steps_per_epoch: Optional[int] = None,
         print(f"eval: top-1 {stats['acc1']:.2f}% top-5 {stats['acc5']:.2f}%")
         return stats
 
+    from vision_transformers_torch_xla_tpu.obs.watchdog import StepWatchdog
+
+    watchdog = StepWatchdog(timeout_s=900.0).start()
+    ctx.watchdog = watchdog
     max_accuracy = 0.0
     last_stats: dict = {}
     for epoch in range(ctx.start_epoch, cfg.epochs):
@@ -361,6 +368,7 @@ def main(cfg: TrainConfig, max_steps_per_epoch: Optional[int] = None,
         if "wandb" in ctx.loggers:
             ctx.loggers["wandb"].log(stats)
         last_stats = stats
+    watchdog.stop()
     if ctx.ckpt is not None:
         ctx.ckpt.wait()
         ctx.ckpt.close()

@@ -8,7 +8,7 @@ reference main.py:939-970); at eval the two head outputs are averaged.
 """
 from __future__ import annotations
 
-from typing import Optional
+
 
 import jax
 import jax.numpy as jnp

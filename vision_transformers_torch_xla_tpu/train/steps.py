@@ -18,7 +18,7 @@ import dataclasses
 from typing import Any, Callable, Optional
 
 import jax
-import jax.numpy as jnp
+
 import optax
 
 from vision_transformers_torch_xla_tpu.train.losses import (
