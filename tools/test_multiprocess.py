@@ -87,6 +87,7 @@ def main() -> int:
     # strip the axon sitecustomize: pure-CPU jax in workers
     env["PYTHONPATH"] = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     env["JAX_PLATFORMS"] = "cpu"
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"  # 4 global
     env.pop("PALLAS_AXON_POOL_IPS", None)
     procs = [subprocess.Popen(
         [sys.executable, os.path.abspath(__file__), "--worker", str(i)],

@@ -28,6 +28,16 @@ import numpy as np
 
 IMAGENET_DEFAULT_MEAN = (0.485, 0.456, 0.406)
 IMAGENET_DEFAULT_STD = (0.229, 0.224, 0.225)
+# --imagenet_default_mean_and_std false -> inception-style normalization
+# (parity with the reference/timm flag, reference main.py:246)
+IMAGENET_INCEPTION_MEAN = (0.5, 0.5, 0.5)
+IMAGENET_INCEPTION_STD = (0.5, 0.5, 0.5)
+
+
+def norm_constants(cfg):
+    if getattr(cfg, "imagenet_default_mean_and_std", True):
+        return IMAGENET_DEFAULT_MEAN, IMAGENET_DEFAULT_STD
+    return IMAGENET_INCEPTION_MEAN, IMAGENET_INCEPTION_STD
 
 # default pp strings — parity with the reference's defaults
 # (reference main.py:289-295: pp_train / pp_eval flags)
@@ -56,13 +66,15 @@ class SyntheticDataset:
 
     def __init__(self, batch_size: int, image_size: int = 224,
                  num_classes: int = 1000, num_examples: int = 1_281_167,
-                 seed: int = 0, normalize: bool = True):
+                 seed: int = 0, normalize: bool = True,
+                 mean=IMAGENET_DEFAULT_MEAN, std=IMAGENET_DEFAULT_STD):
         self.batch_size = batch_size
         self.image_size = image_size
         self.num_classes = num_classes
         self.info = DatasetInfo(num_examples, num_classes)
         self._seed = seed
         self._normalize = normalize
+        self._mean, self._std = mean, std
 
     def __iter__(self) -> Iterator[Tuple[np.ndarray, np.ndarray]]:
         from vision_transformers_torch_xla_tpu.data import native
@@ -73,7 +85,8 @@ class SyntheticDataset:
             step = 0
             while True:
                 yield native.synth_batch(self.batch_size, self.image_size,
-                                         self.num_classes, seed + step)
+                                         self.num_classes, seed + step,
+                                         mean=self._mean, std=self._std)
                 step += 1
         rng = np.random.default_rng(self._seed + jax.process_index())
         s = self.image_size
@@ -88,8 +101,8 @@ class SyntheticDataset:
             images += rng.normal(0, 0.05, images.shape).astype(np.float32)
             images = images.astype(np.float32)
             if self._normalize:
-                images = (images - np.asarray(IMAGENET_DEFAULT_MEAN, np.float32)) / \
-                    np.asarray(IMAGENET_DEFAULT_STD, np.float32)
+                images = (images - np.asarray(self._mean, np.float32)) / \
+                    np.asarray(self._std, np.float32)
             yield images.astype(np.float32), labels.astype(np.int32)
 
 
@@ -221,10 +234,11 @@ def build_dataset(cfg, is_train: bool):
     datasets.py:325-389 build_dataset returning (dataset, nb_classes)."""
     batch = cfg.batch_size if is_train else cfg.eval_batch_size()
     if cfg.data_set == "synthetic":
+        mean, std = norm_constants(cfg)
         ds = SyntheticDataset(
             batch, cfg.input_size, cfg.nb_classes,
             cfg.synthetic_train_size if is_train else cfg.synthetic_val_size,
-            seed=cfg.seed, normalize=True)
+            seed=cfg.seed, normalize=True, mean=mean, std=std)
         return ds, ds.info
     if cfg.data_set == "tfds":
         pp = (cfg.pp_train or DEFAULT_PP_TRAIN) if is_train else \
