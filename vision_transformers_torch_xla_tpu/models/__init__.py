@@ -28,3 +28,4 @@ import vision_transformers_torch_xla_tpu.models.mlp_mixer  # noqa: F401,E402
 import vision_transformers_torch_xla_tpu.models.resnet  # noqa: F401,E402
 import vision_transformers_torch_xla_tpu.models.swin  # noqa: F401,E402
 import vision_transformers_torch_xla_tpu.models.efficientnet  # noqa: F401,E402
+import vision_transformers_torch_xla_tpu.models.vit_hybrid  # noqa: F401,E402
