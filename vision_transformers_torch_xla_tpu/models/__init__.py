@@ -29,3 +29,5 @@ import vision_transformers_torch_xla_tpu.models.resnet  # noqa: F401,E402
 import vision_transformers_torch_xla_tpu.models.swin  # noqa: F401,E402
 import vision_transformers_torch_xla_tpu.models.efficientnet  # noqa: F401,E402
 import vision_transformers_torch_xla_tpu.models.vit_hybrid  # noqa: F401,E402
+import vision_transformers_torch_xla_tpu.models.cait  # noqa: F401,E402
+import vision_transformers_torch_xla_tpu.models.pvt_v2  # noqa: F401,E402

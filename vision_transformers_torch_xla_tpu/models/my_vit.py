@@ -19,11 +19,13 @@ from vision_transformers_torch_xla_tpu.models.vit import VisionTransformer
 __all__ = []
 
 
-def _my_vit(embed_dim, depth, num_heads, **kwargs):
+def _my_vit(_dim, _depth, _heads, **kwargs):
     kwargs.pop("pretrained_tag", None)
-    return VisionTransformer(
-        patch_size=16, embed_dim=embed_dim, depth=depth, num_heads=num_heads,
-        **kwargs)
+    kwargs.setdefault("patch_size", 16)
+    kwargs.setdefault("embed_dim", _dim)
+    kwargs.setdefault("depth", _depth)
+    kwargs.setdefault("num_heads", _heads)
+    return VisionTransformer(**kwargs)
 
 
 @register_model

@@ -14,11 +14,14 @@ from vision_transformers_torch_xla_tpu.models.vit import VisionTransformer
 __all__ = []
 
 
-def _vit(patch_size, embed_dim, depth, num_heads, img_size=224, **kwargs):
+def _vit(_patch, _dim, _depth, _heads, img_size=224, **kwargs):
     kwargs.pop("pretrained_tag", None)
-    return VisionTransformer(
-        img_size=img_size, patch_size=patch_size, embed_dim=embed_dim,
-        depth=depth, num_heads=num_heads, **kwargs)
+    kwargs.setdefault("img_size", img_size)
+    kwargs.setdefault("patch_size", _patch)
+    kwargs.setdefault("embed_dim", _dim)
+    kwargs.setdefault("depth", _depth)
+    kwargs.setdefault("num_heads", _heads)
+    return VisionTransformer(**kwargs)
 
 
 # --- patch16 @ 224 (reference vision_transformer.py:2691, 2716, 2772, 2828) ---

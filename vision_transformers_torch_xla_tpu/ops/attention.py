@@ -27,6 +27,23 @@ def _reference_attention(q: jax.Array, k: jax.Array, v: jax.Array,
                       preferred_element_type=jnp.float32).astype(q.dtype)
 
 
+def masked_attention(q: jax.Array, k: jax.Array, v: jax.Array,
+                     mask: jax.Array, scale: Optional[float] = None) -> jax.Array:
+    """Attention with an additive mask broadcastable to (B, H, Q, K).
+
+    Parity with the reference ViT's attn_mask plumb-through
+    (reference vision_transformer.py:992 via maybe_add_mask).
+    """
+    d = q.shape[-1]
+    scale = scale if scale is not None else d ** -0.5
+    s = jnp.einsum("bhqd,bhkd->bhqk", q, k,
+                   preferred_element_type=jnp.float32) * scale
+    s = s + mask.astype(jnp.float32)
+    p = jax.nn.softmax(s, axis=-1)
+    return jnp.einsum("bhqk,bhkd->bhqd", p.astype(v.dtype), v,
+                      preferred_element_type=jnp.float32).astype(q.dtype)
+
+
 def attention_bshd(q: jax.Array, k: jax.Array, v: jax.Array,
                    scale: Optional[float] = None) -> jax.Array:
     """Softmax attention in (B, S, H, D) layout — no head transposes.
