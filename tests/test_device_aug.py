@@ -1,0 +1,81 @@
+"""On-device augmentation tests (data/device_aug.py)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from vision_transformers_torch_xla_tpu.data.device_aug import (
+    DeviceAugConfig,
+    _autocontrast,
+    _brightness,
+    _invert,
+    _posterize,
+    _rotate,
+    _solarize,
+    augment_batch,
+    rand_augment,
+    random_resized_crop,
+)
+
+
+def _img(h=64, w=64, seed=0):
+    return jnp.asarray(np.random.default_rng(seed).random((h, w, 3)),
+                       jnp.float32)
+
+
+def test_rrc_shape_and_range():
+    out = random_resized_crop(jax.random.key(0), _img(100, 80), 32)
+    assert out.shape == (32, 32, 3)
+    assert float(out.min()) >= -1e-3 and float(out.max()) <= 1.0 + 1e-3
+
+
+def test_rrc_full_crop_is_resize():
+    """area=1, ratio=1 crop reproduces a plain resize."""
+    img = _img(64, 64, 1)
+    out = random_resized_crop(jax.random.key(0), img, 64,
+                              area_range=(1.0, 1.0), ratio_range=(1.0, 1.0))
+    np.testing.assert_allclose(np.asarray(out), np.asarray(img), atol=1e-4)
+
+
+def test_photometric_ops():
+    img = _img()
+    assert float(jnp.abs(_invert(img, 0.5) - (1 - img)).max()) < 1e-6
+    np.testing.assert_allclose(np.asarray(_brightness(img, 0.0)),
+                               np.asarray(img), atol=1e-6)
+    sol = _solarize(img, 0.999)  # threshold ~0.001: almost everything inverts
+    mask = np.asarray(img) >= 0.001
+    np.testing.assert_allclose(np.asarray(sol)[mask],
+                               np.asarray(1 - img)[mask], atol=1e-5)
+    post = _posterize(img, 1.0)  # 4 bits
+    assert len(np.unique(np.asarray(post))) <= 16 * 3 + 1
+    ac = _autocontrast(img, 0.0)
+    assert float(ac.min()) < 1e-5 and float(ac.max()) > 1 - 1e-5
+
+
+def test_rotate_zero_is_identity():
+    img = _img()
+    out = _rotate(img, 0.0)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(img), atol=1e-5)
+
+
+def test_rand_augment_jits_and_varies():
+    img = _img()
+    f = jax.jit(lambda k: rand_augment(k, img))
+    a = f(jax.random.key(0))
+    b = f(jax.random.key(1))
+    assert a.shape == img.shape
+    assert not np.allclose(np.asarray(a), np.asarray(b))
+    # deterministic per key
+    np.testing.assert_allclose(np.asarray(a), np.asarray(f(jax.random.key(0))))
+
+
+def test_augment_batch_normalizes():
+    cfg = DeviceAugConfig(out_size=32, randaug_layers=2)
+    images = jnp.asarray(np.random.default_rng(0).random((4, 48, 48, 3)),
+                         jnp.float32)
+    out = jax.jit(lambda k: augment_batch(k, images, cfg))(jax.random.key(0))
+    assert out.shape == (4, 32, 32, 3)
+    # normalized stats: roughly centered
+    assert abs(float(out.mean())) < 2.0
+    # per-image randomness differs
+    assert not np.allclose(np.asarray(out[0]), np.asarray(out[1]))

@@ -77,6 +77,9 @@ class TrainConfig:
     remode: str = "pixel"
     recount: int = 1
 
+    # --- on-device augmentation (new; SURVEY §7 stretch goal) ---
+    device_augment: bool = False         # RRC/flip/RandAugment inside the step
+
     # --- mixup / cutmix (main.py:214-230) ---
     mixup: float = 0.8
     cutmix: float = 1.0

@@ -1,0 +1,196 @@
+"""Device-resident augmentation: jitted RandomResizedCrop + RandAugment.
+
+The SURVEY stretch goal (§7 'Fused on-device RandomResizedCrop/RandAugment
+as XLA ops is the stretch goal'): the host only decodes JPEGs to raw [0,1]
+pixels; cropping, flipping, RandAugment, and normalization all run inside
+the jitted train step on TPU, fused by XLA into the surrounding graph. This
+removes the per-sample Python/TF augmentation cost entirely (and the
+reference's dead `--aa` flag becomes real, on-device).
+
+All ops are static-shape and vmapped over the batch:
+  * random_resized_crop: one `jax.image.scale_and_translate` per image
+    (crop + resize as a single affine resample);
+  * geometric RandAugment ops (rotate/shear/translate) via bilinear
+    `map_coordinates`;
+  * photometric ops (brightness/contrast/color/posterize/solarize/invert/
+    autocontrast/sharpness) as vector ops.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+# ---------------------------------------------------------------------------
+# RandomResizedCrop (inception crop semantics, on device)
+# ---------------------------------------------------------------------------
+def random_resized_crop(rng: jax.Array, image: jax.Array, out_size: int,
+                        area_range=(0.05, 1.0),
+                        ratio_range=(3 / 4, 4 / 3)) -> jax.Array:
+    """image (H, W, C) float -> (out, out, C); crop+resize in ONE resample."""
+    h, w = image.shape[0], image.shape[1]
+    k_area, k_ratio, k_x, k_y = jax.random.split(rng, 4)
+    area = jax.random.uniform(k_area, (), minval=area_range[0],
+                              maxval=area_range[1]) * (h * w)
+    log_r = jax.random.uniform(k_ratio, (), minval=jnp.log(ratio_range[0]),
+                               maxval=jnp.log(ratio_range[1]))
+    ratio = jnp.exp(log_r)
+    cw = jnp.sqrt(area * ratio)
+    ch = jnp.sqrt(area / ratio)
+    cw = jnp.clip(cw, 8.0, w)
+    ch = jnp.clip(ch, 8.0, h)
+    x0 = jax.random.uniform(k_x, (), minval=0.0, maxval=1.0) * (w - cw)
+    y0 = jax.random.uniform(k_y, (), minval=0.0, maxval=1.0) * (h - ch)
+    scale = jnp.stack([out_size / ch, out_size / cw])
+    translation = jnp.stack([-y0 * out_size / ch, -x0 * out_size / cw])
+    return jax.image.scale_and_translate(
+        image, (out_size, out_size, image.shape[2]), (0, 1),
+        scale, translation, method="bilinear")
+
+
+# ---------------------------------------------------------------------------
+# RandAugment ops (images in [0, 1])
+# ---------------------------------------------------------------------------
+def _affine_sample(img, mat, offset):
+    """Bilinear resample with 2x2 matrix + offset around the image center."""
+    h, w, c = img.shape
+    yy, xx = jnp.meshgrid(jnp.arange(h, dtype=jnp.float32),
+                          jnp.arange(w, dtype=jnp.float32), indexing="ij")
+    cy, cx = (h - 1) / 2.0, (w - 1) / 2.0
+    ys = yy - cy
+    xs = xx - cx
+    src_y = mat[0, 0] * ys + mat[0, 1] * xs + cy + offset[0]
+    src_x = mat[1, 0] * ys + mat[1, 1] * xs + cx + offset[1]
+    coords = jnp.stack([src_y, src_x])
+
+    def one_channel(ch):
+        return jax.scipy.ndimage.map_coordinates(ch, coords, order=1, mode="constant")
+
+    return jnp.stack([one_channel(img[..., i]) for i in range(c)], axis=-1)
+
+
+def _rotate(img, mag):
+    a = mag * jnp.pi / 6  # up to 30 deg at magnitude 1
+    mat = jnp.array([[jnp.cos(a), -jnp.sin(a)], [jnp.sin(a), jnp.cos(a)]])
+    return _affine_sample(img, mat, jnp.zeros(2))
+
+
+def _shear_x(img, mag):
+    # src_x = x + 0.3*mag*y
+    return _affine_sample(img, jnp.array([[1.0, 0.0], [mag * 0.3, 1.0]]),
+                          jnp.zeros(2))
+
+
+def _shear_y(img, mag):
+    # src_y = y + 0.3*mag*x
+    return _affine_sample(img, jnp.array([[1.0, mag * 0.3], [0.0, 1.0]]),
+                          jnp.zeros(2))
+
+
+def _translate_x(img, mag):
+    return _affine_sample(img, jnp.eye(2),
+                          jnp.array([0.0, mag * 0.3 * img.shape[1]]))
+
+
+def _translate_y(img, mag):
+    return _affine_sample(img, jnp.eye(2),
+                          jnp.array([mag * 0.3 * img.shape[0], 0.0]))
+
+
+def _brightness(img, mag):
+    return jnp.clip(img * (1.0 + mag * 0.9), 0.0, 1.0)
+
+
+def _contrast(img, mag):
+    mean = img.mean(axis=(0, 1), keepdims=True)
+    return jnp.clip((img - mean) * (1.0 + mag * 0.9) + mean, 0.0, 1.0)
+
+
+def _color(img, mag):
+    grey = img.mean(axis=-1, keepdims=True)
+    return jnp.clip(grey + (img - grey) * (1.0 + mag * 0.9), 0.0, 1.0)
+
+
+def _posterize(img, mag):
+    bits = (8 - jnp.round(jnp.abs(mag) * 4)).astype(jnp.int32)
+    levels = 2.0 ** bits.astype(jnp.float32)
+    return jnp.floor(img * levels) / levels
+
+
+def _solarize(img, mag):
+    thresh = 1.0 - jnp.abs(mag)
+    return jnp.where(img >= thresh, 1.0 - img, img)
+
+
+def _invert(img, mag):
+    return 1.0 - img
+
+
+def _autocontrast(img, mag):
+    lo = img.min(axis=(0, 1), keepdims=True)
+    hi = img.max(axis=(0, 1), keepdims=True)
+    return (img - lo) / jnp.maximum(hi - lo, 1e-5)
+
+
+def _sharpness(img, mag):
+    k = jnp.asarray([[1, 1, 1], [1, 5, 1], [1, 1, 1]], jnp.float32) / 13.0
+    blurred = jax.vmap(
+        lambda ch: jax.scipy.signal.convolve2d(ch, k, mode="same"),
+        in_axes=-1, out_axes=-1)(img)
+    return jnp.clip(img + (img - blurred) * mag * 0.9, 0.0, 1.0)
+
+
+_RA_OPS = (_rotate, _shear_x, _shear_y, _translate_x, _translate_y,
+           _brightness, _contrast, _color, _posterize, _solarize,
+           _invert, _autocontrast, _sharpness)
+
+
+def rand_augment(rng: jax.Array, image: jax.Array, num_layers: int = 2,
+                 magnitude: float = 9.0, mag_std: float = 0.5) -> jax.Array:
+    """timm-style 'rand-mN-mstdS' on device. image (H, W, C) in [0, 1]."""
+    for layer in range(num_layers):
+        k_op, k_mag, k_sign, rng = jax.random.split(rng, 4)
+        op_idx = jax.random.randint(k_op, (), 0, len(_RA_OPS))
+        mag = (magnitude + jax.random.normal(k_mag) * mag_std) / 30.0
+        mag = jnp.clip(mag, 0.0, 1.0) * jnp.where(
+            jax.random.bernoulli(k_sign), 1.0, -1.0)
+        branches = [lambda im, f=f: f(im, mag) for f in _RA_OPS]
+        image = jax.lax.switch(op_idx, branches, image)
+    return image
+
+
+@dataclasses.dataclass(frozen=True)
+class DeviceAugConfig:
+    out_size: int = 224
+    use_rrc: bool = True                 # random resized crop
+    use_flip: bool = True
+    randaug_layers: int = 2              # 0 disables RandAugment
+    randaug_magnitude: float = 9.0
+    mean: Tuple[float, float, float] = (0.485, 0.456, 0.406)
+    std: Tuple[float, float, float] = (0.229, 0.224, 0.225)
+
+
+def augment_batch(rng: jax.Array, images: jax.Array,
+                  cfg: DeviceAugConfig) -> jax.Array:
+    """Raw [0,1] NHWC batch -> augmented + normalized batch, all on device."""
+    b = images.shape[0]
+    keys = jax.random.split(rng, b)
+
+    def per_image(key, img):
+        k_crop, k_flip, k_ra = jax.random.split(key, 3)
+        img = img.astype(jnp.float32)
+        if cfg.use_rrc:
+            img = random_resized_crop(k_crop, img, cfg.out_size)
+        if cfg.use_flip:
+            img = jnp.where(jax.random.bernoulli(k_flip), img[:, ::-1], img)
+        if cfg.randaug_layers > 0:
+            img = rand_augment(k_ra, img, cfg.randaug_layers,
+                               cfg.randaug_magnitude)
+        mean = jnp.asarray(cfg.mean, jnp.float32)
+        std = jnp.asarray(cfg.std, jnp.float32)
+        return (img - mean) / std
+
+    return jax.vmap(per_image)(keys, images)

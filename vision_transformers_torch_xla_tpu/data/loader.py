@@ -35,6 +35,10 @@ IMAGENET_INCEPTION_STD = (0.5, 0.5, 0.5)
 
 
 def norm_constants(cfg):
+    if getattr(cfg, "device_augment", False):
+        # raw [0,1] pixels to device; normalization happens inside the
+        # jitted step (data/device_aug.py)
+        return (0.0, 0.0, 0.0), (1.0, 1.0, 1.0)
     if getattr(cfg, "imagenet_default_mean_and_std", True):
         return IMAGENET_DEFAULT_MEAN, IMAGENET_DEFAULT_STD
     return IMAGENET_INCEPTION_MEAN, IMAGENET_INCEPTION_STD

@@ -213,7 +213,20 @@ def setup(cfg: TrainConfig) -> TrainerContext:
         mixup_alpha=cfg.mixup, cutmix_alpha=cfg.cutmix, prob=cfg.mixup_prob,
         switch_prob=cfg.mixup_switch_prob, label_smoothing=cfg.smoothing,
         num_classes=cfg.nb_classes)
+    device_aug = None
+    if cfg.device_augment:
+        from vision_transformers_torch_xla_tpu.data.device_aug import DeviceAugConfig
+        from vision_transformers_torch_xla_tpu.data.loader import (
+            IMAGENET_DEFAULT_MEAN,
+            IMAGENET_DEFAULT_STD,
+        )
+
+        device_aug = DeviceAugConfig(
+            out_size=cfg.input_size,
+            randaug_layers=2 if cfg.aa.startswith("rand") else 0,
+            mean=IMAGENET_DEFAULT_MEAN, std=IMAGENET_DEFAULT_STD)
     step_cfg = StepConfig(
+        device_aug=device_aug,
         mixup=mix, label_smoothing=cfg.smoothing, num_classes=cfg.nb_classes,
         ema_decay=cfg.model_ema_decay if cfg.model_ema else None,
         kd_alpha=cfg.kd_alpha, kd_temperature=cfg.kd_temperature,

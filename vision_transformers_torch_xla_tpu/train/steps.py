@@ -40,6 +40,8 @@ class StepConfig:
     kd_alpha: float = 0.5                   # used when teacher_apply is given
     kd_temperature: float = 4.0
     lr_schedule: Optional[Callable] = None  # step -> lr, for metrics only
+    device_aug: Optional[Any] = None        # DeviceAugConfig: on-device RRC/
+    # flip/RandAugment/normalize; images then arrive raw in [0,1]
 
 
 def make_train_step(model_apply: Callable, tx: optax.GradientTransformation,
@@ -58,7 +60,13 @@ def make_train_step(model_apply: Callable, tx: optax.GradientTransformation,
     def train_step(state: TrainState, images: jax.Array, labels: jax.Array,
                    rng: jax.Array, teacher_params: Any = None):
         step_rng = jax.random.fold_in(rng, state.step)
-        mix_rng, dropout_rng, droppath_rng = jax.random.split(step_rng, 3)
+        mix_rng, dropout_rng, droppath_rng, aug_rng = \
+            jax.random.split(step_rng, 4)
+
+        if cfg.device_aug is not None:
+            from vision_transformers_torch_xla_tpu.data.device_aug import augment_batch
+
+            images = augment_batch(aug_rng, images, cfg.device_aug)
 
         if cfg.mixup.enabled:
             images, targets = mixup_cutmix(mix_rng, images, labels, cfg.mixup)
