@@ -162,6 +162,29 @@ def rand_augment(rng: jax.Array, image: jax.Array, num_layers: int = 2,
     return image
 
 
+def parse_aa_spec(spec: str):
+    """Parse a timm AutoAugment spec like 'rand-m9-mstd0.5-inc1' into
+    (num_layers, magnitude, mag_std). Parity with the reference's --aa flag
+    surface (reference main.py:198) — which was dead there.
+
+    Returns None for empty/'none' specs.
+    """
+    if not spec or spec in ("none", "None"):
+        return None
+    if not spec.startswith("rand"):
+        raise ValueError(f"only RandAugment ('rand-...') specs supported, got {spec!r}")
+    layers, mag, mstd = 2, 9.0, 0.5
+    for part in spec.split("-")[1:]:
+        if part.startswith("mstd"):
+            mstd = float(part[4:])
+        elif part.startswith("m"):
+            mag = float(part[1:])
+        elif part.startswith("n"):
+            layers = int(part[1:])
+        # 'inc1'/'w0' and friends: accepted, no-op here
+    return layers, mag, mstd
+
+
 @dataclasses.dataclass(frozen=True)
 class DeviceAugConfig:
     out_size: int = 224
@@ -169,6 +192,7 @@ class DeviceAugConfig:
     use_flip: bool = True
     randaug_layers: int = 2              # 0 disables RandAugment
     randaug_magnitude: float = 9.0
+    mag_std: float = 0.5
     mean: Tuple[float, float, float] = (0.485, 0.456, 0.406)
     std: Tuple[float, float, float] = (0.229, 0.224, 0.225)
 
@@ -188,7 +212,7 @@ def augment_batch(rng: jax.Array, images: jax.Array,
             img = jnp.where(jax.random.bernoulli(k_flip), img[:, ::-1], img)
         if cfg.randaug_layers > 0:
             img = rand_augment(k_ra, img, cfg.randaug_layers,
-                               cfg.randaug_magnitude)
+                               cfg.randaug_magnitude, cfg.mag_std)
         mean = jnp.asarray(cfg.mean, jnp.float32)
         std = jnp.asarray(cfg.std, jnp.float32)
         return (img - mean) / std

@@ -215,15 +215,20 @@ def setup(cfg: TrainConfig) -> TrainerContext:
         num_classes=cfg.nb_classes)
     device_aug = None
     if cfg.device_augment:
-        from vision_transformers_torch_xla_tpu.data.device_aug import DeviceAugConfig
+        from vision_transformers_torch_xla_tpu.data.device_aug import (
+            DeviceAugConfig,
+            parse_aa_spec,
+        )
         from vision_transformers_torch_xla_tpu.data.loader import (
             IMAGENET_DEFAULT_MEAN,
             IMAGENET_DEFAULT_STD,
         )
 
+        aa = parse_aa_spec(cfg.aa)
+        layers, mag, mstd = aa if aa else (0, 0.0, 0.0)
         device_aug = DeviceAugConfig(
-            out_size=cfg.input_size,
-            randaug_layers=2 if cfg.aa.startswith("rand") else 0,
+            out_size=cfg.input_size, randaug_layers=layers,
+            randaug_magnitude=mag, mag_std=mstd,
             mean=IMAGENET_DEFAULT_MEAN, std=IMAGENET_DEFAULT_STD)
     step_cfg = StepConfig(
         device_aug=device_aug,
