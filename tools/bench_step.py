@@ -48,3 +48,5 @@ float(m["loss"])
 dt = (time.perf_counter()-t0)/args.iters
 print(f"{args.model} b{args.batch} scan={args.scan} remat={args.remat} pallas={args.pallas}: "
       f"setup+compile {t_compile:.0f}s, {dt*1e3:.1f} ms/step, {args.batch/dt:.0f} img/s", flush=True)
+
+# note: --device-aug variant lives in tools/bench_device_aug.py

@@ -150,7 +150,12 @@ _RA_OPS = (_rotate, _shear_x, _shear_y, _translate_x, _translate_y,
 
 def rand_augment(rng: jax.Array, image: jax.Array, num_layers: int = 2,
                  magnitude: float = 9.0, mag_std: float = 0.5) -> jax.Array:
-    """timm-style 'rand-mN-mstdS' on device. image (H, W, C) in [0, 1]."""
+    """timm-style 'rand-mN-mstdS' on device. image (H, W, C) in [0, 1].
+
+    NOTE: per-image use under vmap is SLOW — vmapped lax.switch executes
+    every branch (measured 11 s/step for ViT-B b128). Batched training goes
+    through `rand_augment_batch` below instead.
+    """
     for layer in range(num_layers):
         k_op, k_mag, k_sign, rng = jax.random.split(rng, 4)
         op_idx = jax.random.randint(k_op, (), 0, len(_RA_OPS))
@@ -160,6 +165,31 @@ def rand_augment(rng: jax.Array, image: jax.Array, num_layers: int = 2,
         branches = [lambda im, f=f: f(im, mag) for f in _RA_OPS]
         image = jax.lax.switch(op_idx, branches, image)
     return image
+
+
+def rand_augment_batch(rng: jax.Array, images: jax.Array,
+                       num_layers: int = 2, magnitude: float = 9.0,
+                       mag_std: float = 0.5) -> jax.Array:
+    """RandAugment with batch-level op selection.
+
+    One (op, magnitude) draw per layer per BATCH so lax.switch stays real
+    control flow (XLA executes exactly one branch at runtime). Trades
+    per-image op diversity for a ~1000x step-cost reduction; per-image
+    diversity still comes from RRC/flip and the per-batch re-draw each step.
+    """
+    def batched(f):
+        return lambda ims, mag: jax.vmap(lambda im: f(im, mag))(ims)
+
+    ops = [batched(f) for f in _RA_OPS]
+    for layer in range(num_layers):
+        k_op, k_mag, k_sign, rng = jax.random.split(rng, 4)
+        op_idx = jax.random.randint(k_op, (), 0, len(ops))
+        mag = (magnitude + jax.random.normal(k_mag) * mag_std) / 30.0
+        mag = jnp.clip(mag, 0.0, 1.0) * jnp.where(
+            jax.random.bernoulli(k_sign), 1.0, -1.0)
+        branches = [lambda ims, f=f: f(ims, mag) for f in ops]
+        images = jax.lax.switch(op_idx, branches, images)
+    return images
 
 
 def parse_aa_spec(spec: str):
@@ -199,22 +229,28 @@ class DeviceAugConfig:
 
 def augment_batch(rng: jax.Array, images: jax.Array,
                   cfg: DeviceAugConfig) -> jax.Array:
-    """Raw [0,1] NHWC batch -> augmented + normalized batch, all on device."""
+    """Raw [0,1] NHWC batch -> augmented + normalized batch, all on device.
+
+    RRC + flip are per-image (vmapped, cheap); RandAugment op selection is
+    per-batch (see rand_augment_batch).
+    """
     b = images.shape[0]
-    keys = jax.random.split(rng, b)
+    k_batch, k_ra = jax.random.split(rng)
+    keys = jax.random.split(k_batch, b)
 
     def per_image(key, img):
-        k_crop, k_flip, k_ra = jax.random.split(key, 3)
+        k_crop, k_flip = jax.random.split(key)
         img = img.astype(jnp.float32)
         if cfg.use_rrc:
             img = random_resized_crop(k_crop, img, cfg.out_size)
         if cfg.use_flip:
             img = jnp.where(jax.random.bernoulli(k_flip), img[:, ::-1], img)
-        if cfg.randaug_layers > 0:
-            img = rand_augment(k_ra, img, cfg.randaug_layers,
-                               cfg.randaug_magnitude, cfg.mag_std)
-        mean = jnp.asarray(cfg.mean, jnp.float32)
-        std = jnp.asarray(cfg.std, jnp.float32)
-        return (img - mean) / std
+        return img
 
-    return jax.vmap(per_image)(keys, images)
+    images = jax.vmap(per_image)(keys, images)
+    if cfg.randaug_layers > 0:
+        images = rand_augment_batch(k_ra, images, cfg.randaug_layers,
+                                    cfg.randaug_magnitude, cfg.mag_std)
+    mean = jnp.asarray(cfg.mean, jnp.float32)
+    std = jnp.asarray(cfg.std, jnp.float32)
+    return (images - mean) / std
