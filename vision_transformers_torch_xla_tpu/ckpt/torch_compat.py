@@ -37,6 +37,11 @@ def convert_vit_state_dict(sd: Dict[str, Any]) -> Dict[str, Any]:
         w = _t(w)
         if name == "cls_token":
             put(("cls_token",), w)
+        elif name == "dist_token":
+            put(("dist_token",), w)  # DeiT distilled (reference deit.py:28)
+        elif m := re.match(r"head_dist\.(weight|bias)", name):
+            put(("head_dist", "kernel" if m.group(1) == "weight" else "bias"),
+                w.T if m.group(1) == "weight" else w)
         elif name == "reg_token":
             put(("reg_token",), w)
         elif name == "pos_embed":

@@ -199,10 +199,57 @@ def build_argparser() -> argparse.ArgumentParser:
     return p
 
 
+# Reference flags that don't exist here but are accepted for script
+# compatibility (reference main.py:144-352). Mapped or warned-and-ignored.
+_COMPAT_FLAGS = {
+    # flag -> (action, detail)
+    "--tpu": ("ignore", "JAX auto-selects the TPU backend"),
+    "--use_amp": ("map_bool", "precision"),          # true -> bf16 (default)
+    "--eval": ("map_true", "eval_only"),
+    "--dist_eval": ("ignore", "eval is always sharded over the data axis"),
+    "--pin_mem": ("ignore", "no host pinned-memory staging needed"),
+    "--world_size": ("ignore", "topology comes from jax.distributed"),
+    "--local_rank": ("ignore", "topology comes from jax.distributed"),
+    "--rank": ("ignore", "topology comes from jax.distributed"),
+    "--dist_url": ("ignore", "coordinator configured via env"),
+    "--dist_on_itp": ("ignore", "not applicable"),
+    "--model_ema_force_cpu": ("ignore", "EMA lives on device as a PyTree"),
+}
+
+
 def config_from_args(argv=None) -> TrainConfig:
-    args = build_argparser().parse_args(argv)
+    import sys
+    import warnings
+
+    argv = list(sys.argv[1:] if argv is None else argv)
+    # strip/translate reference-compat flags before the real parse
+    cleaned = []
+    i = 0
+    eval_only = False
+    while i < len(argv):
+        arg = argv[i]
+        base = arg.split("=")[0]
+        if base in _COMPAT_FLAGS:
+            action, detail = _COMPAT_FLAGS[base]
+            consumed = 1
+            if "=" not in arg and i + 1 < len(argv) and \
+                    not argv[i + 1].startswith("--"):
+                consumed = 2
+            if action == "map_true":
+                eval_only = True
+            elif action != "map_bool":
+                warnings.warn(f"{base} accepted for reference-script "
+                              f"compatibility but ignored: {detail}")
+            i += consumed
+            continue
+        cleaned.append(arg)
+        i += 1
+
+    args = build_argparser().parse_args(cleaned)
     kw = vars(args)
     for tup_field in ("opt_betas", "cutmix_minmax"):
         if kw.get(tup_field) is not None:
             kw[tup_field] = tuple(kw[tup_field])
+    if eval_only:
+        kw["eval_only"] = True
     return TrainConfig(**kw)
