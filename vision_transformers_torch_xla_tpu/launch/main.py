@@ -67,6 +67,7 @@ class TrainerContext:
     teacher_params: Any = None
     start_epoch: int = 0
     watchdog: Any = None
+    eval_batches: Optional[int] = None
 
 
 def _to_global(arr: np.ndarray, mesh, spec: P):
@@ -129,9 +130,16 @@ def setup(cfg: TrainConfig) -> TrainerContext:
             f"({data_size}); adjust --eval_batch_mult")
 
     train_ds, info = build_dataset(cfg, is_train=True)
-    val_ds, _ = build_dataset(cfg, is_train=False) if not cfg.disable_eval else (None, None)
+    val_ds, val_info = build_dataset(cfg, is_train=False) \
+        if not cfg.disable_eval else (None, None)
     global_batch = cfg.batch_size * jax.process_count()
     steps_per_epoch = max(info.num_examples // global_batch, 1)
+    # bound eval for infinite iterators (synthetic) and parity with the
+    # reference's len(dataset_val)-driven loop (reference engine.py:339)
+    eval_batches = None
+    if val_info is not None:
+        eval_batches = max(val_info.num_examples //
+                           (cfg.eval_batch_size() * jax.process_count()), 1)
 
     model = create_model(
         cfg.model, num_classes=cfg.nb_classes, img_size=cfg.input_size,
@@ -263,7 +271,7 @@ def setup(cfg: TrainConfig) -> TrainerContext:
         eval_step=eval_step, train_ds=train_ds, val_ds=val_ds,
         steps_per_epoch=steps_per_epoch, loggers=build_loggers(cfg), ckpt=ckpt,
         rng=jax.random.key(cfg.seed), teacher_params=teacher_params,
-        start_epoch=start_epoch)
+        start_epoch=start_epoch, eval_batches=eval_batches)
 
 
 def train_one_epoch(ctx: TrainerContext, epoch: int,
@@ -326,6 +334,8 @@ def evaluate(ctx: TrainerContext, use_ema: bool = False,
     """Eval pass: top-1/top-5/loss summed on device, reduced at the end
     (reference engine.py:339-430)."""
     params = ctx.state.ema_params if use_ema else ctx.state.params
+    if max_batches is None:
+        max_batches = ctx.eval_batches
     totals = {"top1": 0.0, "top5": 0.0, "count": 0.0, "loss_sum": 0.0}
     for bi, (images, labels) in enumerate(iter(ctx.val_ds)):
         if max_batches is not None and bi >= max_batches:
