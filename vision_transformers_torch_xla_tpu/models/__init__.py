@@ -34,3 +34,4 @@ import vision_transformers_torch_xla_tpu.models.pvt_v2  # noqa: F401,E402
 import vision_transformers_torch_xla_tpu.models.beit  # noqa: F401,E402
 import vision_transformers_torch_xla_tpu.models.regnet  # noqa: F401,E402
 import vision_transformers_torch_xla_tpu.models.xcit  # noqa: F401,E402
+import vision_transformers_torch_xla_tpu.models.maxvit  # noqa: F401,E402
