@@ -12,6 +12,15 @@ FAMILIES = [
     ("mixer_s32_224", dict(img_size=32), 32),
     ("deit_tiny_patch16_224", dict(img_size=32), 32),
     ("efficientnet_b0", dict(), 64),
+    ("cait_xxs24_224", dict(img_size=32, embed_dim=64, depth=1,
+                            depth_token_only=1, num_heads=2), 32),
+    ("pvt_v2_b0", dict(depths=(1, 1, 1, 1)), 64),
+    ("beit_base_patch16_224", dict(img_size=32, embed_dim=64, depth=1,
+                                   num_heads=2), 32),
+    ("xcit_nano_12_p16_224", dict(img_size=32, embed_dim=64, depth=1,
+                                  cls_attn_layers=1, num_heads=2), 32),
+    ("regnety_004", dict(depth=6), 64),
+    ("maxvit_tiny_224", dict(depths=(1, 1), dims=(32, 64), stem_dim=16), 56),
 ]
 
 
@@ -28,8 +37,9 @@ def test_family_forward(name, kwargs, hw):
 
 def test_zoo_size():
     names = list_models()
-    assert len(names) >= 50
+    assert len(names) >= 65
     # every family the reference CLI can reach plus the majors we add
     for family in ["my_vit", "vit_", "convnext", "deit", "mixer", "resnet",
-                   "swin", "efficientnet"]:
+                   "swin", "efficientnet", "cait", "pvt_v2", "beit",
+                   "regnety", "xcit", "maxvit"]:
         assert any(n.startswith(family) for n in names), family

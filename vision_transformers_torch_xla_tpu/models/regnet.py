@@ -112,11 +112,16 @@ class RegNetY(nn.Module):
                         name="head")(x).astype(jnp.float32)
 
 
-def _regnety(w0, wa, wm, depth, group_w, **kw):
+def _regnety(_w0, _wa, _wm, _depth, _group_w, **kw):
     for k in ("pretrained_tag", "global_pool", "init_values", "remat",
               "scan_blocks", "drop_path_rate"):
         kw.pop(k, None)
-    return RegNetY(w0=w0, wa=wa, wm=wm, depth=depth, group_w=group_w, **kw)
+    kw.setdefault("w0", _w0)
+    kw.setdefault("wa", _wa)
+    kw.setdefault("wm", _wm)
+    kw.setdefault("depth", _depth)
+    kw.setdefault("group_w", _group_w)
+    return RegNetY(**kw)
 
 
 @register_model
