@@ -17,12 +17,14 @@ ap.add_argument("--batch", type=int, default=128)
 ap.add_argument("--iters", type=int, default=15)
 ap.add_argument("--scan", action="store_true")
 ap.add_argument("--remat", action="store_true")
+ap.add_argument("--remat_policy", default="nothing")
 ap.add_argument("--pallas", action="store_true")
 args = ap.parse_args()
 
 t_start = time.time()
 model = create_model(args.model, drop_path_rate=0.1,
                      scan_blocks=args.scan or None, remat=args.remat or None,
+                     remat_policy=args.remat_policy if args.remat else None,
                      use_pallas_attn=args.pallas or None)
 x = jnp.zeros((args.batch, 224, 224, 3), jnp.float32)
 init_fn = jax.jit(lambda k: nn.meta.unbox(model.init(k, x, True))["params"])

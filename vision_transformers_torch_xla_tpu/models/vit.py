@@ -84,6 +84,9 @@ class VisionTransformer(nn.Module):
     pre_norm: bool = False
     use_pallas_attn: bool = False
     remat: bool = False                        # gradient checkpointing
+    remat_policy: str = "nothing"              # 'nothing' | 'dots' — what the
+    # checkpointed blocks may keep ('dots' saves matmul outputs, recomputing
+    # only elementwise ops in the backward pass)
     scan_blocks: bool = False                  # lax.scan over layers: one
     # compiled block instead of `depth` (compile time ~depth x lower; params
     # stacked on a leading layer axis). DropPath rates are uniform at
@@ -136,8 +139,10 @@ class VisionTransformer(nn.Module):
 
         block_cls = Block
         if self.remat:
-            block_cls = nn.remat(Block, static_argnums=(2,),
-                                 policy=jax.checkpoint_policies.nothing_saveable)
+            policy = (jax.checkpoint_policies.dots_with_no_batch_dims_saveable
+                      if self.remat_policy == "dots"
+                      else jax.checkpoint_policies.nothing_saveable)
+            block_cls = nn.remat(Block, static_argnums=(2,), policy=policy)
         block_kwargs = dict(
             num_heads=self.num_heads, mlp_ratio=self.mlp_ratio,
             qkv_bias=self.qkv_bias, qk_norm=self.qk_norm,
