@@ -152,6 +152,10 @@ class TrainConfig:
     limit_steps_per_epoch: int = 0
     limit_eval_batches: int = 0
 
+    # --- profiling (new; reference has no profiler, SURVEY §5) ---
+    profile_steps: int = 0               # capture a device trace of N steps
+    # of the first epoch into <log_dir or output_dir>/profile
+
     def eval_batch_size(self) -> int:
         return int(self.batch_size * self.eval_batch_mult)
 

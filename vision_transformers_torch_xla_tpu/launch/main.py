@@ -302,6 +302,11 @@ def train_one_epoch(ctx: TrainerContext, epoch: int,
             except StopIteration:
                 pass
 
+    profile_at = (2 if cfg.profile_steps > 0 and epoch == ctx.start_epoch and
+                  is_main_process() else -1)  # skip warmup/compile steps
+    profile_dir = os.path.join(cfg.log_dir or cfg.output_dir or ".", "profile")
+    tracing = False
+
     t0 = time.time()
     batches = _staged_batches()
     for i in range(n_steps):
@@ -309,6 +314,13 @@ def train_one_epoch(ctx: TrainerContext, epoch: int,
             images, labels = next(batches)
         except StopIteration:
             break
+        if i == profile_at:
+            jax.profiler.start_trace(profile_dir)
+            tracing = True
+        if tracing and i == profile_at + cfg.profile_steps:
+            jax.profiler.stop_trace()
+            tracing = False
+            print(f"profile trace written to {profile_dir}", flush=True)
         ctx.state, metrics = ctx.train_step(ctx.state, images, labels, ctx.rng,
                                             *([ctx.teacher_params] if
                                               ctx.teacher_params is not None else []))
@@ -325,6 +337,9 @@ def train_one_epoch(ctx: TrainerContext, epoch: int,
                       f"({ips:.0f} img/s)", flush=True)
             if "tb" in ctx.loggers:
                 ctx.loggers["tb"].update(head="train", step=epoch * n_steps + i, **host)
+    if tracing:  # epoch shorter than profile window
+        jax.profiler.stop_trace()
+        print(f"profile trace written to {profile_dir}", flush=True)
     logger.synchronize_between_processes()
     return {f"train_{k}": m.global_avg for k, m in logger.meters.items()}
 

@@ -198,6 +198,10 @@ def create_optimizer(
     use_lookahead = opt.startswith("lookahead_")
     if use_lookahead:
         opt = opt[len("lookahead_"):]
+    if opt.startswith("fused"):
+        # apex 'fused*' variants (reference optim_factory.py:273-285) are a
+        # CUDA concept; XLA fuses optimizer updates anyway
+        opt = opt[len("fused"):]
 
     mask = wd_mask(params, extra_no_decay)
     cfg = {"eps": opt_eps, "momentum": momentum, "weight_decay": weight_decay}
