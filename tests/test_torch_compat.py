@@ -89,3 +89,61 @@ def test_converted_forward_runs(tiny_model_kwargs):
     grafted = jax.tree.map(lambda a, b: jnp.asarray(b, a.dtype), init, loaded)
     y = model.apply({"params": grafted}, x, True)
     assert y.shape == (1, 10) and bool(jnp.isfinite(y).all())
+
+
+def _convnext_like_sd(dims=(8, 16), depths=(1, 1), classes=10):
+    g = torch.Generator().manual_seed(1)
+
+    def t(*shape):
+        return torch.randn(*shape, generator=g)
+
+    sd = {"stem.0.weight": t(dims[0], 3, 4, 4), "stem.0.bias": t(dims[0]),
+          "stem.1.weight": t(dims[0]), "stem.1.bias": t(dims[0]),
+          "head.norm.weight": t(dims[-1]), "head.norm.bias": t(dims[-1]),
+          "head.fc.weight": t(classes, dims[-1]), "head.fc.bias": t(classes)}
+    for s, (dim, depth) in enumerate(zip(dims, depths)):
+        if s > 0:
+            sd.update({
+                f"stages.{s}.downsample.0.weight": t(dims[s - 1]),
+                f"stages.{s}.downsample.0.bias": t(dims[s - 1]),
+                f"stages.{s}.downsample.1.weight": t(dim, dims[s - 1], 2, 2),
+                f"stages.{s}.downsample.1.bias": t(dim)})
+        for b in range(depth):
+            p = f"stages.{s}.blocks.{b}."
+            sd.update({
+                p + "gamma": t(dim),
+                p + "conv_dw.weight": t(dim, 1, 7, 7),
+                p + "conv_dw.bias": t(dim),
+                p + "norm.weight": t(dim), p + "norm.bias": t(dim),
+                p + "mlp.fc1.weight": t(4 * dim, dim), p + "mlp.fc1.bias": t(4 * dim),
+                p + "mlp.fc2.weight": t(dim, 4 * dim), p + "mlp.fc2.bias": t(dim)})
+    return sd
+
+
+def test_convnext_convert_structure_and_forward():
+    from vision_transformers_torch_xla_tpu.ckpt.torch_compat import (
+        convert_convnext_state_dict,
+        detect_architecture,
+    )
+    from vision_transformers_torch_xla_tpu.models.convnext import ConvNeXt
+
+    sd = _convnext_like_sd()
+    assert detect_architecture(sd) == "convnext"
+    loaded = convert_convnext_state_dict(sd)
+
+    model = ConvNeXt(depths=(1, 1), dims=(8, 16), num_classes=10,
+                     dtype=jnp.float32)
+    x = jnp.ones((1, 32, 32, 3), jnp.float32)
+    init = nn.meta.unbox(model.init({"params": jax.random.key(0)}, x, True))["params"]
+
+    flat_i = {jax.tree_util.keystr(p): l.shape for p, l in
+              jax.tree_util.tree_flatten_with_path(init)[0]}
+    flat_l = {jax.tree_util.keystr(p): l.shape for p, l in
+              jax.tree_util.tree_flatten_with_path(loaded)[0]}
+    assert set(flat_l) == set(flat_i)
+    for k in flat_i:
+        assert tuple(flat_l[k]) == tuple(flat_i[k]), k
+
+    grafted = jax.tree.map(lambda a, b: jnp.asarray(b, a.dtype), init, loaded)
+    y = model.apply({"params": grafted}, x, True)
+    assert y.shape == (1, 10) and bool(jnp.isfinite(y).all())

@@ -93,6 +93,81 @@ def convert_vit_state_dict(sd: Dict[str, Any]) -> Dict[str, Any]:
     return params
 
 
+def convert_convnext_state_dict(sd: Dict[str, Any]) -> Dict[str, Any]:
+    """timm ConvNeXt state_dict -> our flax params tree (models/convnext.py).
+
+    timm naming (the reference vendors timm's convnext.py): stem.0/1,
+    stages.S.downsample.0/1, stages.S.blocks.B.{conv_dw,norm,mlp.fc1,
+    mlp.fc2,gamma}, head.norm/head.fc.
+    """
+    params: Dict[str, Any] = {}
+
+    def put(path, value):
+        node = params
+        for k in path[:-1]:
+            node = node.setdefault(k, {})
+        node[path[-1]] = value
+
+    def conv_to_s2d_kernel(w):
+        # OIHW conv == space-to-depth matmul kernel (kh*kw*C_in, C_out)
+        o, i, kh, kw = w.shape
+        return w.transpose(2, 3, 1, 0).reshape(kh * kw * i, o)
+
+    for name, w in sd.items():
+        w = _t(w)
+        if name == "stem.0.weight":
+            put(("stem_proj", "kernel"), conv_to_s2d_kernel(w))
+        elif name == "stem.0.bias":
+            put(("stem_proj", "bias"), w)
+        elif m := re.match(r"stem\.1\.(weight|bias)", name):
+            put(("stem_norm", "scale" if m.group(1) == "weight" else "bias"), w)
+        elif m := re.match(r"stages\.(\d+)\.downsample\.0\.(weight|bias)", name):
+            put((f"downsample_norm_{m.group(1)}",
+                 "scale" if m.group(2) == "weight" else "bias"), w)
+        elif m := re.match(r"stages\.(\d+)\.downsample\.1\.weight", name):
+            put((f"downsample_proj_{m.group(1)}", "kernel"),
+                conv_to_s2d_kernel(w))
+        elif m := re.match(r"stages\.(\d+)\.downsample\.1\.bias", name):
+            put((f"downsample_proj_{m.group(1)}", "bias"), w)
+        elif m := re.match(r"stages\.(\d+)\.blocks\.(\d+)\.(.+)", name):
+            blk = f"stages_{m.group(1)}_blocks_{m.group(2)}"
+            rest = m.group(3)
+            if rest == "gamma":
+                put((blk, "gamma"), w)
+            elif m2 := re.match(r"conv_dw\.(weight|bias)", rest):
+                if m2.group(1) == "weight":
+                    # depthwise OIHW (C,1,7,7) -> HWIO (7,7,1,C)
+                    put((blk, "dwconv", "kernel"), w.transpose(2, 3, 1, 0))
+                else:
+                    put((blk, "dwconv", "bias"), w)
+            elif m2 := re.match(r"norm\.(weight|bias)", rest):
+                put((blk, "norm",
+                     "scale" if m2.group(1) == "weight" else "bias"), w)
+            elif m2 := re.match(r"mlp\.fc(\d)\.(weight|bias)", rest):
+                tgt = f"pwconv{m2.group(1)}"
+                if m2.group(2) == "weight":
+                    put((blk, tgt, "kernel"), w.T)
+                else:
+                    put((blk, tgt, "bias"), w)
+            else:
+                log.warning("unmapped convnext block param %s", name)
+        elif m := re.match(r"head\.norm\.(weight|bias)", name):
+            put(("norm", "scale" if m.group(1) == "weight" else "bias"), w)
+        elif m := re.match(r"head\.fc\.(weight|bias)", name):
+            put(("head", "kernel" if m.group(1) == "weight" else "bias"),
+                w.T if m.group(1) == "weight" else w)
+        else:
+            log.warning("unmapped convnext param %s (shape %s)", name, w.shape)
+    return params
+
+
+def detect_architecture(sd: Dict[str, Any]) -> str:
+    keys = list(sd)
+    if any(".conv_dw." in k or k.startswith("stem.0") for k in keys):
+        return "convnext"
+    return "vit"
+
+
 def load_reference_checkpoint(path: str, model_key: str = "model|module") -> Dict:
     """Unpickle a reference checkpoint-<epoch>.pth and convert the model tree.
 
@@ -115,4 +190,6 @@ def load_reference_checkpoint(path: str, model_key: str = "model|module") -> Dic
     # strip DDP 'module.' prefixes
     sd = {k[len("module."):] if k.startswith("module.") else k: v
           for k, v in sd.items()}
+    if detect_architecture(sd) == "convnext":
+        return convert_convnext_state_dict(sd)
     return convert_vit_state_dict(sd)
