@@ -149,10 +149,47 @@ class WdsDataset:
             img = img[:, ::-1]
         return np.ascontiguousarray(img, np.float32)
 
+    def _iter_pooled(self, rng):
+        """Parallel decode through the native worker pool: crop windows are
+        sampled on the Python side (cheap jpeg_dims peek), decode+resize+
+        normalize fan out to C++ threads, one wait per batch."""
+        from vision_transformers_torch_xla_tpu.data import native
+
+        pool = native.DecodePool()
+        s = self.image_size
+        try:
+            batch_img = np.empty((self.batch_size, s, s, 3), np.float32)
+            labels, flips, n = [], [], 0
+            for data, cls in self._iter_samples(rng):
+                try:
+                    w, h = native.jpeg_dims(data)
+                except ValueError:
+                    continue
+                crop = _sample_inception_crop(rng, w, h) if self.is_train \
+                    else _central_crop_window(w, h, s)
+                pool.submit(data, batch_img[n], s, crop=crop)
+                flips.append(self.is_train and rng.random() < 0.5)
+                labels.append(cls)
+                n += 1
+                if n == self.batch_size:
+                    pool.wait()
+                    for i, f in enumerate(flips):
+                        if f:
+                            batch_img[i] = batch_img[i, :, ::-1]
+                    yield batch_img.copy(), np.asarray(labels, np.int32)
+                    labels, flips, n = [], [], 0
+        finally:
+            pool.close()
+
     def __iter__(self):
+        from vision_transformers_torch_xla_tpu.data import native
+
         self._epoch += 1
         rng = np.random.default_rng(
             self.seed + self._epoch * 100_003 + jax.process_index())
+        if native.available():
+            yield from self._iter_pooled(rng)
+            return
         images, labels = [], []
         for data, cls in self._iter_samples(rng):
             img = self._decode(data, rng)

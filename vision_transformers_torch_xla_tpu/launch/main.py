@@ -157,6 +157,9 @@ def setup(cfg: TrainConfig) -> TrainerContext:
     # 'intermediates' are feature taps, never part of train state
     mutable_cols = tuple(k for k in abstract if k not in ("params", "intermediates"))
     all_rules = axis_rules(cfg.param_sharding, mesh)
+    # make activation-sharding hints (nn.with_logical_constraint) resolve
+    # inside the jitted steps; a no-op for replicated/fsdp rules
+    nn.set_logical_axis_rules(all_rules)
     full_shardings = shd.params_sharding(mesh, abstract, all_rules)
     keep = ("params",) + mutable_cols
 

@@ -166,6 +166,10 @@ class VisionTransformer(nn.Module):
         else:
             for i in range(self.depth):
                 dpr = self.drop_path_rate * i / max(self.depth - 1, 1)
+                # activation sharding hint: no-op without logical rules; with
+                # SP rules ('seq'->'model') tokens shard across the mesh and
+                # GSPMD inserts attention's all-gathers
+                x = nn.with_logical_constraint(x, ("batch", "seq_act", "embed"))
                 x = block_cls(drop_path_rate=dpr, **block_kwargs,
                               name=f"blocks_{i}")(x, deterministic)
                 # feature taps (parity: forward_intermediates, reference

@@ -36,11 +36,19 @@ LOGICAL_AXIS_RULES = (
     ("classes", None),
     ("patch", None),
     ("layers", None),   # scan_blocks stacked-layer axis: never sharded
+    ("seq_act", None),  # ACTIVATION token axis (params' 'seq' never shards)
 )
 
 FSDP_AXIS_RULES = LOGICAL_AXIS_RULES[:4] + (
     ("embed", "data"),
 ) + LOGICAL_AXIS_RULES[5:]
+
+# Sequence parallelism: activations' token axis shards over 'model'
+# (params replicated on that axis; GSPMD inserts the all-gathers attention
+# needs). Useful for very long token counts; see docs/PARALLELISM.md.
+SP_AXIS_RULES = tuple(
+    (l, "model" if l == "seq_act" else (None if p == "model" else p))
+    for l, p in LOGICAL_AXIS_RULES)
 
 
 def init_distributed(coordinator_address: Optional[str] = None,
@@ -111,7 +119,8 @@ def axis_rules(param_sharding: str = "replicated", mesh: Optional[Mesh] = None):
     """Logical->mesh rules, dropping mappings to axes absent from the mesh
     (e.g. a pure-DP 'data' mesh has no 'model' axis: TP rules fall back to
     replication)."""
-    rules = FSDP_AXIS_RULES if param_sharding == "fsdp" else LOGICAL_AXIS_RULES
+    rules = {"fsdp": FSDP_AXIS_RULES, "sp": SP_AXIS_RULES}.get(
+        param_sharding, LOGICAL_AXIS_RULES)
     if mesh is None:
         return rules
     return tuple((logical, phys if phys in mesh.axis_names else None)
