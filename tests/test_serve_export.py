@@ -79,3 +79,35 @@ def test_export_roundtrip(tiny_model_kwargs):
     y = fn(params, x)
     ref = m.apply({"params": params}, x, True)
     np.testing.assert_allclose(np.asarray(y), np.asarray(ref), rtol=1e-5)
+
+
+def test_serve_from_checkpoint(tmp_path):
+    """Engine restores params (incl. EMA) from an Orbax checkpoint dir."""
+    from vision_transformers_torch_xla_tpu.core.config import TrainConfig
+    from vision_transformers_torch_xla_tpu.launch import main as trainer
+    from vision_transformers_torch_xla_tpu.launch.serve import InferenceEngine
+
+    cfg = TrainConfig(model="vit_tiny_patch16_224", input_size=32,
+                      nb_classes=10, data_set="synthetic", batch_size=8,
+                      epochs=1, limit_steps_per_epoch=2, limit_eval_batches=1,
+                      warmup_epochs=0, device="cpu", mesh_shape="data:1",
+                      output_dir=str(tmp_path), save_ckpt=True, log_freq=1,
+                      synthetic_val_size=16, model_ema=True)
+    trainer.main(cfg)
+
+    import os
+
+    engine = InferenceEngine("vit_tiny_patch16_224",
+                             ckpt_dir=os.path.join(tmp_path, "checkpoints"),
+                             image_size=32, num_classes=10, use_ema=True,
+                             device="cpu")
+    topk = engine.predict(_jpeg_bytes(48))
+    assert len(topk) == 5 and all(0 <= p <= 1 for _, p in topk)
+
+
+def test_serve_missing_checkpoint_raises(tmp_path):
+    from vision_transformers_torch_xla_tpu.launch.serve import InferenceEngine
+
+    with pytest.raises(FileNotFoundError):
+        InferenceEngine("vit_tiny_patch16_224", ckpt_dir=str(tmp_path / "nope"),
+                        image_size=32, num_classes=10, device="cpu")

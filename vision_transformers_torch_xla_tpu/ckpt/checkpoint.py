@@ -62,6 +62,16 @@ class CheckpointManager:
             pass
         return restored["state"], meta
 
+    def restore_raw(self, epoch: Optional[int] = None):
+        """Restore as a plain pytree without a template (serving: read
+        params/ema without reconstructing the optimizer)."""
+        epoch = epoch if epoch is not None else self._mngr.latest_step()
+        if epoch is None:
+            return None
+        restored = self._mngr.restore(
+            epoch, args=ocp.args.Composite(state=ocp.args.StandardRestore()))
+        return restored["state"]
+
     def wait(self):
         self._mngr.wait_until_finished()
 

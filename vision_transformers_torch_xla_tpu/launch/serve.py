@@ -56,21 +56,18 @@ class InferenceEngine:
 
         if ckpt_dir:
             from vision_transformers_torch_xla_tpu.ckpt.checkpoint import CheckpointManager
-            from vision_transformers_torch_xla_tpu.train.optim import create_optimizer
-            from vision_transformers_torch_xla_tpu.train.state import create_train_state
 
-            tx = create_optimizer("sgd", 0.0, params)
-            template = create_train_state(params, tx, with_ema=use_ema,
-                                          model_state=self.model_state)
             mngr = CheckpointManager(ckpt_dir)
-            restored, _ = mngr.restore(template)
+            restored = mngr.restore_raw()
             if restored is None:
                 raise FileNotFoundError(f"no checkpoint under {ckpt_dir}")
-            params = restored.ema_params if (use_ema and
-                                             restored.ema_params is not None) \
-                else restored.params
-            if restored.model_state:
-                self.model_state = restored.model_state
+            # TrainState flattens as a dict-like pytree: read params/ema
+            # without rebuilding the optimizer that trained it
+            ema = restored.get("ema_params")
+            params = ema if (use_ema and ema is not None) \
+                else restored["params"]
+            if restored.get("model_state"):
+                self.model_state = restored["model_state"]
             mngr.close()
         self.params = params
 
