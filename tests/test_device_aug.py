@@ -79,3 +79,24 @@ def test_augment_batch_normalizes():
     assert abs(float(out.mean())) < 2.0
     # per-image randomness differs
     assert not np.allclose(np.asarray(out[0]), np.asarray(out[1]))
+
+
+def test_random_erase():
+    from vision_transformers_torch_xla_tpu.data.device_aug import random_erase
+
+    img = jnp.zeros((32, 32, 3), jnp.float32)
+    out = random_erase(jax.random.key(3), img, prob=1.0)
+    changed = np.asarray(out != 0).any(axis=-1)
+    assert changed.any() and not changed.all()  # a box, not everything
+    # prob 0: untouched
+    out0 = random_erase(jax.random.key(3), img, prob=0.0)
+    np.testing.assert_allclose(np.asarray(out0), 0.0)
+
+
+def test_augment_batch_with_erase():
+    cfg = DeviceAugConfig(out_size=32, randaug_layers=0, reprob=1.0)
+    images = jnp.asarray(np.random.default_rng(0).random((2, 48, 48, 3)),
+                         jnp.float32)
+    out = jax.jit(lambda k: augment_batch(k, images, cfg))(jax.random.key(0))
+    assert out.shape == (2, 32, 32, 3)
+    assert np.isfinite(np.asarray(out)).all()

@@ -215,6 +215,32 @@ def parse_aa_spec(spec: str):
     return layers, mag, mstd
 
 
+def random_erase(rng: jax.Array, image: jax.Array, prob: float = 0.25,
+                 area_range=(0.02, 1 / 3), ratio_min: float = 0.3) -> jax.Array:
+    """timm-style RandomErasing ('pixel' mode: box filled with noise).
+
+    The reference parses --reprob/--remode/--recount but they are dead in its
+    TFDS path (SURVEY §5 'stale flags'); here the op is real and on device.
+    image (H, W, C), any float encoding (noise matches its std).
+    """
+    h, w = image.shape[0], image.shape[1]
+    k_gate, k_area, k_ratio, k_y, k_x, k_noise = jax.random.split(rng, 6)
+    area = jax.random.uniform(k_area, (), minval=area_range[0],
+                              maxval=area_range[1]) * (h * w)
+    log_r = jax.random.uniform(k_ratio, (), minval=jnp.log(ratio_min),
+                               maxval=jnp.log(1 / ratio_min))
+    eh = jnp.clip(jnp.sqrt(area * jnp.exp(log_r)), 1.0, h)
+    ew = jnp.clip(jnp.sqrt(area / jnp.exp(log_r)), 1.0, w)
+    y0 = jax.random.uniform(k_y, ()) * (h - eh)
+    x0 = jax.random.uniform(k_x, ()) * (w - ew)
+    yy = jax.lax.broadcasted_iota(jnp.float32, (h, w), 0)
+    xx = jax.lax.broadcasted_iota(jnp.float32, (h, w), 1)
+    in_box = ((yy >= y0) & (yy < y0 + eh) & (xx >= x0) & (xx < x0 + ew))
+    noise = jax.random.normal(k_noise, image.shape, image.dtype)
+    erased = jnp.where(in_box[..., None], noise, image)
+    return jnp.where(jax.random.bernoulli(k_gate, prob), erased, image)
+
+
 @dataclasses.dataclass(frozen=True)
 class DeviceAugConfig:
     out_size: int = 224
@@ -223,6 +249,7 @@ class DeviceAugConfig:
     randaug_layers: int = 2              # 0 disables RandAugment
     randaug_magnitude: float = 9.0
     mag_std: float = 0.5
+    reprob: float = 0.0                  # RandomErasing probability
     mean: Tuple[float, float, float] = (0.485, 0.456, 0.406)
     std: Tuple[float, float, float] = (0.229, 0.224, 0.225)
 
@@ -253,4 +280,10 @@ def augment_batch(rng: jax.Array, images: jax.Array,
                                     cfg.randaug_magnitude, cfg.mag_std)
     mean = jnp.asarray(cfg.mean, jnp.float32)
     std = jnp.asarray(cfg.std, jnp.float32)
-    return (images - mean) / std
+    images = (images - mean) / std
+    if cfg.reprob > 0:
+        # erase AFTER normalization with unit-normal noise (timm 'pixel' mode)
+        erase_keys = jax.random.split(jax.random.fold_in(rng, 1), b)
+        images = jax.vmap(lambda kk, im: random_erase(kk, im, cfg.reprob))(
+            erase_keys, images)
+    return images

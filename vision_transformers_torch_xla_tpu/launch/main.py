@@ -239,7 +239,7 @@ def setup(cfg: TrainConfig) -> TrainerContext:
         layers, mag, mstd = aa if aa else (0, 0.0, 0.0)
         device_aug = DeviceAugConfig(
             out_size=cfg.input_size, randaug_layers=layers,
-            randaug_magnitude=mag, mag_std=mstd,
+            randaug_magnitude=mag, mag_std=mstd, reprob=cfg.reprob,
             mean=IMAGENET_DEFAULT_MEAN, std=IMAGENET_DEFAULT_STD)
     step_cfg = StepConfig(
         device_aug=device_aug,
