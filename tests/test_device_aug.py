@@ -100,3 +100,16 @@ def test_augment_batch_with_erase():
     out = jax.jit(lambda k: augment_batch(k, images, cfg))(jax.random.key(0))
     assert out.shape == (2, 32, 32, 3)
     assert np.isfinite(np.asarray(out)).all()
+
+
+def test_color_jitter_bounds_and_variability():
+    from vision_transformers_torch_xla_tpu.data.device_aug import color_jitter
+
+    img = jnp.asarray(np.random.default_rng(5).random((16, 16, 3)), jnp.float32)
+    a = color_jitter(jax.random.key(0), img, 0.4)
+    b = color_jitter(jax.random.key(1), img, 0.4)
+    assert float(a.min()) >= 0.0 and float(a.max()) <= 1.0
+    assert not np.allclose(np.asarray(a), np.asarray(b))
+    # zero strength: identity
+    c = color_jitter(jax.random.key(2), img, 0.0)
+    np.testing.assert_allclose(np.asarray(c), np.asarray(img), atol=1e-6)

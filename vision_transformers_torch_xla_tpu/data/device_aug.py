@@ -215,6 +215,25 @@ def parse_aa_spec(spec: str):
     return layers, mag, mstd
 
 
+def color_jitter(rng: jax.Array, image: jax.Array,
+                 strength: float = 0.4) -> jax.Array:
+    """Per-image brightness/contrast/saturation jitter (timm --color_jitter
+    semantics: factor ~ U[1-s, 1+s] per property; applied when RandAugment
+    is off). Another flag the reference parses but never applies (SURVEY §5).
+    """
+    kb, kc, ks = jax.random.split(rng, 3)
+
+    def factor(k):
+        return jax.random.uniform(k, (), minval=1 - strength,
+                                  maxval=1 + strength)
+
+    image = jnp.clip(image * factor(kb), 0.0, 1.0)                # brightness
+    mean = image.mean(axis=(0, 1), keepdims=True)
+    image = jnp.clip((image - mean) * factor(kc) + mean, 0.0, 1.0)  # contrast
+    grey = image.mean(axis=-1, keepdims=True)
+    return jnp.clip(grey + (image - grey) * factor(ks), 0.0, 1.0)  # saturation
+
+
 def random_erase(rng: jax.Array, image: jax.Array, prob: float = 0.25,
                  area_range=(0.02, 1 / 3), ratio_min: float = 0.3) -> jax.Array:
     """timm-style RandomErasing ('pixel' mode: box filled with noise).
@@ -250,6 +269,7 @@ class DeviceAugConfig:
     randaug_magnitude: float = 9.0
     mag_std: float = 0.5
     reprob: float = 0.0                  # RandomErasing probability
+    color_jitter: float = 0.0            # used only when randaug_layers == 0
     mean: Tuple[float, float, float] = (0.485, 0.456, 0.406)
     std: Tuple[float, float, float] = (0.229, 0.224, 0.225)
 
@@ -266,12 +286,14 @@ def augment_batch(rng: jax.Array, images: jax.Array,
     keys = jax.random.split(k_batch, b)
 
     def per_image(key, img):
-        k_crop, k_flip = jax.random.split(key)
+        k_crop, k_flip, k_cj = jax.random.split(key, 3)
         img = img.astype(jnp.float32)
         if cfg.use_rrc:
             img = random_resized_crop(k_crop, img, cfg.out_size)
         if cfg.use_flip:
             img = jnp.where(jax.random.bernoulli(k_flip), img[:, ::-1], img)
+        if cfg.color_jitter > 0 and cfg.randaug_layers == 0:
+            img = color_jitter(k_cj, img, cfg.color_jitter)
         return img
 
     images = jax.vmap(per_image)(keys, images)

@@ -240,6 +240,7 @@ def setup(cfg: TrainConfig) -> TrainerContext:
         device_aug = DeviceAugConfig(
             out_size=cfg.input_size, randaug_layers=layers,
             randaug_magnitude=mag, mag_std=mstd, reprob=cfg.reprob,
+            color_jitter=cfg.color_jitter,
             mean=IMAGENET_DEFAULT_MEAN, std=IMAGENET_DEFAULT_STD)
     step_cfg = StepConfig(
         device_aug=device_aug,
