@@ -147,3 +147,30 @@ def test_convnext_convert_structure_and_forward():
     grafted = jax.tree.map(lambda a, b: jnp.asarray(b, a.dtype), init, loaded)
     y = model.apply({"params": grafted}, x, True)
     assert y.shape == (1, 10) and bool(jnp.isfinite(y).all())
+
+
+def test_load_orbax_dir_as_teacher(tmp_path, tiny_model_kwargs):
+    """--teacher_path/--finetune accept this framework's own Orbax dirs."""
+    from vision_transformers_torch_xla_tpu.ckpt.checkpoint import CheckpointManager
+    from vision_transformers_torch_xla_tpu.ckpt.torch_compat import (
+        load_reference_checkpoint,
+    )
+    from vision_transformers_torch_xla_tpu.models.vit import VisionTransformer
+    from vision_transformers_torch_xla_tpu.train.optim import create_optimizer
+    from vision_transformers_torch_xla_tpu.train.state import create_train_state
+
+    m = VisionTransformer(**tiny_model_kwargs, dtype=jnp.float32)
+    x = jnp.zeros((1, 32, 32, 3), jnp.float32)
+    params = nn.meta.unbox(m.init({"params": jax.random.key(0)}, x, True))["params"]
+    tx = create_optimizer("sgd", 0.1, params)
+    state = create_train_state(params, tx, with_ema=True)
+    mngr = CheckpointManager(str(tmp_path / "ck"))
+    mngr.save(0, state, metadata={"epoch": 0})
+    mngr.wait()
+    mngr.close()
+
+    loaded = load_reference_checkpoint(str(tmp_path / "ck"))
+    assert "blocks_0" in loaded
+    np.testing.assert_allclose(
+        np.asarray(loaded["head"]["kernel"]),
+        np.asarray(params["head"]["kernel"]))

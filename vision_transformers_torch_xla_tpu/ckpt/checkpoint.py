@@ -24,6 +24,7 @@ class CheckpointManager:
                  save_interval_epochs: int = 1):
         self._mngr = ocp.CheckpointManager(
             directory,
+            item_names=("state", "metadata"),
             options=ocp.CheckpointManagerOptions(
                 max_to_keep=max_to_keep,
                 save_interval_steps=save_interval_epochs,
@@ -32,9 +33,24 @@ class CheckpointManager:
             ),
         )
 
+    @staticmethod
+    def _as_dict(state: Any) -> Any:
+        """Shallow field-dict view of a (flax struct) dataclass train state.
+
+        Checkpoints are stored dict-structured so they can be restored
+        without the custom pytree class (serving hosts, raw inspection) and
+        device-agnostically.
+        """
+        import dataclasses
+
+        if dataclasses.is_dataclass(state):
+            return {f.name: getattr(state, f.name)
+                    for f in dataclasses.fields(state)}
+        return state
+
     def save(self, epoch: int, state: Any, metadata: Optional[dict] = None):
         """Async save; rotation handled by max_to_keep."""
-        composite = {"state": ocp.args.StandardSave(state)}
+        composite = {"state": ocp.args.StandardSave(self._as_dict(state))}
         if metadata is not None:
             composite["metadata"] = ocp.args.JsonSave(metadata)
         self._mngr.save(epoch, args=ocp.args.Composite(**composite))
@@ -52,7 +68,10 @@ class CheckpointManager:
             return None, None
         restored = self._mngr.restore(
             epoch, args=ocp.args.Composite(
-                state=ocp.args.StandardRestore(state_template)))
+                state=ocp.args.StandardRestore(self._as_dict(state_template))))
+        state_dict = restored["state"]
+        if type(state_template) is not dict:
+            state_dict = type(state_template)(**state_dict)
         meta = None
         try:
             meta = self._mngr.restore(
@@ -60,17 +79,31 @@ class CheckpointManager:
             meta = meta.get("metadata")
         except Exception:
             pass
-        return restored["state"], meta
+        return state_dict, meta
 
     def restore_raw(self, epoch: Optional[int] = None):
-        """Restore as a plain pytree without a template (serving: read
-        params/ema without reconstructing the optimizer)."""
+        """Restore as a plain pytree without a live-state template (serving:
+        read params/ema without reconstructing the optimizer). Shapes/dtypes
+        come from checkpoint metadata; arrays land on the current default
+        device (saved device names may not exist on the restoring host)."""
+        import jax
+
         epoch = epoch if epoch is not None else self._mngr.latest_step()
         if epoch is None:
             return None
-        restored = self._mngr.restore(
-            epoch, args=ocp.args.Composite(state=ocp.args.StandardRestore()))
-        return restored["state"]
+        import os
+
+        # Direct StandardCheckpointer restore honors template shardings
+        # (the manager path re-resolves SAVED device names, which may not
+        # exist on the restoring host).
+        path = os.path.join(str(self._mngr.directory), str(epoch), "state")
+        sharding = jax.sharding.SingleDeviceSharding(jax.local_devices()[0])
+        ckptr = ocp.StandardCheckpointer()
+        meta = ckptr.metadata(path)
+        template = jax.tree.map(
+            lambda m: jax.ShapeDtypeStruct(m.shape, m.dtype, sharding=sharding),
+            dict(meta.item_metadata) if hasattr(meta, "item_metadata") else meta)
+        return ckptr.restore(path, template)
 
     def wait(self):
         self._mngr.wait_until_finished()

@@ -168,12 +168,28 @@ def detect_architecture(sd: Dict[str, Any]) -> str:
     return "vit"
 
 
-def load_reference_checkpoint(path: str, model_key: str = "model|module") -> Dict:
-    """Unpickle a reference checkpoint-<epoch>.pth and convert the model tree.
+def load_reference_checkpoint(path: str, model_key: str = "model|module",
+                              model_prefix: str = "") -> Dict:
+    """Load model params from a torch .pth pickle OR an Orbax checkpoint dir.
 
     model_key parity with reference --model_key (main.py:235): first matching
     key among 'model|module|...' wins; falls back to the raw dict.
+    model_prefix parity with --model_prefix: stripped from state_dict names.
     """
+    import os
+
+    if os.path.isdir(path):
+        # Orbax checkpoint directory (this framework's own training output):
+        # restore raw and return the params (EMA preferred if present)
+        from vision_transformers_torch_xla_tpu.ckpt.checkpoint import CheckpointManager
+
+        mngr = CheckpointManager(os.path.abspath(path))
+        raw = mngr.restore_raw()
+        mngr.close()
+        if raw is None:
+            raise FileNotFoundError(f"no checkpoint under {path}")
+        return raw.get("ema_params") or raw["params"]
+
     import torch
 
     ckpt = torch.load(path, map_location="cpu", weights_only=False)
@@ -187,9 +203,12 @@ def load_reference_checkpoint(path: str, model_key: str = "model|module") -> Dic
             sd = ckpt
     else:
         sd = ckpt
-    # strip DDP 'module.' prefixes
+    # strip DDP 'module.' prefixes + user-provided --model_prefix
     sd = {k[len("module."):] if k.startswith("module.") else k: v
           for k, v in sd.items()}
+    if model_prefix:
+        sd = {k[len(model_prefix):] if k.startswith(model_prefix) else k: v
+              for k, v in sd.items()}
     if detect_architecture(sd) == "convnext":
         return convert_convnext_state_dict(sd)
     return convert_vit_state_dict(sd)

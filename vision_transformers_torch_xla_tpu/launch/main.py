@@ -178,7 +178,8 @@ def setup(cfg: TrainConfig) -> TrainerContext:
             load_reference_checkpoint,
         )
 
-        loaded = load_reference_checkpoint(cfg.finetune, cfg.model_key)
+        loaded = load_reference_checkpoint(cfg.finetune, cfg.model_key,
+                                           cfg.model_prefix)
         params = _load_params_into(params, loaded)
 
     lr_fn = cosine_schedule_fn(cfg.lr, cfg.min_lr, cfg.epochs, steps_per_epoch,
