@@ -18,6 +18,13 @@ from vision_transformers_torch_xla_tpu.models.vit import VisionTransformer
 
 __all__ = []
 
+# default-cfg parity with reference models/my_vit.py:11-55 (aliases the timm
+# tiny/small/base/large cfgs: 224px, 0.9 crop, bicubic, ImageNet norm)
+_DEFAULT_CFG = dict(input_size=(224, 224, 3), crop_pct=0.9,
+                    interpolation="bicubic", num_classes=1000,
+                    mean=(0.485, 0.456, 0.406), std=(0.229, 0.224, 0.225),
+                    pool="avg")
+
 
 def _my_vit(_dim, _depth, _heads, **kwargs):
     kwargs.pop("pretrained_tag", None)
@@ -28,31 +35,31 @@ def _my_vit(_dim, _depth, _heads, **kwargs):
     return VisionTransformer(**kwargs)
 
 
-@register_model
+@register_model(default_cfg=_DEFAULT_CFG)
 def my_vit_mini(**kw):
     return _my_vit(144, 12, 3, **kw)
 
 
-@register_model
+@register_model(default_cfg=_DEFAULT_CFG)
 def my_vit_ti(**kw):
     return _my_vit(192, 12, 3, **kw)
 
 
-@register_model
+@register_model(default_cfg=_DEFAULT_CFG)
 def my_vit_xs(**kw):
     return _my_vit(288, 12, 4, **kw)
 
 
-@register_model
+@register_model(default_cfg=_DEFAULT_CFG)
 def my_vit_s(**kw):
     return _my_vit(384, 12, 6, **kw)
 
 
-@register_model
+@register_model(default_cfg=_DEFAULT_CFG)
 def my_vit_b(**kw):
     return _my_vit(768, 12, 12, **kw)
 
 
-@register_model
+@register_model(default_cfg=_DEFAULT_CFG)
 def my_vit_l(**kw):
     return _my_vit(1024, 24, 16, **kw)
