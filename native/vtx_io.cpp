@@ -211,7 +211,8 @@ struct Job {
   const uint8_t* data;
   int64_t len;
   int cx, cy, cw, ch, out_size;
-  float* dst;  // where to write the normalized image
+  float* dst;   // where to write the normalized image
+  int64_t tag;  // caller's id (e.g. batch slot), reported back on failure
 };
 
 struct Pool {
@@ -222,6 +223,8 @@ struct Pool {
   std::atomic<int64_t> pending{0};
   std::atomic<bool> stop{false};
   float mean[3], stdinv[3];
+  std::mutex fmu;
+  std::vector<int64_t> failed;  // tags of jobs whose decode failed
 };
 
 void* vtx_pool_create(int num_threads, const float* mean, const float* stdinv) {
@@ -239,8 +242,17 @@ void* vtx_pool_create(int num_threads, const float* mean, const float* stdinv) {
           j = p->jobs.front();
           p->jobs.pop();
         }
-        vtx_decode_jpeg_crop_resize(j.data, j.len, j.cx, j.cy, j.cw, j.ch,
-                                    j.out_size, p->mean, p->stdinv, j.dst);
+        int rc = vtx_decode_jpeg_crop_resize(j.data, j.len, j.cx, j.cy, j.cw,
+                                             j.ch, j.out_size, p->mean,
+                                             p->stdinv, j.dst);
+        if (rc) {
+          // corrupt body (header parsed, decode failed): never leave the
+          // batch slot as stale memory — zero-fill and report the tag so
+          // the caller can drop or refill the sample.
+          memset(j.dst, 0, (size_t)j.out_size * j.out_size * 3 * sizeof(float));
+          std::lock_guard<std::mutex> lk(p->fmu);
+          p->failed.push_back(j.tag);
+        }
         p->pending.fetch_sub(1, std::memory_order_release);
       }
     });
@@ -249,14 +261,25 @@ void* vtx_pool_create(int num_threads, const float* mean, const float* stdinv) {
 }
 
 void vtx_pool_submit(void* pool, const uint8_t* data, int64_t len, int cx,
-                     int cy, int cw, int ch, int out_size, float* dst) {
+                     int cy, int cw, int ch, int out_size, float* dst,
+                     int64_t tag) {
   Pool* p = static_cast<Pool*>(pool);
   p->pending.fetch_add(1, std::memory_order_acquire);
   {
     std::lock_guard<std::mutex> lk(p->mu);
-    p->jobs.push(Job{data, len, cx, cy, cw, ch, out_size, dst});
+    p->jobs.push(Job{data, len, cx, cy, cw, ch, out_size, dst, tag});
   }
   p->cv.notify_one();
+}
+
+// Drain failed-job tags (up to cap) into out; returns how many were taken.
+int64_t vtx_pool_take_failed(void* pool, int64_t* out, int64_t cap) {
+  Pool* p = static_cast<Pool*>(pool);
+  std::lock_guard<std::mutex> lk(p->fmu);
+  int64_t n = (int64_t)p->failed.size() < cap ? (int64_t)p->failed.size() : cap;
+  for (int64_t i = 0; i < n; ++i) out[i] = p->failed[i];
+  p->failed.erase(p->failed.begin(), p->failed.begin() + n);
+  return n;
 }
 
 int64_t vtx_pool_pending(void* pool) {

@@ -60,3 +60,23 @@ def test_cli_update_freq_and_kd(tmp_path):
 def test_cli_eval_only(tmp_path):
     stats = trainer.main(_cfg(tmp_path, eval_only=True, save_ckpt=False))
     assert "acc1" in stats
+
+
+def test_cli_explicit_resume(tmp_path):
+    """--resume restores from a given Orbax dir (ADVICE r1: flag was parsed
+    but never loaded) — both the checkpoints root and an epoch dir work."""
+    src = tmp_path / "src"
+    trainer.main(_cfg(src, epochs=1))
+    dst = tmp_path / "dst"
+    stats = trainer.main(_cfg(dst, epochs=2,
+                              resume=str(src / "checkpoints")))
+    assert stats["epoch"] == 1  # resumed past the source's epoch 0
+    dst2 = tmp_path / "dst2"
+    stats = trainer.main(_cfg(dst2, epochs=2,
+                              resume=str(src / "checkpoints" / "0")))
+    assert stats["epoch"] == 1
+
+
+def test_cli_resume_missing_path_raises(tmp_path):
+    with pytest.raises(FileNotFoundError):
+        trainer.main(_cfg(tmp_path, resume=str(tmp_path / "nope")))

@@ -83,3 +83,20 @@ def test_reg_tokens(tiny_model_kwargs):
     vs = m.init({"params": jax.random.key(0)}, x, True)
     assert vs["params"]["pos_embed"].value.shape == (1, 4 + 3, 64)
     assert m.apply(vs, x, True).shape == (1, 10)
+
+
+def test_attn_drop_applied_in_train_mode():
+    """--attn_drop_rate reaches the softmax probs (ADVICE r1: was inert)."""
+    import numpy as np
+
+    from vision_transformers_torch_xla_tpu.models.layers import Attention
+
+    attn = Attention(num_heads=2, attn_drop=0.5, dtype=jnp.float32)
+    x = jax.random.normal(jax.random.key(0), (2, 8, 32))
+    v = attn.init({"params": jax.random.key(1)}, x, True)
+    det = attn.apply(v, x, True)
+    d1 = attn.apply(v, x, False, rngs={"dropout": jax.random.key(2)})
+    d2 = attn.apply(v, x, False, rngs={"dropout": jax.random.key(3)})
+    assert not np.allclose(det, d1)   # active in train mode
+    assert not np.allclose(d1, d2)    # rng-dependent
+    np.testing.assert_allclose(det, attn.apply(v, x, True))  # eval unchanged

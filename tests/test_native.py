@@ -98,3 +98,18 @@ def test_decode_pool():
     means = out.reshape(3, -1).mean(1)
     np.testing.assert_allclose(means, [0.0, 128 / 255, 1.0], atol=0.02)
     pool.close()
+
+
+def test_decode_pool_reports_failed_tags():
+    """Corrupt jobs zero-fill their slot and surface by tag (ADVICE r1)."""
+    good = _jpeg_bytes(np.full((64, 64, 3), 200, np.uint8))
+    pool = native.DecodePool(num_threads=2, mean=(0, 0, 0), std=(1, 1, 1))
+    out = np.full((2, 32, 32, 3), -7.0, np.float32)
+    pool.submit(good, out[0], 32, tag=0)
+    pool.submit(b"\xff\xd8 definitely not a jpeg body", out[1], 32, tag=1)
+    pool.wait()
+    assert pool.take_failed() == [1]
+    assert pool.take_failed() == []  # drained
+    assert out[0].mean() > 0.5       # good slot decoded
+    np.testing.assert_array_equal(out[1], 0.0)  # failed slot zero-filled
+    pool.close()

@@ -94,3 +94,33 @@ def test_tfds_train_path_shuffles_and_batches(monkeypatch):
     b = next(it)
     assert a[0].shape == (4, 32, 32, 3)
     assert not np.allclose(a[0], b[0])
+
+
+def test_tfds_honors_norm_constants(monkeypatch):
+    """--imagenet_default_mean_and_std false -> inception stats on the tfds
+    path; --device_augment -> raw [0,1] pixels (VERDICT r1 #4 / ADVICE r1)."""
+    monkeypatch.setitem(sys.modules, "tensorflow_datasets", _make_fake_tfds())
+
+    from vision_transformers_torch_xla_tpu.core.config import TrainConfig
+    from vision_transformers_torch_xla_tpu.data.loader import build_dataset
+
+    pp = ('decode|resize_small(36)|central_crop(32)|value_range(0, 1)|'
+          'keep("image", "label")')
+
+    def batch_for(**kw):
+        cfg = TrainConfig(data_set="tfds", batch_size=4, input_size=32,
+                          shuffle_buffer=8, num_parallel_calls=2,
+                          pp_eval=pp, **kw)
+        ds, _ = build_dataset(cfg, is_train=False)
+        return next(iter(ds))[0]
+
+    raw = batch_for(device_augment=True)
+    assert raw.min() >= 0.0 and raw.max() <= 1.0  # raw [0,1] contract
+
+    inception = batch_for(imagenet_default_mean_and_std=False)
+    np.testing.assert_allclose(inception, (raw - 0.5) / 0.5, atol=1e-5)
+
+    default = batch_for()
+    mean = np.array([0.485, 0.456, 0.406], np.float32)
+    std = np.array([0.229, 0.224, 0.225], np.float32)
+    np.testing.assert_allclose(default, (raw - mean) / std, atol=1e-5)

@@ -67,3 +67,38 @@ def test_wds_epoch_reshuffles(shards):
     a = next(iter(ds))[1]
     b = next(iter(ds))[1]
     assert not np.array_equal(a, b)  # per-epoch shard order reseeded
+
+
+def test_wds_drops_corrupt_bodies(shards, tmp_path, monkeypatch):
+    """A JPEG whose header parses but body fails decode is dropped and its
+    batch slot refilled from the stream — never trained on (ADVICE r1)."""
+    from vision_transformers_torch_xla_tpu.data import native
+
+    if not native.available():
+        pytest.skip("native lib not built")
+    corrupt = b"\xff\xd8corrupt-body"
+    # pretend the header peek succeeds so the pooled decode path sees it
+    real_dims = native.jpeg_dims
+    monkeypatch.setattr(
+        native, "jpeg_dims",
+        lambda d: (40, 52) if d == corrupt else real_dims(d))
+
+    src = expand_shards(shards + "/shard-*.tar")[0]
+    bad_shard = tmp_path / "bad-0000.tar"
+    with tarfile.open(src) as tin, tarfile.open(bad_shard, "w") as tout:
+        for m in tin:
+            tout.addfile(m, tin.extractfile(m))
+        info = tarfile.TarInfo("zzz_corrupt.jpg")
+        info.size = len(corrupt)
+        tout.addfile(info, io.BytesIO(corrupt))
+        info = tarfile.TarInfo("zzz_corrupt.cls")
+        info.size = 1
+        tout.addfile(info, io.BytesIO(b"4"))
+
+    ds = WdsDataset(str(bad_shard), batch_size=5, image_size=32,
+                    is_train=False, num_classes=5, num_examples=11)
+    batches = list(ds)
+    images = np.concatenate([b[0] for b in batches])
+    assert len(batches) == 2  # 10 good samples / batch 5; corrupt dropped
+    # no zero-filled (all-black) slot leaked through
+    assert (np.abs(images).reshape(len(images), -1).max(1) > 0).all()

@@ -153,10 +153,15 @@ def _tfds_dataset(cfg, is_train: bool, pp_spec: str, batch_size: int,
 
 
 class TfdsDataset:
-    def __init__(self, cfg, is_train: bool, pp_spec: str, batch_size: int):
+    def __init__(self, cfg, is_train: bool, pp_spec: str, batch_size: int,
+                 mean=IMAGENET_DEFAULT_MEAN, std=IMAGENET_DEFAULT_STD):
         self.cfg, self.is_train = cfg, is_train
         self.pp_spec, self.batch_size = pp_spec, batch_size
         self._epoch = -1
+        # identity (0,1) stats (device_augment contract) skip the host pass
+        self._mean = np.asarray(mean, np.float32)
+        self._std = np.asarray(std, np.float32)
+        self._identity = bool(np.all(self._mean == 0) and np.all(self._std == 1))
         _, self.info = _tfds_dataset(cfg, is_train, pp_spec, batch_size)
 
     def __iter__(self):
@@ -165,19 +170,23 @@ class TfdsDataset:
         ds, _ = _tfds_dataset(self.cfg, self.is_train, self.pp_spec,
                               self.batch_size,
                               epoch_seed=self.cfg.seed + self._epoch)
-        mean = np.asarray(IMAGENET_DEFAULT_MEAN, np.float32)
-        std = np.asarray(IMAGENET_DEFAULT_STD, np.float32)
         for batch in ds.as_numpy_iterator():
-            images = (batch["image"].astype(np.float32) - mean) / std
-            yield images.astype(np.float32), batch["label"].astype(np.int32)
+            images = batch["image"].astype(np.float32)
+            if not self._identity:
+                images = (images - self._mean) / self._std
+            yield images, batch["label"].astype(np.int32)
 
 
 class FolderDataset:
     """class-per-directory image tree via PIL (no TF needed)."""
 
     def __init__(self, root: str, batch_size: int, image_size: int = 224,
-                 is_train: bool = True, seed: int = 0):
+                 is_train: bool = True, seed: int = 0,
+                 mean=IMAGENET_DEFAULT_MEAN, std=IMAGENET_DEFAULT_STD):
         import pathlib
+
+        self._mean = np.asarray(mean, np.float32)
+        self._std = np.asarray(std, np.float32)
 
         self.root = pathlib.Path(root)
         classes = sorted(d.name for d in self.root.iterdir() if d.is_dir())
@@ -219,8 +228,7 @@ class FolderDataset:
             img = img.crop(((w - s) // 2, (h - s) // 2,
                             (w - s) // 2 + s, (h - s) // 2 + s))
         arr = np.asarray(img, np.float32) / 255.0
-        return (arr - np.asarray(IMAGENET_DEFAULT_MEAN, np.float32)) / \
-            np.asarray(IMAGENET_DEFAULT_STD, np.float32)
+        return (arr - self._mean) / self._std
 
     def __iter__(self):
         rng = np.random.default_rng(self._seed)
@@ -237,8 +245,10 @@ def build_dataset(cfg, is_train: bool):
     """(dataset, info) by cfg.data_set — parity with reference
     datasets.py:325-389 build_dataset returning (dataset, nb_classes)."""
     batch = cfg.batch_size if is_train else cfg.eval_batch_size()
+    # every path honors --imagenet_default_mean_and_std and the
+    # device_augment raw-[0,1] contract through norm_constants(cfg)
+    mean, std = norm_constants(cfg)
     if cfg.data_set == "synthetic":
-        mean, std = norm_constants(cfg)
         ds = SyntheticDataset(
             batch, cfg.input_size, cfg.nb_classes,
             cfg.synthetic_train_size if is_train else cfg.synthetic_val_size,
@@ -247,44 +257,39 @@ def build_dataset(cfg, is_train: bool):
     if cfg.data_set == "tfds":
         pp = (cfg.pp_train or DEFAULT_PP_TRAIN) if is_train else \
             (cfg.pp_eval or DEFAULT_PP_EVAL)
-        ds = TfdsDataset(cfg, is_train, pp, batch)
+        ds = TfdsDataset(cfg, is_train, pp, batch, mean=mean, std=std)
         return ds, ds.info
     if cfg.data_set in ("wds", "IMNET_WDS"):
         from vision_transformers_torch_xla_tpu.data.wds import WdsDataset
 
         spec = cfg.data_path if is_train else (cfg.eval_data_path or cfg.data_path)
         ds = WdsDataset(spec, batch, cfg.input_size, is_train, cfg.seed,
-                        num_classes=cfg.nb_classes)
+                        num_classes=cfg.nb_classes, mean=mean, std=std)
         return ds, ds.info
     if cfg.data_set == "folder":
         root = cfg.data_path if is_train else (cfg.eval_data_path or cfg.data_path)
-        ds = FolderDataset(root, batch, cfg.input_size, is_train, cfg.seed)
+        ds = FolderDataset(root, batch, cfg.input_size, is_train, cfg.seed,
+                           mean=mean, std=std)
         return ds, ds.info
     raise ValueError(f"unknown data_set {cfg.data_set!r}")
 
 
-def device_prefetch(iterator, image_sharding, label_sharding, size: int = 2):
-    """Move host batches to (sharded) device buffers `size` steps ahead.
+def device_prefetch(iterator, put, size: int = 2):
+    """Stage host batches on device `size` steps ahead of compute, so H2D
+    transfer overlaps the step. Replaces torch_xla's MpDeviceLoader
+    background upload (reference main.py:1008-1029).
 
-    Replaces torch_xla's MpDeviceLoader background upload
-    (reference main.py:1008-1029).
+    `put(batch)` maps one host batch to device buffers (e.g. a sharded
+    device_put); it runs eagerly while the consumer computes.
     """
     import collections
     import itertools
 
-    queue = collections.deque()
-
-    def _put(batch):
-        images, labels = batch
-        return (jax.device_put(images, image_sharding),
-                jax.device_put(labels, label_sharding))
-
     it = iter(iterator)
-    for batch in itertools.islice(it, size):
-        queue.append(_put(batch))
+    queue = collections.deque(put(b) for b in itertools.islice(it, size))
     while queue:
         yield queue.popleft()
         try:
-            queue.append(_put(next(it)))
+            queue.append(put(next(it)))
         except StopIteration:
             pass

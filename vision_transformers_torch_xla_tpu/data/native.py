@@ -58,7 +58,12 @@ def _load() -> Optional[ctypes.CDLL]:
             lib.vtx_pool_submit.restype = None
             lib.vtx_pool_submit.argtypes = [
                 ctypes.c_void_p, u8p, ctypes.c_int64, ctypes.c_int,
-                ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int, f32p]
+                ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int, f32p,
+                ctypes.c_int64]
+            lib.vtx_pool_take_failed.restype = ctypes.c_int64
+            lib.vtx_pool_take_failed.argtypes = [
+                ctypes.c_void_p, ctypes.POINTER(ctypes.c_int64),
+                ctypes.c_int64]
             lib.vtx_pool_wait.restype = None
             lib.vtx_pool_wait.argtypes = [ctypes.c_void_p]
             lib.vtx_pool_destroy.restype = None
@@ -136,18 +141,26 @@ class DecodePool:
         self._keepalive = []
 
     def submit(self, data: bytes, dst: np.ndarray, out_size: int,
-               crop: Optional[Tuple[int, int, int, int]] = None):
+               crop: Optional[Tuple[int, int, int, int]] = None,
+               tag: int = -1):
         buf = np.frombuffer(data, np.uint8)
         self._keepalive.append(buf)
         cx, cy, cw, ch = crop if crop is not None else (-1, -1, -1, -1)
         self._lib.vtx_pool_submit(
             self._pool, buf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
             len(data), cx, cy, cw, ch, out_size,
-            dst.ctypes.data_as(ctypes.POINTER(ctypes.c_float)))
+            dst.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), tag)
 
     def wait(self):
         self._lib.vtx_pool_wait(self._pool)
         self._keepalive.clear()
+
+    def take_failed(self, cap: int = 4096) -> list:
+        """Tags of jobs whose decode failed since the last call (their
+        output slots were zero-filled by the worker)."""
+        out = (ctypes.c_int64 * cap)()
+        n = self._lib.vtx_pool_take_failed(self._pool, out, cap)
+        return [out[i] for i in range(n)]
 
     def close(self):
         if self._pool:

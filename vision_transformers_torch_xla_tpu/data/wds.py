@@ -78,7 +78,9 @@ class WdsDataset:
     def __init__(self, shard_spec: str, batch_size: int, image_size: int = 224,
                  is_train: bool = True, seed: int = 0,
                  num_classes: int = 1000,
-                 num_examples: Optional[int] = None):
+                 num_examples: Optional[int] = None,
+                 mean=IMAGENET_DEFAULT_MEAN, std=IMAGENET_DEFAULT_STD):
+        self._mean, self._std = tuple(mean), tuple(std)
         self.all_shards = expand_shards(shard_spec)
         self.shards = self.all_shards[jax.process_index()::jax.process_count()]
         if not self.shards:
@@ -130,7 +132,8 @@ class WdsDataset:
                 w, h = native.jpeg_dims(data)
                 crop = _sample_inception_crop(rng, w, h) if self.is_train \
                     else _central_crop_window(w, h, s)
-                img = native.decode_jpeg_crop_resize(data, s, crop=crop)
+                img = native.decode_jpeg_crop_resize(
+                    data, s, crop=crop, mean=self._mean, std=self._std)
             except ValueError:
                 return None
         else:  # PIL fallback
@@ -143,8 +146,8 @@ class WdsDataset:
                               _central_crop_window(w, h, s))
             pil = pil.crop((x0, y0, x0 + cw, y0 + ch)).resize((s, s))
             arr = np.asarray(pil, np.float32) / 255.0
-            img = ((arr - np.asarray(IMAGENET_DEFAULT_MEAN, np.float32)) /
-                   np.asarray(IMAGENET_DEFAULT_STD, np.float32))
+            img = ((arr - np.asarray(self._mean, np.float32)) /
+                   np.asarray(self._std, np.float32))
         if self.is_train and rng.random() < 0.5:
             img = img[:, ::-1]
         return np.ascontiguousarray(img, np.float32)
@@ -152,32 +155,51 @@ class WdsDataset:
     def _iter_pooled(self, rng):
         """Parallel decode through the native worker pool: crop windows are
         sampled on the Python side (cheap jpeg_dims peek), decode+resize+
-        normalize fan out to C++ threads, one wait per batch."""
+        normalize fan out to C++ threads, one wait per batch. Samples whose
+        JPEG body fails mid-decode are reported back by tag (= batch slot)
+        and the slot is refilled from the stream — corrupt files are
+        dropped, never trained on."""
         from vision_transformers_torch_xla_tpu.data import native
 
-        pool = native.DecodePool()
+        pool = native.DecodePool(mean=self._mean, std=self._std)
         s = self.image_size
-        try:
-            batch_img = np.empty((self.batch_size, s, s, 3), np.float32)
-            labels, flips, n = [], [], 0
-            for data, cls in self._iter_samples(rng):
+        it = self._iter_samples(rng)
+        batch_img = np.empty((self.batch_size, s, s, 3), np.float32)
+        labels = np.zeros((self.batch_size,), np.int32)
+        flips = np.zeros((self.batch_size,), bool)
+
+        def submit_into(slot) -> bool:
+            """Pull samples until one submits; False when stream ends."""
+            for data, cls in it:
                 try:
                     w, h = native.jpeg_dims(data)
                 except ValueError:
-                    continue
+                    continue  # corrupt header: skip outright
                 crop = _sample_inception_crop(rng, w, h) if self.is_train \
                     else _central_crop_window(w, h, s)
-                pool.submit(data, batch_img[n], s, crop=crop)
-                flips.append(self.is_train and rng.random() < 0.5)
-                labels.append(cls)
-                n += 1
-                if n == self.batch_size:
+                pool.submit(data, batch_img[slot], s, crop=crop, tag=slot)
+                flips[slot] = self.is_train and rng.random() < 0.5
+                labels[slot] = cls
+                return True
+            return False
+
+        try:
+            while True:
+                if not all(submit_into(n) for n in range(self.batch_size)):
+                    pool.wait()  # partial batch: drop (drop_last semantics)
+                    return
+                pool.wait()
+                failed = pool.take_failed()
+                while failed:  # corrupt bodies: refill those slots
+                    log.warning("dropping %d corrupt jpeg(s)", len(failed))
+                    if not all(submit_into(slot) for slot in failed):
+                        pool.wait()
+                        return
                     pool.wait()
-                    for i, f in enumerate(flips):
-                        if f:
-                            batch_img[i] = batch_img[i, :, ::-1]
-                    yield batch_img.copy(), np.asarray(labels, np.int32)
-                    labels, flips, n = [], [], 0
+                    failed = pool.take_failed()
+                for i in np.nonzero(flips)[0]:
+                    batch_img[i] = batch_img[i, :, ::-1]
+                yield batch_img.copy(), labels.copy()
         finally:
             pool.close()
 

@@ -27,7 +27,10 @@ from jax.sharding import NamedSharding, PartitionSpec as P
 from vision_transformers_torch_xla_tpu.ckpt.checkpoint import CheckpointManager
 from vision_transformers_torch_xla_tpu.core.config import TrainConfig, config_from_args
 from vision_transformers_torch_xla_tpu.core.dtypes import get_policy
-from vision_transformers_torch_xla_tpu.data.loader import build_dataset
+from vision_transformers_torch_xla_tpu.data.loader import (
+    build_dataset,
+    device_prefetch,
+)
 from vision_transformers_torch_xla_tpu.models import create_model
 from vision_transformers_torch_xla_tpu.obs.loggers import build_loggers, is_main_process
 from vision_transformers_torch_xla_tpu.obs.metrics import MetricLogger
@@ -78,6 +81,12 @@ def _to_global(arr: np.ndarray, mesh, spec: P):
     return jax.make_array_from_process_local_data(sharding, arr)
 
 
+def _put_batch(batch, mesh):
+    images, labels = batch
+    return (_to_global(np.asarray(images), mesh, P("data")),
+            _to_global(np.asarray(labels), mesh, P("data")))
+
+
 def _flatten_with_names(tree):
     flat = jax.tree_util.tree_flatten_with_path(tree)[0]
     return {tuple(str(getattr(k, "key", k)) for k in path): leaf
@@ -105,6 +114,43 @@ def _load_params_into(params, loaded):
     out = jax.tree_util.tree_map_with_path(merge, params)
     log.info("loaded %d params from checkpoint", n_loaded)
     return out
+
+
+def _explicit_resume(cfg: TrainConfig, state, start_epoch: int):
+    """Restore from --resume (reference utils/__init__.py:749-770).
+
+    Accepts an Orbax checkpoints root (restores the newest epoch), a
+    specific epoch dir inside one, or a reference torch .pth (weights only,
+    converted via ckpt.torch_compat).
+    """
+    path = cfg.resume
+    if path.endswith((".pth", ".pt", ".bin")):
+        from vision_transformers_torch_xla_tpu.ckpt.torch_compat import (
+            load_reference_checkpoint,
+        )
+
+        loaded = load_reference_checkpoint(path, cfg.model_key,
+                                           cfg.model_prefix)
+        state = state.replace(params=_load_params_into(state.params, loaded))
+        log.info("resumed model weights from %s", path)
+        return state, start_epoch
+    if not os.path.isdir(path):
+        raise FileNotFoundError(f"--resume: no checkpoint at {path!r}")
+    root, epoch = os.path.abspath(path), None
+    base = os.path.basename(root.rstrip("/"))
+    if base.isdigit():  # .../checkpoints/<epoch>
+        root, epoch = os.path.dirname(root), int(base)
+    mngr = CheckpointManager(root)
+    try:
+        restored, meta = mngr.restore(state, epoch)
+    finally:
+        mngr.close()
+    if restored is None:
+        raise FileNotFoundError(f"--resume: no epochs under {root!r}")
+    used = epoch if epoch is not None else (meta or {}).get("epoch")
+    start_epoch = ((meta or {}).get("epoch", used or 0)) + 1
+    log.info("resumed from %s at epoch %s", root, used)
+    return restored, start_epoch
 
 
 def setup(cfg: TrainConfig) -> TrainerContext:
@@ -234,15 +280,21 @@ def setup(cfg: TrainConfig) -> TrainerContext:
         from vision_transformers_torch_xla_tpu.data.loader import (
             IMAGENET_DEFAULT_MEAN,
             IMAGENET_DEFAULT_STD,
+            IMAGENET_INCEPTION_MEAN,
+            IMAGENET_INCEPTION_STD,
         )
 
         aa = parse_aa_spec(cfg.aa)
         layers, mag, mstd = aa if aa else (0, 0.0, 0.0)
+        default_stats = cfg.imagenet_default_mean_and_std
         device_aug = DeviceAugConfig(
             out_size=cfg.input_size, randaug_layers=layers,
             randaug_magnitude=mag, mag_std=mstd, reprob=cfg.reprob,
             color_jitter=cfg.color_jitter,
-            mean=IMAGENET_DEFAULT_MEAN, std=IMAGENET_DEFAULT_STD)
+            mean=(IMAGENET_DEFAULT_MEAN if default_stats
+                  else IMAGENET_INCEPTION_MEAN),
+            std=(IMAGENET_DEFAULT_STD if default_stats
+                 else IMAGENET_INCEPTION_STD))
     step_cfg = StepConfig(
         device_aug=device_aug,
         mixup=mix, label_smoothing=cfg.smoothing, num_classes=cfg.nb_classes,
@@ -257,6 +309,8 @@ def setup(cfg: TrainConfig) -> TrainerContext:
 
     ckpt = None
     start_epoch = cfg.start_epoch
+    if cfg.resume:
+        state, start_epoch = _explicit_resume(cfg, state, start_epoch)
     if cfg.output_dir and cfg.save_ckpt:
         import os
 
@@ -286,34 +340,13 @@ def train_one_epoch(ctx: TrainerContext, epoch: int,
     logger = MetricLogger()
     n_steps = min(ctx.steps_per_epoch, max_steps or ctx.steps_per_epoch)
 
-    def _staged_batches():
-        """Stage batches to device 2 steps ahead so H2D overlaps compute
-        (the MpDeviceLoader role, reference main.py:1008-1029)."""
-        import collections
-        import itertools
-
-        def put(batch):
-            images, labels = batch
-            return (_to_global(np.asarray(images), ctx.mesh, P("data")),
-                    _to_global(np.asarray(labels), ctx.mesh, P("data")))
-
-        it = iter(ctx.train_ds)
-        queue = collections.deque(
-            put(b) for b in itertools.islice(it, 2))
-        while queue:
-            yield queue.popleft()
-            try:
-                queue.append(put(next(it)))
-            except StopIteration:
-                pass
-
     profile_at = (2 if cfg.profile_steps > 0 and epoch == ctx.start_epoch and
                   is_main_process() else -1)  # skip warmup/compile steps
     profile_dir = os.path.join(cfg.log_dir or cfg.output_dir or ".", "profile")
     tracing = False
 
     t0 = time.time()
-    batches = _staged_batches()
+    batches = device_prefetch(ctx.train_ds, lambda b: _put_batch(b, ctx.mesh))
     for i in range(n_steps):
         try:
             images, labels = next(batches)
@@ -356,15 +389,19 @@ def evaluate(ctx: TrainerContext, use_ema: bool = False,
     params = ctx.state.ema_params if use_ema else ctx.state.params
     if max_batches is None:
         max_batches = ctx.eval_batches
-    totals = {"top1": 0.0, "top5": 0.0, "count": 0.0, "loss_sum": 0.0}
-    for bi, (images, labels) in enumerate(iter(ctx.val_ds)):
+    # accumulate metric sums on device; ONE host pull at the end — no
+    # per-batch sync (the reference's engine.py:403 mark_step-per-batch /
+    # .item() hazard, and round-1's float(m[k]) loop)
+    keys = ("top1", "top5", "count", "loss_sum")
+    accum = jax.jit(lambda t, m: {k: t[k] + m[k] for k in keys})
+    totals = jax.jit(lambda: {k: jnp.zeros((), jnp.float32) for k in keys})()
+    batches = device_prefetch(ctx.val_ds, lambda b: _put_batch(b, ctx.mesh))
+    for bi, (images, labels) in enumerate(batches):
         if max_batches is not None and bi >= max_batches:
             break
-        images = _to_global(np.asarray(images), ctx.mesh, P("data"))
-        labels = _to_global(np.asarray(labels), ctx.mesh, P("data"))
         m = ctx.eval_step(params, images, labels, ctx.state.model_state)
-        for k in totals:
-            totals[k] += float(m[k])
+        totals = accum(totals, m)
+    totals = {k: float(v) for k, v in totals.items()}
     n = max(totals["count"], 1.0)
     prefix = "ema_" if use_ema else ""
     return {f"{prefix}acc1": 100.0 * totals["top1"] / n,

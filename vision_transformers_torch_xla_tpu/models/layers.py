@@ -145,7 +145,10 @@ class Attention(nn.Module):
         hd = d // h
         qkv = _dense(3 * d, ("embed", "qkv_out"), self.qkv_bias,
                      self.dtype, self.param_dtype, "qkv")(x)
-        if self.use_pallas and not self.qk_norm:
+        # the Pallas kernel has no dropout inside the softmax; an active
+        # attn_drop routes through the jnp path (timm drops on the probs)
+        attn_dropping = self.attn_drop > 0.0 and not deterministic
+        if self.use_pallas and not self.qk_norm and not attn_dropping:
             # Pallas kernel reads the fused qkv tensor in place: no
             # head-major transposes at all (ops/flash_attention.py)
             from vision_transformers_torch_xla_tpu.ops.flash_attention import (
@@ -167,8 +170,19 @@ class Attention(nn.Module):
                                  param_dtype=self.param_dtype, name="q_norm")(q)
                 k = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype,
                                  param_dtype=self.param_dtype, name="k_norm")(k)
-            o = multi_head_attention(q, k, v, scale=hd ** -0.5,
-                                     use_pallas=False)
+            if attn_dropping:
+                # dropout on the softmax probabilities (timm Attention
+                # semantics, reference vision_transformer.py via _compat)
+                s_ = jnp.einsum("bhqd,bhkd->bhqk", q, k,
+                                preferred_element_type=jnp.float32)
+                p = jax.nn.softmax(s_ * hd ** -0.5, axis=-1)
+                p = nn.Dropout(self.attn_drop)(p, deterministic=False)
+                o = jnp.einsum("bhqk,bhkd->bhqd", p.astype(v.dtype), v,
+                               preferred_element_type=jnp.float32
+                               ).astype(q.dtype)
+            else:
+                o = multi_head_attention(q, k, v, scale=hd ** -0.5,
+                                         use_pallas=False)
             o = o.transpose(0, 2, 1, 3)
         o = o.reshape(b, s, d)
         o = _dense(d, ("qkv_out", "embed"), True, self.dtype,

@@ -62,6 +62,15 @@ def init_distributed(coordinator_address: Optional[str] = None,
     """
     if jax.process_count() > 1:
         return  # already initialized
+    # JAX_COORDINATOR_ADDRESS/JAX_NUM_PROCESSES/JAX_PROCESS_ID are what
+    # launch/runner.py exports on pod workers; COORDINATOR_ADDRESS /
+    # MEGASCALE_* cover jax.distributed's own auto-detection names.
+    if coordinator_address is None:
+        coordinator_address = os.environ.get("JAX_COORDINATOR_ADDRESS")
+    if num_processes is None and "JAX_NUM_PROCESSES" in os.environ:
+        num_processes = int(os.environ["JAX_NUM_PROCESSES"])
+    if process_id is None and "JAX_PROCESS_ID" in os.environ:
+        process_id = int(os.environ["JAX_PROCESS_ID"])
     env_says_multihost = any(
         k in os.environ for k in ("COORDINATOR_ADDRESS", "MEGASCALE_COORDINATOR_ADDRESS")
     ) or coordinator_address is not None
