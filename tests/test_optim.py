@@ -97,3 +97,35 @@ def test_wd_schedule_injection():
 def test_unknown_optimizer_raises():
     with pytest.raises(ValueError):
         create_optimizer("madgrad", 1e-3, {"w": jnp.ones(2)})
+
+
+@pytest.mark.parametrize("name", ["lion", "lamb", "sgd", "adam", "sgdp"])
+def test_wd_schedule_applies_to_any_decaying_optimizer(name):
+    """--weight_decay_end must not silently become constant wd for
+    non-adamw optimizers (VERDICT r1 weak #8)."""
+    params = _params()
+    tx = create_optimizer(name, 1e-3, params, weight_decay=0.0,
+                          weight_decay_schedule=lambda s: 0.1)
+    state = tx.init(params)
+    zeros = jax.tree.map(jnp.zeros_like, params)
+    updates, _ = tx.update(zeros, state, params)
+    # zero grads, nonzero scheduled wd -> 2D params still move
+    moved = jax.tree_util.tree_leaves_with_path(updates)
+    any_moved = any(
+        float(jnp.abs(u).max()) > 0 for p, u in moved
+        if getattr(u, "ndim", 0) > 1)
+    assert any_moved, f"{name}: scheduled weight decay inert"
+
+
+def test_l2_wd_masked_for_plain_sgd():
+    """torch-style L2 path: 1-D/bias params stay decay-free."""
+    params = _params()
+    tx = create_optimizer("sgd", 1e-3, params, weight_decay=0.1)
+    state = tx.init(params)
+    zeros = jax.tree.map(jnp.zeros_like, params)
+    updates, _ = tx.update(zeros, state, params)
+    flat = {"/".join(str(getattr(k, "key", k)) for k in p): u
+            for p, u in jax.tree_util.tree_leaves_with_path(updates)}
+    for name, u in flat.items():
+        if u.ndim <= 1 or "pos_embed" in name or "cls_token" in name:
+            assert float(jnp.abs(u).max()) == 0.0, name

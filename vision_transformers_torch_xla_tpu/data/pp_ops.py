@@ -166,24 +166,19 @@ def normalize(mean=(0.485, 0.456, 0.406), std=(0.229, 0.224, 0.225)):
 
 
 @register_pp_op()
-def randaug(num_layers: int = 2, magnitude: int = 9):
-    """RandAugment. The reference PARSES `--aa rand-m9-...` but its randaug op
-    module is absent so the flag is dead (reference datasets.py:42-45);
-    provided here for real."""
-    tf = _tf()
+def randaug(num_layers: int = 2, magnitude: float = 9, mstd: float = 0.5,
+            prob: float = 0.5):
+    """RandAugment, timm 15-op increasing policy (data/randaug_tf.py).
+
+    The reference PARSES `--aa rand-m9-...` but its randaug op module is
+    absent so the flag is dead (reference datasets.py:42-45); provided here
+    with timm's full op set and magnitude semantics."""
+    from vision_transformers_torch_xla_tpu.data.randaug_tf import rand_augment_tf
 
     def _ra(features):
-        image = features["image"]
-        for _ in range(num_layers):
-            op_idx = tf.random.uniform((), 0, 4, tf.int32)
-            mag = magnitude / 30.0
-            image = tf.switch_case(op_idx, {
-                0: lambda: tf.image.random_brightness(image, mag),
-                1: lambda: tf.image.random_contrast(image, 1 - mag, 1 + mag),
-                2: lambda: tf.image.random_saturation(image, 1 - mag, 1 + mag),
-                3: lambda: tf.image.random_hue(image, mag / 2),
-            })
-        features["image"] = tf.saturate_cast(image, tf.uint8)
+        features["image"] = rand_augment_tf(
+            features["image"], num_layers=num_layers, magnitude=magnitude,
+            mstd=mstd, prob=prob)
         return features
 
     return _ra

@@ -54,18 +54,20 @@ def _layer_norm(dtype, param_dtype, name: str, eps: float = 1e-6) -> nn.LayerNor
     )
 
 
-def drop_path(x: jax.Array, rate: float, deterministic: bool,
+def drop_path(x: jax.Array, rate, deterministic: bool,
               rng: Optional[jax.Array]) -> jax.Array:
     """Stochastic depth (per-sample residual drop).
 
     Parity with reference models/vision_transformer.py DropPath usage in
     Block:109-178; scaling by 1/keep like timm's `drop_path(scale_by_keep=True)`.
+    `rate` may be a traced scalar (per-layer rates under nn.scan).
     """
-    if deterministic or rate == 0.0:
+    if deterministic or (isinstance(rate, float) and rate == 0.0):
         return x
     keep = 1.0 - rate
     shape = (x.shape[0],) + (1,) * (x.ndim - 1)
     mask = jax.random.bernoulli(rng, p=keep, shape=shape)
+    # keep==0: x/keep is inf but the all-false mask selects the zero branch
     return jnp.where(mask, x / keep, jnp.zeros_like(x)).astype(x.dtype)
 
 
@@ -227,7 +229,14 @@ class Block(nn.Module):
     param_dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x: jax.Array, deterministic: bool = True) -> jax.Array:
+    def __call__(self, x: jax.Array, deterministic: bool = True,
+                 drop_path_override=None) -> jax.Array:
+        # drop_path_override: a (possibly traced) scalar rate — used by the
+        # scan path to keep timm's linear 0->rate stochastic-depth schedule
+        # with per-layer rates fed through nn.scan in_axes
+        rate = self.drop_path_rate if drop_path_override is None \
+            else drop_path_override
+        rate_off = isinstance(rate, float) and rate == 0.0
         d = x.shape[-1]
         attn_out = Attention(
             num_heads=self.num_heads, qkv_bias=self.qkv_bias,
@@ -238,9 +247,8 @@ class Block(nn.Module):
         if self.init_values is not None:
             attn_out = LayerScale(d, self.init_values, self.param_dtype,
                                   name="ls1")(attn_out)
-        rng = None if deterministic or self.drop_path_rate == 0.0 else \
-            self.make_rng("droppath")
-        x = x + drop_path(attn_out, self.drop_path_rate, deterministic, rng)
+        rng = None if deterministic or rate_off else self.make_rng("droppath")
+        x = x + drop_path(attn_out, rate, deterministic, rng)
 
         mlp_out = Mlp(
             hidden_dim=int(d * self.mlp_ratio), out_dim=d,
@@ -250,9 +258,8 @@ class Block(nn.Module):
         if self.init_values is not None:
             mlp_out = LayerScale(d, self.init_values, self.param_dtype,
                                  name="ls2")(mlp_out)
-        rng = None if deterministic or self.drop_path_rate == 0.0 else \
-            self.make_rng("droppath")
-        x = x + drop_path(mlp_out, self.drop_path_rate, deterministic, rng)
+        rng = None if deterministic or rate_off else self.make_rng("droppath")
+        x = x + drop_path(mlp_out, rate, deterministic, rng)
         return x
 
 

@@ -46,18 +46,26 @@ def resample_pos_embed(pos_embed: jax.Array, new_grid: tuple,
 
 
 class _ScanBody(nn.Module):
-    """lax.scan body: one transformer block returning (carry, None)."""
+    """lax.scan body: one transformer block returning (carry, None).
+
+    `dp_rate` is this layer's stochastic-depth rate, scanned over a
+    length-`depth` array (in_axes=0) so scan mode keeps timm's linear
+    0->rate schedule exactly (reference vision_transformer.py:582-600 dpr).
+    """
 
     block_kwargs: tuple  # dict items, kept hashable for the module dataclass
 
     @nn.compact
-    def __call__(self, x, deterministic):
+    def __call__(self, x, dp_rate, deterministic):
         kw = dict(self.block_kwargs)
         block_cls = Block
         if kw.pop("remat", False):
             block_cls = nn.remat(Block, static_argnums=(2,),
                                  policy=jax.checkpoint_policies.nothing_saveable)
-        return block_cls(**kw, name="block")(x, deterministic), None
+        self.sow("intermediates", "dp_rate", dp_rate)
+        # positional so nn.remat's static_argnums=(2,) still marks
+        # `deterministic`; dp_rate (index 3) stays traced
+        return block_cls(**kw, name="block")(x, deterministic, dp_rate), None
 
 
 class VisionTransformer(nn.Module):
@@ -89,8 +97,8 @@ class VisionTransformer(nn.Module):
     # only elementwise ops in the backward pass)
     scan_blocks: bool = False                  # lax.scan over layers: one
     # compiled block instead of `depth` (compile time ~depth x lower; params
-    # stacked on a leading layer axis). DropPath rates are uniform at
-    # drop_path_rate/2 avg parity is NOT kept: scan uses the mean rate.
+    # stacked on a leading layer axis). Per-layer DropPath rates ride the
+    # scan via in_axes, so the linear 0->rate schedule matches loop mode.
     dtype: jnp.dtype = jnp.bfloat16
     param_dtype: jnp.dtype = jnp.float32
 
@@ -153,16 +161,18 @@ class VisionTransformer(nn.Module):
         if self.scan_blocks:
             scanned = nn.scan(
                 _ScanBody,
-                variable_axes={"params": 0},
+                variable_axes={"params": 0, "intermediates": 0},
                 split_rngs={"params": True, "dropout": True, "droppath": True},
-                in_axes=nn.broadcast,
+                in_axes=(0, nn.broadcast),
                 length=self.depth,
                 metadata_params={nn.PARTITION_NAME: "layers"},
             )(block_kwargs=tuple(
-                dict(drop_path_rate=self.drop_path_rate / 2,
-                     remat=self.remat, **block_kwargs).items()),
+                dict(remat=self.remat, **block_kwargs).items()),
               name="blocks_stacked")
-            x, _ = scanned(x, deterministic)
+            # per-layer linear 0->rate schedule, identical to the loop path
+            dp_rates = self.drop_path_rate * jnp.arange(
+                self.depth, dtype=jnp.float32) / max(self.depth - 1, 1)
+            x, _ = scanned(x, dp_rates, deterministic)
         else:
             for i in range(self.depth):
                 dpr = self.drop_path_rate * i / max(self.depth - 1, 1)

@@ -155,20 +155,24 @@ def _lookup(opt_name: str) -> Callable:
         "rmsproptf": lambda lr, cfg, mask: optax.rmsprop(
             lr, decay=0.9, eps=cfg.get("eps", 1e-8), momentum=cfg.get("momentum", 0.9),
             initial_scale=1.0),
-        "novograd": lambda lr, cfg, mask: optax.novograd(
+        "novograd": lambda lr, cfg, mask: optax.inject_hyperparams(optax.novograd)(
             lr, b1=0.95, b2=0.98, eps=cfg.get("eps", 1e-8),
             weight_decay=cfg.get("weight_decay", 0.0)),
-        "lamb": lambda lr, cfg, mask: optax.lamb(
+        "lamb": lambda lr, cfg, mask: optax.inject_hyperparams(
+            optax.lamb, static_args=("mask",))(
             lr, eps=cfg.get("eps", 1e-6), weight_decay=cfg.get("weight_decay", 0.0),
-            mask=lambda p: mask),
-        "lars": lambda lr, cfg, mask: optax.lars(
+            mask=mask),
+        "lars": lambda lr, cfg, mask: optax.inject_hyperparams(optax.lars)(
             lr, weight_decay=cfg.get("weight_decay", 0.0)),
-        "lion": lambda lr, cfg, mask: optax.lion(
-            lr, weight_decay=cfg.get("weight_decay", 0.0), mask=lambda p: mask),
-        "adamp": lambda lr, cfg, mask: _adamp().adamp(
+        "lion": lambda lr, cfg, mask: optax.inject_hyperparams(
+            optax.lion, static_args=("mask",))(
+            lr, weight_decay=cfg.get("weight_decay", 0.0), mask=mask),
+        "adamp": lambda lr, cfg, mask: optax.inject_hyperparams(
+            _adamp().adamp, static_args=("mask",))(
             lr, *cfg.get("betas", (0.9, 0.999)), eps=cfg.get("eps", 1e-8),
             weight_decay=cfg.get("weight_decay", 0.0), mask=mask),
-        "sgdp": lambda lr, cfg, mask: _adamp().sgdp(
+        "sgdp": lambda lr, cfg, mask: optax.inject_hyperparams(
+            _adamp().sgdp, static_args=("mask",))(
             lr, momentum=cfg.get("momentum", 0.9),
             weight_decay=cfg.get("weight_decay", 0.0), mask=mask),
     }
@@ -207,14 +211,31 @@ def create_optimizer(
     cfg = {"eps": opt_eps, "momentum": momentum, "weight_decay": weight_decay}
     if opt_betas is not None:
         cfg["betas"] = tuple(opt_betas)
-    if weight_decay_schedule is not None and opt in ("adamw", "nadamw"):
-        cfg["weight_decay"] = weight_decay_schedule  # inject_hyperparams handles it
+    # optimizers with built-in (decoupled) weight decay take the scalar or
+    # schedule directly (every factory is inject_hyperparams-wrapped); the
+    # rest get torch-style masked L2 chained before the optimizer — the
+    # reference writes wd into ANY optimizer's param groups each iteration
+    # (engine.py:98-103), so no optimizer may silently drop it.
+    decoupled = {"adamw", "nadamw", "novograd", "lamb", "lars", "lion",
+                 "adamp", "sgdp"}
+    l2_tx = None
+    if opt in decoupled:
+        if weight_decay_schedule is not None:
+            cfg["weight_decay"] = weight_decay_schedule
+    else:
+        cfg["weight_decay"] = 0.0
+        if weight_decay_schedule is not None or weight_decay > 0:
+            l2_tx = optax.inject_hyperparams(
+                optax.add_decayed_weights, static_args=("mask",))(
+                weight_decay=weight_decay_schedule or weight_decay, mask=mask)
 
     tx = _lookup(opt)(learning_rate, cfg, mask)
 
     chain = []
     if clip_grad is not None and clip_grad > 0:
         chain.append(optax.clip_by_global_norm(clip_grad))
+    if l2_tx is not None:
+        chain.append(l2_tx)
     chain.append(tx)
     if layer_decay < 1.0:
         chain.append(scale_by_layer_decay(layer_decay, model_depth))
