@@ -100,3 +100,57 @@ def test_attn_drop_applied_in_train_mode():
     assert not np.allclose(det, d1)   # active in train mode
     assert not np.allclose(d1, d2)    # rng-dependent
     np.testing.assert_allclose(det, attn.apply(v, x, True))  # eval unchanged
+
+
+def test_block_variants_forward_and_grads():
+    """ResPost/ParallelScaling/ParallelThings blocks (reference
+    vision_transformer.py:181,242,344)."""
+    x = jnp.ones((2, 32, 32, 3), jnp.float32)
+    for bt in ("respost", "parallel_scaling", "parallel_things"):
+        m = VisionTransformer(img_size=32, patch_size=16, embed_dim=64,
+                              depth=2, num_heads=2, num_classes=10,
+                              block_type=bt, drop_path_rate=0.1,
+                              dtype=jnp.float32)
+        vs = m.init({"params": jax.random.key(0)}, x, True)
+        y = m.apply(vs, x, False, rngs={"dropout": jax.random.key(1),
+                                        "droppath": jax.random.key(2)})
+        assert y.shape == (2, 10), bt
+        g = jax.grad(lambda p: m.apply({"params": p}, x, True).sum())(
+            vs["params"])
+        assert all(jnp.isfinite(l).all() for l in jax.tree.leaves(g)), bt
+
+
+def test_dynamic_img_size_and_set_input_size():
+    """Runtime pos-embed resample (reference :748-756) + set_input_size
+    (:718): params from 32px init run at 48px."""
+    m = VisionTransformer(img_size=32, patch_size=16, embed_dim=64, depth=1,
+                          num_heads=2, num_classes=10, dynamic_img_size=True,
+                          dtype=jnp.float32)
+    vs = m.init({"params": jax.random.key(0)}, jnp.ones((1, 32, 32, 3)), True)
+    assert m.apply(vs, jnp.ones((1, 48, 48, 3)), True).shape == (1, 10)
+    m48 = m.set_input_size(48)
+    assert m48.apply(vs, jnp.ones((1, 48, 48, 3)), True).shape == (1, 10)
+    # static models still reject mismatched inputs loudly
+    m_static = VisionTransformer(img_size=32, patch_size=16, embed_dim=64,
+                                 depth=1, num_heads=2, num_classes=10,
+                                 dtype=jnp.float32)
+    vss = m_static.init({"params": jax.random.key(0)},
+                        jnp.ones((1, 32, 32, 3)), True)
+    with pytest.raises(ValueError, match="dynamic_img_size"):
+        m_static.apply(vss, jnp.ones((1, 48, 48, 3)), True)
+
+
+def test_patch_dropout():
+    """PatchDropout (reference :572-578): train-mode only, prefix kept."""
+    m = VisionTransformer(img_size=32, patch_size=8, embed_dim=64, depth=1,
+                          num_heads=2, num_classes=10, patch_drop_rate=0.5,
+                          dtype=jnp.float32)
+    x = jnp.ones((2, 32, 32, 3), jnp.float32)
+    vs = m.init({"params": jax.random.key(0)}, x, True)
+    _, inter = m.apply(vs, x, False, rngs={"dropout": jax.random.key(1)},
+                       mutable=["intermediates"])
+    tokens = jax.tree.leaves(inter["intermediates"])[0]
+    assert tokens.shape[1] == 1 + 8  # cls + 50% of 16 patches
+    _, inter = m.apply(vs, x, True, mutable=["intermediates"])
+    tokens = jax.tree.leaves(inter["intermediates"])[0]
+    assert tokens.shape[1] == 1 + 16  # eval: all tokens

@@ -43,7 +43,14 @@ def _dense(features: int, names: Tuple[Optional[str], Optional[str]],
     )
 
 
-def _layer_norm(dtype, param_dtype, name: str, eps: float = 1e-6) -> nn.LayerNorm:
+def _layer_norm(dtype, param_dtype, name: str, eps: float = 1e-6,
+                norm_type: str = "layernorm"):
+    if norm_type == "rmsnorm":
+        return nn.RMSNorm(
+            epsilon=eps, dtype=dtype, param_dtype=param_dtype,
+            scale_init=nn.with_logical_partitioning(
+                nn.initializers.ones_init(), ("embed",)),
+            name=name)
     return nn.LayerNorm(
         epsilon=eps,
         dtype=dtype,
@@ -52,6 +59,24 @@ def _layer_norm(dtype, param_dtype, name: str, eps: float = 1e-6) -> nn.LayerNor
         bias_init=nn.with_logical_partitioning(nn.initializers.zeros_init(), ("embed",)),
         name=name,
     )
+
+
+def act_fn(name: str) -> Callable:
+    """Activation by timm name (reference act_layer= strings)."""
+    table = {
+        "gelu": lambda x: nn.gelu(x, approximate=True),
+        "gelu_tanh": lambda x: nn.gelu(x, approximate=True),
+        "gelu_exact": lambda x: nn.gelu(x, approximate=False),
+        "quick_gelu": lambda x: x * nn.sigmoid(1.702 * x),
+        "silu": nn.silu,
+        "relu": nn.relu,
+        "hard_swish": nn.hard_swish,
+        "hard_sigmoid": nn.hard_sigmoid,
+    }
+    try:
+        return table[name]
+    except KeyError:
+        raise ValueError(f"unknown act_layer {name!r}; known {sorted(table)}")
 
 
 def drop_path(x: jax.Array, rate, deterministic: bool,
@@ -101,20 +126,32 @@ class PatchEmbed(nn.Module):
 
 
 class Mlp(nn.Module):
-    """Transformer MLP: fc1 -> GELU -> fc2 (col-/row-parallel over 'model')."""
+    """Transformer MLP: fc1 -> act -> fc2 (col-/row-parallel over 'model').
+
+    glu=True is timm's SwiGLUPacked (reference vision_transformer.py dinov2
+    giant): fc1's output splits in two, silu(a) * b feeds fc2.
+    """
 
     hidden_dim: int
     out_dim: int
     dropout: float = 0.0
     use_bias: bool = True
+    act: str = "gelu"
+    glu: bool = False
     dtype: Dtype = jnp.bfloat16
     param_dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x: jax.Array, deterministic: bool = True) -> jax.Array:
-        x = _dense(self.hidden_dim, ("embed", "mlp"), self.use_bias,
+        # glu needs an even fc1 width to split into two gates
+        hidden = self.hidden_dim // 2 * 2 if self.glu else self.hidden_dim
+        x = _dense(hidden, ("embed", "mlp"), self.use_bias,
                    self.dtype, self.param_dtype, "fc1")(x)
-        x = nn.gelu(x, approximate=True)
+        if self.glu:
+            a, b = jnp.split(x, 2, axis=-1)
+            x = nn.silu(a) * b
+        else:
+            x = act_fn(self.act)(x)
         x = nn.Dropout(self.dropout)(x, deterministic=deterministic)
         x = _dense(self.out_dim, ("mlp", "embed"), self.use_bias,
                    self.dtype, self.param_dtype, "fc2")(x)
@@ -225,6 +262,9 @@ class Block(nn.Module):
     proj_drop: float = 0.0
     attn_drop: float = 0.0
     use_pallas: bool = False
+    act: str = "gelu"
+    glu: bool = False
+    norm_type: str = "layernorm"
     dtype: Dtype = jnp.bfloat16
     param_dtype: Dtype = jnp.float32
 
@@ -243,7 +283,8 @@ class Block(nn.Module):
             qk_norm=self.qk_norm, attn_drop=self.attn_drop,
             proj_drop=self.proj_drop, use_pallas=self.use_pallas,
             dtype=self.dtype, param_dtype=self.param_dtype, name="attn",
-        )(_layer_norm(self.dtype, self.param_dtype, "norm1")(x), deterministic)
+        )(_layer_norm(self.dtype, self.param_dtype, "norm1",
+                      norm_type=self.norm_type)(x), deterministic)
         if self.init_values is not None:
             attn_out = LayerScale(d, self.init_values, self.param_dtype,
                                   name="ls1")(attn_out)
@@ -252,9 +293,11 @@ class Block(nn.Module):
 
         mlp_out = Mlp(
             hidden_dim=int(d * self.mlp_ratio), out_dim=d,
-            dropout=self.proj_drop, dtype=self.dtype,
+            dropout=self.proj_drop, act=self.act, glu=self.glu,
+            dtype=self.dtype,
             param_dtype=self.param_dtype, name="mlp",
-        )(_layer_norm(self.dtype, self.param_dtype, "norm2")(x), deterministic)
+        )(_layer_norm(self.dtype, self.param_dtype, "norm2",
+                      norm_type=self.norm_type)(x), deterministic)
         if self.init_values is not None:
             mlp_out = LayerScale(d, self.init_values, self.param_dtype,
                                  name="ls2")(mlp_out)
@@ -300,3 +343,194 @@ class AttentionPoolLatent(nn.Module):
                     param_dtype=self.param_dtype, name="mlp")(
             _layer_norm(self.dtype, self.param_dtype, "norm")(o))
         return o[:, 0]
+
+
+class ResPostBlock(nn.Module):
+    """Residual-post-norm block: x + DP(LN(attn(x))), x + DP(LN(mlp(x))).
+
+    Parity: reference models/vision_transformer.py:181-239 (ResPostBlock;
+    init_values scales the post-norms' weight init instead of LayerScale).
+    """
+
+    num_heads: int
+    mlp_ratio: float = 4.0
+    qkv_bias: bool = True
+    qk_norm: bool = False
+    init_values: Optional[float] = None
+    drop_path_rate: float = 0.0
+    proj_drop: float = 0.0
+    attn_drop: float = 0.0
+    use_pallas: bool = False
+    act: str = "gelu"
+    glu: bool = False
+    norm_type: str = "layernorm"
+    dtype: Dtype = jnp.bfloat16
+    param_dtype: Dtype = jnp.float32
+
+    def _norm(self, name):
+        scale = nn.initializers.constant(self.init_values) \
+            if self.init_values is not None else nn.initializers.ones_init()
+        return nn.LayerNorm(
+            epsilon=1e-6, dtype=self.dtype, param_dtype=self.param_dtype,
+            scale_init=nn.with_logical_partitioning(scale, ("embed",)),
+            bias_init=nn.with_logical_partitioning(
+                nn.initializers.zeros_init(), ("embed",)),
+            name=name)
+
+    @nn.compact
+    def __call__(self, x: jax.Array, deterministic: bool = True,
+                 drop_path_override=None) -> jax.Array:
+        rate = self.drop_path_rate if drop_path_override is None \
+            else drop_path_override
+        rate_off = isinstance(rate, float) and rate == 0.0
+        d = x.shape[-1]
+        y = Attention(num_heads=self.num_heads, qkv_bias=self.qkv_bias,
+                      qk_norm=self.qk_norm, attn_drop=self.attn_drop,
+                      proj_drop=self.proj_drop, use_pallas=self.use_pallas,
+                      dtype=self.dtype, param_dtype=self.param_dtype,
+                      name="attn")(x, deterministic)
+        y = self._norm("norm1")(y)
+        rng = None if deterministic or rate_off else self.make_rng("droppath")
+        x = x + drop_path(y, rate, deterministic, rng)
+
+        y = Mlp(hidden_dim=int(d * self.mlp_ratio), out_dim=d,
+                dropout=self.proj_drop, act=self.act, glu=self.glu,
+                dtype=self.dtype,
+                param_dtype=self.param_dtype, name="mlp")(x, deterministic)
+        y = self._norm("norm2")(y)
+        rng = None if deterministic or rate_off else self.make_rng("droppath")
+        return x + drop_path(y, rate, deterministic, rng)
+
+
+class ParallelScalingBlock(nn.Module):
+    """ViT-22B-style parallel block: one fused in-projection computes qkv AND
+    the MLP hidden in a single matmul; attention and MLP branches are summed
+    into the residual. Parity: reference vision_transformer.py:242-341.
+    """
+
+    num_heads: int
+    mlp_ratio: float = 4.0
+    qkv_bias: bool = True
+    qk_norm: bool = True          # ViT-22B normalizes q and k
+    init_values: Optional[float] = None
+    drop_path_rate: float = 0.0
+    proj_drop: float = 0.0
+    attn_drop: float = 0.0
+    use_pallas: bool = False
+    act: str = "gelu"
+    glu: bool = False             # accepted for block_kwargs parity; unused
+    norm_type: str = "layernorm"
+    dtype: Dtype = jnp.bfloat16
+    param_dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array, deterministic: bool = True,
+                 drop_path_override=None) -> jax.Array:
+        rate = self.drop_path_rate if drop_path_override is None \
+            else drop_path_override
+        rate_off = isinstance(rate, float) and rate == 0.0
+        b, s, d = x.shape
+        h = self.num_heads
+        hd = d // h
+        mlp_hidden = int(d * self.mlp_ratio)
+
+        y = _layer_norm(self.dtype, self.param_dtype, "in_norm",
+                        norm_type=self.norm_type)(x)
+        fused = _dense(3 * d + mlp_hidden, ("embed", "qkv_out"),
+                       self.qkv_bias, self.dtype, self.param_dtype,
+                       "in_proj")(y)
+        qkv, mlp_h = fused[..., :3 * d], fused[..., 3 * d:]
+        qkv = qkv.reshape(b, s, 3, h, hd).transpose(2, 0, 3, 1, 4)
+        q, k, v = qkv[0], qkv[1], qkv[2]
+        if self.qk_norm:
+            q = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype,
+                             param_dtype=self.param_dtype, name="q_norm")(q)
+            k = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype,
+                             param_dtype=self.param_dtype, name="k_norm")(k)
+        o = multi_head_attention(q, k, v, scale=hd ** -0.5, use_pallas=False)
+        o = o.transpose(0, 2, 1, 3).reshape(b, s, d)
+        attn_out = _dense(d, ("qkv_out", "embed"), True, self.dtype,
+                          self.param_dtype, "attn_out_proj")(o)
+
+        mlp_out = _dense(d, ("mlp", "embed"), True, self.dtype,
+                         self.param_dtype, "mlp_out_proj")(
+            act_fn(self.act)(mlp_h))
+
+        y = attn_out + mlp_out
+        if self.init_values is not None:
+            y = LayerScale(d, self.init_values, self.param_dtype, name="ls")(y)
+        rng = None if deterministic or rate_off else self.make_rng("droppath")
+        return x + drop_path(y, rate, deterministic, rng)
+
+
+class ParallelThingsBlock(nn.Module):
+    """'Three things everyone should know about ViTs' parallel block:
+    x = x + sum_i attn_i(LN_i(x)); x = x + sum_i mlp_i(LN_i(x)).
+    Parity: reference vision_transformer.py:344-416 (num_parallel=2).
+    """
+
+    num_heads: int
+    num_parallel: int = 2
+    mlp_ratio: float = 4.0
+    qkv_bias: bool = True
+    qk_norm: bool = False
+    init_values: Optional[float] = None
+    drop_path_rate: float = 0.0
+    proj_drop: float = 0.0
+    attn_drop: float = 0.0
+    use_pallas: bool = False
+    act: str = "gelu"
+    glu: bool = False
+    norm_type: str = "layernorm"
+    dtype: Dtype = jnp.bfloat16
+    param_dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array, deterministic: bool = True,
+                 drop_path_override=None) -> jax.Array:
+        rate = self.drop_path_rate if drop_path_override is None \
+            else drop_path_override
+        rate_off = isinstance(rate, float) and rate == 0.0
+        d = x.shape[-1]
+
+        def residual(y):
+            rng = None if deterministic or rate_off else \
+                self.make_rng("droppath")
+            return drop_path(y, rate, deterministic, rng)
+
+        attn_sum = 0.0
+        for i in range(self.num_parallel):
+            y = Attention(num_heads=self.num_heads, qkv_bias=self.qkv_bias,
+                          qk_norm=self.qk_norm, attn_drop=self.attn_drop,
+                          proj_drop=self.proj_drop, use_pallas=self.use_pallas,
+                          dtype=self.dtype, param_dtype=self.param_dtype,
+                          name=f"attns_{i}")(
+                _layer_norm(self.dtype, self.param_dtype,
+                            f"attn_norms_{i}")(x), deterministic)
+            if self.init_values is not None:
+                y = LayerScale(d, self.init_values, self.param_dtype,
+                               name=f"attn_ls_{i}")(y)
+            attn_sum = attn_sum + residual(y)
+        x = x + attn_sum
+
+        mlp_sum = 0.0
+        for i in range(self.num_parallel):
+            y = Mlp(hidden_dim=int(d * self.mlp_ratio), out_dim=d,
+                    dropout=self.proj_drop, act=self.act, glu=self.glu,
+                    dtype=self.dtype,
+                    param_dtype=self.param_dtype, name=f"mlps_{i}")(
+                _layer_norm(self.dtype, self.param_dtype,
+                            f"mlp_norms_{i}")(x), deterministic)
+            if self.init_values is not None:
+                y = LayerScale(d, self.init_values, self.param_dtype,
+                               name=f"mlp_ls_{i}")(y)
+            mlp_sum = mlp_sum + residual(y)
+        return x + mlp_sum
+
+
+BLOCK_TYPES = {
+    "block": Block,
+    "respost": ResPostBlock,
+    "parallel_scaling": ParallelScalingBlock,
+    "parallel_things": ParallelThingsBlock,
+}

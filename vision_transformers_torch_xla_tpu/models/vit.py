@@ -21,6 +21,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from vision_transformers_torch_xla_tpu.models.layers import (
+    BLOCK_TYPES,
     AttentionPoolLatent,
     Block,
     PatchEmbed,
@@ -90,6 +91,24 @@ class VisionTransformer(nn.Module):
     attn_drop_rate: float = 0.0
     drop_path_rate: float = 0.0                # linearly scaled over depth
     pre_norm: bool = False
+    no_embed_class: bool = False               # pos_embed covers patch tokens
+    # only; prefix tokens concat after the add (reference :743-780)
+    act_layer: str = "gelu"                    # 'gelu' | 'gelu_tanh' |
+    # 'quick_gelu' (CLIP) | 'silu' — timm act_layer strings
+    swiglu_mlp: bool = False                   # SwiGLUPacked MLP (dinov2 giant)
+    norm_type: str = "layernorm"               # 'layernorm' | 'rmsnorm' (xp)
+    final_norm: bool = True                    # apply the trunk-final norm
+    # (intern300m sets final_norm=False, reference vision_transformer.py)
+    block_type: str = "block"                  # 'block' | 'respost' |
+    # 'parallel_scaling' | 'parallel_things' (reference
+    # vision_transformer.py:181,242,344 alternative block classes)
+    patch_drop_rate: float = 0.0               # PatchDropout (reference
+    # :572-578): drop a random fraction of patch tokens during training
+    dynamic_img_size: bool = False             # accept any input size by
+    # resampling pos_embed at trace time (reference :748-756)
+    pos_grid: Optional[int] = None             # grid the pos_embed param is
+    # sized for; defaults to img_size//patch_size. set_input_size pins it to
+    # the original grid so existing params stay loadable.
     use_pallas_attn: bool = False
     remat: bool = False                        # gradient checkpointing
     remat_policy: str = "nothing"              # 'nothing' | 'dots' — what the
@@ -105,6 +124,27 @@ class VisionTransformer(nn.Module):
     @property
     def num_prefix_tokens(self) -> int:
         return (1 if self.class_token else 0) + self.reg_tokens
+
+    def set_input_size(self, img_size: int) -> "VisionTransformer":
+        """New module configured for a different input size; existing params
+        stay loadable (pos_embed resamples at trace time). Parity with
+        reference vision_transformer.py:718 set_input_size."""
+        return self.clone(img_size=img_size, dynamic_img_size=True,
+                          pos_grid=self.pos_grid or
+                          self.img_size // self.patch_size)
+
+    def _patch_dropout(self, x: jax.Array) -> jax.Array:
+        """PatchDropout (reference :572-578): keep prefix tokens, keep a
+        random subset of patch tokens (static count -> jit-stable shapes)."""
+        npt = self.num_prefix_tokens
+        prefix, patches = x[:, :npt], x[:, npt:]
+        b, n, _ = patches.shape
+        keep = max(1, int(n * (1.0 - self.patch_drop_rate)))
+        rng = self.make_rng("dropout")
+        scores = jax.random.uniform(rng, (b, n))
+        idx = jnp.argsort(scores, axis=-1)[:, :keep]
+        kept = jnp.take_along_axis(patches, idx[..., None], axis=1)
+        return jnp.concatenate([prefix, kept], axis=1) if npt else kept
 
     @nn.compact
     def __call__(self, x: jax.Array, deterministic: bool = True) -> jax.Array:
@@ -132,31 +172,55 @@ class VisionTransformer(nn.Module):
                 (1, self.reg_tokens, self.embed_dim), self.param_dtype)
             prefix.append(jnp.broadcast_to(reg.astype(x.dtype),
                                            (b, self.reg_tokens, self.embed_dim)))
-        if prefix:
-            x = jnp.concatenate(prefix + [x], axis=1)
-
+        # pos_embed is sized for the CONFIGURED grid; with dynamic_img_size a
+        # different input grid resamples it at trace time (shapes stay static
+        # under jit — reference vision_transformer.py:748-756 runtime path).
+        # no_embed_class: pos covers patch tokens only, prefix concats after
+        # the add (reference :743-780).
+        cfg_grid = self.pos_grid or self.img_size // self.patch_size
+        pos_prefix = 0 if self.no_embed_class else self.num_prefix_tokens
         pos = self.param(
             "pos_embed",
             nn.with_logical_partitioning(trunc_init, (None, "seq", "embed")),
-            (1, n_patches + self.num_prefix_tokens, self.embed_dim),
+            (1, cfg_grid * cfg_grid + pos_prefix, self.embed_dim),
             self.param_dtype)
-        x = x + pos.astype(x.dtype)
+        if n_patches != cfg_grid * cfg_grid:
+            if not self.dynamic_img_size:
+                raise ValueError(
+                    f"input grid {n_patches} patches != configured "
+                    f"{cfg_grid * cfg_grid}; set dynamic_img_size=True or "
+                    f"img_size to match")
+            new_side = int(n_patches ** 0.5)
+            pos = resample_pos_embed(pos, (new_side, new_side),
+                                     (cfg_grid, cfg_grid), pos_prefix)
+        if self.no_embed_class:
+            x = x + pos.astype(x.dtype)
+            if prefix:
+                x = jnp.concatenate(prefix + [x], axis=1)
+        else:
+            if prefix:
+                x = jnp.concatenate(prefix + [x], axis=1)
+            x = x + pos.astype(x.dtype)
         x = nn.Dropout(self.pos_drop_rate)(x, deterministic=deterministic)
+        if self.patch_drop_rate > 0 and not deterministic:
+            x = self._patch_dropout(x)
         if self.pre_norm:
-            x = _layer_norm(self.dtype, self.param_dtype, "norm_pre")(x)
+            x = _layer_norm(self.dtype, self.param_dtype, "norm_pre",
+                            norm_type=self.norm_type)(x)
 
-        block_cls = Block
+        block_cls = BLOCK_TYPES[self.block_type]
         if self.remat:
             policy = (jax.checkpoint_policies.dots_with_no_batch_dims_saveable
                       if self.remat_policy == "dots"
                       else jax.checkpoint_policies.nothing_saveable)
-            block_cls = nn.remat(Block, static_argnums=(2,), policy=policy)
+            block_cls = nn.remat(block_cls, static_argnums=(2,), policy=policy)
         block_kwargs = dict(
             num_heads=self.num_heads, mlp_ratio=self.mlp_ratio,
             qkv_bias=self.qkv_bias, qk_norm=self.qk_norm,
             init_values=self.init_values,
             proj_drop=self.proj_drop_rate, attn_drop=self.attn_drop_rate,
-            use_pallas=self.use_pallas_attn, dtype=self.dtype,
+            use_pallas=self.use_pallas_attn, act=self.act_layer,
+            glu=self.swiglu_mlp, norm_type=self.norm_type, dtype=self.dtype,
             param_dtype=self.param_dtype)  # shared by loop + scan paths
         if self.scan_blocks:
             scanned = nn.scan(
@@ -186,7 +250,9 @@ class VisionTransformer(nn.Module):
                 # vision_transformer.py:782-875): free unless the caller
                 # applies with mutable=["intermediates"]
                 self.sow("intermediates", f"block_{i}", x)
-        x = _layer_norm(self.dtype, self.param_dtype, "norm")(x)
+        if self.final_norm:
+            x = _layer_norm(self.dtype, self.param_dtype, "norm",
+                            norm_type=self.norm_type)(x)
         return x
 
     def forward_head(self, x: jax.Array, deterministic: bool = True,
