@@ -21,6 +21,19 @@ FAMILIES = [
                                   cls_attn_layers=1, num_heads=2), 32),
     ("regnety_004", dict(depth=6), 64),
     ("maxvit_tiny_224", dict(depths=(1, 1), dims=(32, 64), stem_dim=16), 56),
+    ("swinv2_tiny_window8_256", dict(img_size=64, window_size=4,
+                                     depths=(1, 1, 1, 1)), 64),
+    ("swinv2_cr_small_ns_224", dict(img_size=64, window_size=4,
+                                    depths=(1, 1, 1, 1)), 64),
+    ("eva02_tiny_patch14_224", dict(img_size=56, embed_dim=64, depth=2,
+                                    num_heads=2), 56),
+    ("eva_giant_patch14_224", dict(img_size=56, embed_dim=64, depth=2,
+                                   num_heads=2), 56),
+    ("vit_medium_patch16_rope_reg1_gap_256",
+     dict(img_size=64, embed_dim=64, depth=2, num_heads=2), 64),
+    ("nfnet_f0", dict(depths=(1, 1, 1, 1)), 64),
+    ("eca_nfnet_l0", dict(depths=(1, 1, 1, 1)), 64),
+    ("nf_seresnet26", dict(depths=(1, 1, 1, 1)), 64),
 ]
 
 
@@ -37,9 +50,11 @@ def test_family_forward(name, kwargs, hw):
 
 def test_zoo_size():
     names = list_models()
-    assert len(names) >= 65
+    assert len(names) >= 250
     # every family the reference CLI can reach plus the majors we add
     for family in ["my_vit", "vit_", "convnext", "deit", "mixer", "resnet",
                    "swin", "efficientnet", "cait", "pvt_v2", "beit",
-                   "regnety", "xcit", "maxvit"]:
+                   "regnety", "xcit", "maxvit", "swinv2_", "swinv2_cr_",
+                   "eva02_", "eva_giant", "nfnet_f", "dm_nfnet_", "eca_nfnet_",
+                   "nf_resnet", "nf_seresnet", "nf_ecaresnet"]:
         assert any(n.startswith(family) for n in names), family

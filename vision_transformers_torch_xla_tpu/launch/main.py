@@ -87,31 +87,15 @@ def _put_batch(batch, mesh):
             _to_global(np.asarray(labels), mesh, P("data")))
 
 
-def _flatten_with_names(tree):
-    flat = jax.tree_util.tree_flatten_with_path(tree)[0]
-    return {tuple(str(getattr(k, "key", k)) for k in path): leaf
-            for path, leaf in flat}
-
-
 def _load_params_into(params, loaded):
     """Graft loaded leaves onto params; keep originals on shape mismatch
-    (reference utils/__init__.py:550-596 lenient load)."""
-    flat_l = _flatten_with_names(loaded)
-    n_loaded = 0
+    except pos_embed, which is grid-resampled (reference
+    utils/__init__.py:550-596 lenient load + resize_pos_embed)."""
+    from vision_transformers_torch_xla_tpu.models.pretrained import (
+        merge_into_params,
+    )
 
-    def merge(path, leaf):
-        nonlocal n_loaded
-        key = tuple(str(getattr(k, "key", k)) for k in path)
-        cand = flat_l.get(key)
-        if cand is not None and tuple(cand.shape) == tuple(leaf.shape):
-            n_loaded += 1
-            return jnp.asarray(cand, leaf.dtype)
-        if cand is not None:
-            log.warning("skip %s (shape %s vs %s)", "/".join(key),
-                        cand.shape, leaf.shape)
-        return leaf
-
-    out = jax.tree_util.tree_map_with_path(merge, params)
+    out, n_loaded = merge_into_params(params, loaded)
     log.info("loaded %d params from checkpoint", n_loaded)
     return out
 
@@ -219,13 +203,27 @@ def setup(cfg: TrainConfig) -> TrainerContext:
     params = variables["params"]
     model_state = {c: variables[c] for c in mutable_cols}
 
-    if cfg.finetune:
-        from vision_transformers_torch_xla_tpu.ckpt.torch_compat import (
-            load_reference_checkpoint,
-        )
+    from vision_transformers_torch_xla_tpu.models.pretrained import (
+        apply_pretrained,
+    )
 
-        loaded = load_reference_checkpoint(cfg.finetune, cfg.model_key,
-                                           cfg.model_prefix)
+    # factory-level pretrained sources (pretrained=True / local-dir: /
+    # hf-hub:) attach a loaded state dict; merge it now (no-op otherwise)
+    params = apply_pretrained(model, params)
+    if cfg.finetune:
+        if cfg.finetune.endswith((".pth", ".pt", ".bin")):
+            from vision_transformers_torch_xla_tpu.ckpt.torch_compat import (
+                load_reference_checkpoint,
+            )
+
+            loaded = load_reference_checkpoint(cfg.finetune, cfg.model_key,
+                                               cfg.model_prefix)
+        else:
+            from vision_transformers_torch_xla_tpu.models.pretrained import (
+                load_state_dict,
+            )
+
+            loaded = load_state_dict(cfg.finetune, model_name=cfg.model)
         params = _load_params_into(params, loaded)
 
     lr_fn = cosine_schedule_fn(cfg.lr, cfg.min_lr, cfg.epochs, steps_per_epoch,

@@ -13,6 +13,10 @@ from vision_transformers_torch_xla_tpu.models.registry import (  # noqa: F401
     split_model_name_tag,
 )
 from vision_transformers_torch_xla_tpu.models.factory import create_model  # noqa: F401
+from vision_transformers_torch_xla_tpu.models.pretrained import (  # noqa: F401
+    apply_pretrained,
+    save_local_dir,
+)
 from vision_transformers_torch_xla_tpu.models.vit import (  # noqa: F401
     NO_WEIGHT_DECAY_KEYWORDS,
     VisionTransformer,
@@ -27,6 +31,11 @@ import vision_transformers_torch_xla_tpu.models.deit  # noqa: F401,E402
 import vision_transformers_torch_xla_tpu.models.mlp_mixer  # noqa: F401,E402
 import vision_transformers_torch_xla_tpu.models.resnet  # noqa: F401,E402
 import vision_transformers_torch_xla_tpu.models.swin  # noqa: F401,E402
+import vision_transformers_torch_xla_tpu.models.swin_v2  # noqa: F401,E402
+import vision_transformers_torch_xla_tpu.models.eva  # noqa: F401,E402
+import vision_transformers_torch_xla_tpu.models.nfnet  # noqa: F401,E402
+import vision_transformers_torch_xla_tpu.models.metaformer  # noqa: F401,E402
+import vision_transformers_torch_xla_tpu.models.mobilenetv3  # noqa: F401,E402
 import vision_transformers_torch_xla_tpu.models.efficientnet  # noqa: F401,E402
 import vision_transformers_torch_xla_tpu.models.vit_hybrid  # noqa: F401,E402
 import vision_transformers_torch_xla_tpu.models.cait  # noqa: F401,E402

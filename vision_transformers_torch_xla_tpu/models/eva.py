@@ -1,0 +1,368 @@
+"""EVA / EVA-02 vision transformers in Flax, NHWC.
+
+Parity with the reference's dormant eva.py (1807 LoC; SURVEY §2.2):
+a ViT trunk extended with
+
+* 2-D axial rotary position embeddings on q/k (grid tokens only;
+  cls/register tokens are left unrotated)
+* SwiGLU MLP with an optional inner LayerNorm (``scale_mlp``) — EVA-02
+* learned absolute pos-embed (optional, on top of rope)
+* the reference's `vit_*_rope_*_gap` names (rope + register tokens +
+  global average pooling) ride the same trunk.
+
+Numerics note: rotary frequencies follow the standard axial construction
+(theta=10000, head_dim/4 bands per axis); timm's EVA uses the same scheme
+modulo its pixel-coordinate normalization, which does not change the
+representational family. Norm eps is fixed at 1e-6 like our ViT.
+"""
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+from vision_transformers_torch_xla_tpu.models.layers import (
+    drop_path,
+    trunc_init,
+)
+from vision_transformers_torch_xla_tpu.models.registry import register_model
+
+__all__ = []
+
+
+def rope_2d_tables(head_dim: int, gh: int, gw: int,
+                   theta: float = 10000.0) -> Tuple[np.ndarray, np.ndarray]:
+    """Axial 2-D rope tables, each (gh*gw, head_dim//2).
+
+    Half the rotary bands encode the row index, half the column index
+    (reference eva.py VisionRotaryEmbeddingFast usage).
+    """
+    d4 = head_dim // 4
+    freqs = 1.0 / (theta ** (np.arange(d4, dtype=np.float64) / d4))
+    ty = np.outer(np.arange(gh), freqs)  # (gh, d4)
+    tx = np.outer(np.arange(gw), freqs)  # (gw, d4)
+    t = np.concatenate([
+        np.broadcast_to(ty[:, None, :], (gh, gw, d4)),
+        np.broadcast_to(tx[None, :, :], (gh, gw, d4)),
+    ], axis=-1).reshape(gh * gw, 2 * d4)
+    return np.sin(t).astype(np.float32), np.cos(t).astype(np.float32)
+
+
+def apply_rope(x: jax.Array, sin: jax.Array, cos: jax.Array,
+               num_prefix: int) -> jax.Array:
+    """Rotate grid tokens of (B, H, N, hd); prefix tokens pass through."""
+    prefix, grid = x[:, :, :num_prefix], x[:, :, num_prefix:]
+    x1, x2 = grid[..., ::2], grid[..., 1::2]
+    sin = sin[None, None].astype(grid.dtype)
+    cos = cos[None, None].astype(grid.dtype)
+    r1 = x1 * cos - x2 * sin
+    r2 = x2 * cos + x1 * sin
+    rot = jnp.stack([r1, r2], axis=-1).reshape(grid.shape)
+    return jnp.concatenate([prefix, rot], axis=2)
+
+
+class EvaAttention(nn.Module):
+    dim: int
+    num_heads: int
+    num_prefix: int
+    qk_norm: bool = False
+    dtype: jnp.dtype = jnp.bfloat16
+    param_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, sin, cos, deterministic: bool = True):
+        b, n, c = x.shape
+        h = self.num_heads
+        hd = c // h
+        qkv = nn.Dense(3 * c, dtype=self.dtype, param_dtype=self.param_dtype,
+                       kernel_init=nn.with_logical_partitioning(
+                           trunc_init, ("embed", "qkv_out")),
+                       name="qkv")(x)
+        qkv = qkv.reshape(b, n, 3, h, hd).transpose(2, 0, 3, 1, 4)
+        q, k, v = qkv[0], qkv[1], qkv[2]
+        if self.qk_norm:
+            q = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype,
+                             param_dtype=self.param_dtype, name="q_norm")(q)
+            k = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype,
+                             param_dtype=self.param_dtype, name="k_norm")(k)
+        if sin is not None:
+            q = apply_rope(q, sin, cos, self.num_prefix)
+            k = apply_rope(k, sin, cos, self.num_prefix)
+        attn = jnp.einsum("bhqd,bhkd->bhqk", q, k,
+                          preferred_element_type=jnp.float32) * (hd ** -0.5)
+        attn = jax.nn.softmax(attn, axis=-1)
+        out = jnp.einsum("bhqk,bhkd->bhqd", attn.astype(v.dtype), v,
+                         preferred_element_type=jnp.float32)
+        out = out.transpose(0, 2, 1, 3).reshape(b, n, c).astype(x.dtype)
+        return nn.Dense(c, dtype=self.dtype, param_dtype=self.param_dtype,
+                        kernel_init=nn.with_logical_partitioning(
+                            trunc_init, ("qkv_out", "embed")),
+                        name="proj")(out)
+
+
+class SwiGlu(nn.Module):
+    hidden: int
+    out: int
+    scale_mlp: bool = True
+    dtype: jnp.dtype = jnp.bfloat16
+    param_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool = True):
+        g = nn.Dense(self.hidden, dtype=self.dtype,
+                     param_dtype=self.param_dtype,
+                     kernel_init=nn.with_logical_partitioning(
+                         trunc_init, ("embed", "mlp")), name="fc1_g")(x)
+        u = nn.Dense(self.hidden, dtype=self.dtype,
+                     param_dtype=self.param_dtype,
+                     kernel_init=nn.with_logical_partitioning(
+                         trunc_init, ("embed", "mlp")), name="fc1_x")(x)
+        y = nn.silu(g) * u
+        if self.scale_mlp:
+            y = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype,
+                             param_dtype=self.param_dtype, name="norm")(y)
+        return nn.Dense(self.out, dtype=self.dtype,
+                        param_dtype=self.param_dtype,
+                        kernel_init=nn.with_logical_partitioning(
+                            trunc_init, ("mlp", "embed")), name="fc2")(y)
+
+
+class EvaBlock(nn.Module):
+    dim: int
+    num_heads: int
+    num_prefix: int
+    mlp_ratio: float
+    swiglu_mlp: bool
+    scale_mlp: bool
+    qk_norm: bool = False
+    init_values: Optional[float] = None
+    drop_path_rate: float = 0.0
+    dtype: jnp.dtype = jnp.bfloat16
+    param_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, sin, cos, deterministic: bool = True):
+        c = self.dim
+
+        def scaled(y, name):
+            if self.init_values is None:
+                return y
+            gamma = self.param(name, nn.initializers.constant(
+                self.init_values), (c,), self.param_dtype)
+            return y * gamma.astype(y.dtype)
+
+        y = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype,
+                         param_dtype=self.param_dtype, name="norm1")(x)
+        y = EvaAttention(c, self.num_heads, self.num_prefix, self.qk_norm,
+                         dtype=self.dtype, param_dtype=self.param_dtype,
+                         name="attn")(y, sin, cos, deterministic)
+        rng = None if deterministic or self.drop_path_rate == 0 else \
+            self.make_rng("droppath")
+        x = x + drop_path(scaled(y, "gamma_1"), self.drop_path_rate,
+                          deterministic, rng)
+
+        y = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype,
+                         param_dtype=self.param_dtype, name="norm2")(x)
+        hidden = int(c * self.mlp_ratio)
+        if self.swiglu_mlp:
+            y = SwiGlu(hidden, c, self.scale_mlp, dtype=self.dtype,
+                       param_dtype=self.param_dtype, name="mlp")(
+                y, deterministic)
+        else:
+            y = nn.Dense(hidden, dtype=self.dtype,
+                         param_dtype=self.param_dtype,
+                         kernel_init=nn.with_logical_partitioning(
+                             trunc_init, ("embed", "mlp")),
+                         name="mlp_fc1")(y)
+            y = nn.gelu(y, approximate=False)
+            y = nn.Dense(c, dtype=self.dtype, param_dtype=self.param_dtype,
+                         kernel_init=nn.with_logical_partitioning(
+                             trunc_init, ("mlp", "embed")),
+                         name="mlp_fc2")(y)
+        rng = None if deterministic or self.drop_path_rate == 0 else \
+            self.make_rng("droppath")
+        return x + drop_path(scaled(y, "gamma_2"), self.drop_path_rate,
+                             deterministic, rng)
+
+
+class Eva(nn.Module):
+    img_size: int = 224
+    patch_size: int = 14
+    num_classes: int = 1000
+    embed_dim: int = 768
+    depth: int = 12
+    num_heads: int = 12
+    mlp_ratio: float = 4 * 2 / 3
+    swiglu_mlp: bool = True
+    scale_mlp: bool = True
+    qk_norm: bool = False
+    use_rope: bool = True
+    use_abs_pos: bool = True
+    class_token: bool = True
+    reg_tokens: int = 0
+    global_pool: str = "token"
+    init_values: Optional[float] = None
+    drop_path_rate: float = 0.0
+    dtype: jnp.dtype = jnp.bfloat16
+    param_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array, deterministic: bool = True):
+        b = x.shape[0]
+        p = self.patch_size
+        gh, gw = x.shape[1] // p, x.shape[2] // p
+        c = self.embed_dim
+        x = x.astype(self.dtype).reshape(b, gh, p, gw, p, 3)
+        x = x.transpose(0, 1, 3, 2, 4, 5).reshape(b, gh * gw, p * p * 3)
+        x = nn.Dense(c, dtype=self.dtype, param_dtype=self.param_dtype,
+                     kernel_init=nn.with_logical_partitioning(
+                         trunc_init, ("patch", "embed")),
+                     name="patch_embed")(x)
+
+        prefix_tokens = []
+        if self.class_token:
+            cls = self.param("cls_token",
+                             nn.with_logical_partitioning(
+                                 trunc_init, (None, None, "embed")),
+                             (1, 1, c), self.param_dtype)
+            prefix_tokens.append(jnp.broadcast_to(cls.astype(self.dtype),
+                                                  (b, 1, c)))
+        if self.reg_tokens:
+            reg = self.param("reg_token",
+                             nn.with_logical_partitioning(
+                                 trunc_init, (None, None, "embed")),
+                             (1, self.reg_tokens, c), self.param_dtype)
+            prefix_tokens.append(jnp.broadcast_to(
+                reg.astype(self.dtype), (b, self.reg_tokens, c)))
+        num_prefix = int(self.class_token) + self.reg_tokens
+        if prefix_tokens:
+            x = jnp.concatenate(prefix_tokens + [x], axis=1)
+
+        if self.use_abs_pos:
+            pos = self.param("pos_embed",
+                             nn.with_logical_partitioning(
+                                 trunc_init, (None, None, "embed")),
+                             (1, num_prefix + gh * gw, c), self.param_dtype)
+            x = x + pos.astype(self.dtype)
+
+        sin = cos = None
+        if self.use_rope:
+            s, co = rope_2d_tables(c // self.num_heads, gh, gw)
+            sin, cos = jnp.asarray(s), jnp.asarray(co)
+
+        dpr = np.linspace(0, self.drop_path_rate, self.depth)
+        for i in range(self.depth):
+            x = EvaBlock(c, self.num_heads, num_prefix, self.mlp_ratio,
+                         self.swiglu_mlp, self.scale_mlp, self.qk_norm,
+                         self.init_values, float(dpr[i]), dtype=self.dtype,
+                         param_dtype=self.param_dtype,
+                         name=f"blocks_{i}")(x, sin, cos, deterministic)
+        x = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype,
+                         param_dtype=self.param_dtype, name="norm")(x)
+        if self.global_pool == "avg":
+            x = x[:, num_prefix:].mean(axis=1)
+        else:
+            x = x[:, 0]
+        if self.num_classes == 0:
+            return x
+        return nn.Dense(self.num_classes, dtype=self.dtype,
+                        param_dtype=self.param_dtype,
+                        kernel_init=nn.with_logical_partitioning(
+                            trunc_init, ("embed", "classes")),
+                        name="head")(x).astype(jnp.float32)
+
+
+def _eva(**cfg):
+    def build(**kw):
+        for k in ("pretrained_tag", "remat", "scan_blocks"):
+            kw.pop(k, None)
+        merged = dict(cfg)
+        merged.update({k: v for k, v in kw.items() if v is not None})
+        return Eva(**merged)
+
+    return build
+
+
+# EVA-02 sizes: (dim, depth, heads); swiglu mlp_ratio = 4*2/3
+_EVA02 = dict(swiglu_mlp=True, scale_mlp=True, mlp_ratio=4 * 2 / 3,
+              use_rope=True, use_abs_pos=True)
+# EVA (v1) giant: plain GELU MLP, mlp_ratio 6144/1408, no rope
+_EVA1 = dict(swiglu_mlp=False, scale_mlp=False, mlp_ratio=6144 / 1408,
+             use_rope=False, use_abs_pos=True)
+
+# name -> config. Dims mirror the reference entrypoints (eva.py registry).
+_VARIANTS = {
+    "eva_giant_patch14_224": dict(_EVA1, embed_dim=1408, depth=40,
+                                  num_heads=16, patch_size=14, img_size=224),
+    "eva_giant_patch14_336": dict(_EVA1, embed_dim=1408, depth=40,
+                                  num_heads=16, patch_size=14, img_size=336),
+    "eva_giant_patch14_560": dict(_EVA1, embed_dim=1408, depth=40,
+                                  num_heads=16, patch_size=14, img_size=560),
+    "eva_giant_patch14_clip_224": dict(_EVA1, embed_dim=1408, depth=40,
+                                       num_heads=16, patch_size=14,
+                                       img_size=224),
+    "eva02_tiny_patch14_224": dict(_EVA02, embed_dim=192, depth=12,
+                                   num_heads=3, patch_size=14, img_size=224),
+    "eva02_tiny_patch14_336": dict(_EVA02, embed_dim=192, depth=12,
+                                   num_heads=3, patch_size=14, img_size=336),
+    "eva02_small_patch14_224": dict(_EVA02, embed_dim=384, depth=12,
+                                    num_heads=6, patch_size=14, img_size=224),
+    "eva02_small_patch14_336": dict(_EVA02, embed_dim=384, depth=12,
+                                    num_heads=6, patch_size=14, img_size=336),
+    "eva02_base_patch14_224": dict(_EVA02, embed_dim=768, depth=12,
+                                   num_heads=12, patch_size=14, img_size=224),
+    "eva02_base_patch14_448": dict(_EVA02, embed_dim=768, depth=12,
+                                   num_heads=12, patch_size=14, img_size=448),
+    "eva02_large_patch14_224": dict(_EVA02, embed_dim=1024, depth=24,
+                                    num_heads=16, patch_size=14,
+                                    img_size=224),
+    "eva02_large_patch14_448": dict(_EVA02, embed_dim=1024, depth=24,
+                                    num_heads=16, patch_size=14,
+                                    img_size=448),
+    "eva02_base_patch16_clip_224": dict(_EVA02, embed_dim=768, depth=12,
+                                        num_heads=12, patch_size=16,
+                                        img_size=224),
+    "eva02_large_patch14_clip_224": dict(_EVA02, embed_dim=1024, depth=24,
+                                         num_heads=16, patch_size=14,
+                                         img_size=224),
+    "eva02_large_patch14_clip_336": dict(_EVA02, embed_dim=1024, depth=24,
+                                         num_heads=16, patch_size=14,
+                                         img_size=336),
+    "eva02_enormous_patch14_clip_224": dict(
+        _EVA1, embed_dim=1792, depth=64, num_heads=16, patch_size=14,
+        img_size=224, mlp_ratio=15360 / 1792),
+    # rope + register-token + GAP ViTs that live in reference eva.py
+    "vit_medium_patch16_rope_reg1_gap_256": dict(
+        _EVA02, swiglu_mlp=False, scale_mlp=False, mlp_ratio=4.0,
+        embed_dim=512, depth=12, num_heads=8, patch_size=16, img_size=256,
+        class_token=False, reg_tokens=1, global_pool="avg",
+        use_abs_pos=False, init_values=1e-5),
+    "vit_mediumd_patch16_rope_reg1_gap_256": dict(
+        _EVA02, swiglu_mlp=False, scale_mlp=False, mlp_ratio=4.0,
+        embed_dim=512, depth=20, num_heads=8, patch_size=16, img_size=256,
+        class_token=False, reg_tokens=1, global_pool="avg",
+        use_abs_pos=False, init_values=1e-5),
+    "vit_betwixt_patch16_rope_reg4_gap_256": dict(
+        _EVA02, swiglu_mlp=False, scale_mlp=False, mlp_ratio=4.0,
+        embed_dim=640, depth=12, num_heads=10, patch_size=16, img_size=256,
+        class_token=False, reg_tokens=4, global_pool="avg",
+        use_abs_pos=False, init_values=1e-5),
+    "vit_base_patch16_rope_reg1_gap_256": dict(
+        _EVA02, swiglu_mlp=False, scale_mlp=False, mlp_ratio=4.0,
+        embed_dim=768, depth=12, num_heads=12, patch_size=16, img_size=256,
+        class_token=False, reg_tokens=1, global_pool="avg",
+        use_abs_pos=False, init_values=1e-5),
+}
+
+import sys  # noqa: E402
+
+_mod = sys.modules[__name__]
+for _name, _cfg in _VARIANTS.items():
+    _fn = _eva(**_cfg)
+    _fn.__name__ = _name
+    _fn.__qualname__ = _name
+    _fn.__doc__ = f"EVA variant {_name!r} (reference eva.py registry surface)."
+    setattr(_mod, _name, register_model(_fn))
