@@ -36,6 +36,17 @@ import vision_transformers_torch_xla_tpu.models.eva  # noqa: F401,E402
 import vision_transformers_torch_xla_tpu.models.nfnet  # noqa: F401,E402
 import vision_transformers_torch_xla_tpu.models.metaformer  # noqa: F401,E402
 import vision_transformers_torch_xla_tpu.models.mobilenetv3  # noqa: F401,E402
+import vision_transformers_torch_xla_tpu.models.levit  # noqa: F401,E402
+import vision_transformers_torch_xla_tpu.models.tiny_vit  # noqa: F401,E402
+import vision_transformers_torch_xla_tpu.models.hiera  # noqa: F401,E402
+import vision_transformers_torch_xla_tpu.models.mvitv2  # noqa: F401,E402
+import vision_transformers_torch_xla_tpu.models.davit  # noqa: F401,E402
+import vision_transformers_torch_xla_tpu.models.twins  # noqa: F401,E402
+import vision_transformers_torch_xla_tpu.models.gcvit  # noqa: F401,E402
+import vision_transformers_torch_xla_tpu.models.nest  # noqa: F401,E402
+import vision_transformers_torch_xla_tpu.models.coat  # noqa: F401,E402
+import vision_transformers_torch_xla_tpu.models.volo  # noqa: F401,E402
+import vision_transformers_torch_xla_tpu.models.efficientformer  # noqa: F401,E402
 import vision_transformers_torch_xla_tpu.models.efficientnet  # noqa: F401,E402
 import vision_transformers_torch_xla_tpu.models.vit_hybrid  # noqa: F401,E402
 import vision_transformers_torch_xla_tpu.models.cait  # noqa: F401,E402

@@ -265,6 +265,8 @@ class Block(nn.Module):
     act: str = "gelu"
     glu: bool = False
     norm_type: str = "layernorm"
+    mlp_hidden: Optional[int] = None  # overrides dim*mlp_ratio (channel
+    # pruning, models/prune.py — reference models/_prune.py:116)
     dtype: Dtype = jnp.bfloat16
     param_dtype: Dtype = jnp.float32
 
@@ -292,7 +294,7 @@ class Block(nn.Module):
         x = x + drop_path(attn_out, rate, deterministic, rng)
 
         mlp_out = Mlp(
-            hidden_dim=int(d * self.mlp_ratio), out_dim=d,
+            hidden_dim=self.mlp_hidden or int(d * self.mlp_ratio), out_dim=d,
             dropout=self.proj_drop, act=self.act, glu=self.glu,
             dtype=self.dtype,
             param_dtype=self.param_dtype, name="mlp",

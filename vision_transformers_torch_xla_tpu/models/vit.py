@@ -109,6 +109,9 @@ class VisionTransformer(nn.Module):
     pos_grid: Optional[int] = None             # grid the pos_embed param is
     # sized for; defaults to img_size//patch_size. set_input_size pins it to
     # the original grid so existing params stay loadable.
+    mlp_hidden: Optional[tuple] = None         # per-block MLP widths from
+    # channel pruning (models/prune.py; reference models/_prune.py:116).
+    # Loop mode only — scan stacks layers and needs uniform shapes.
     use_pallas_attn: bool = False
     remat: bool = False                        # gradient checkpointing
     remat_policy: str = "nothing"              # 'nothing' | 'dots' — what the
@@ -222,6 +225,10 @@ class VisionTransformer(nn.Module):
             use_pallas=self.use_pallas_attn, act=self.act_layer,
             glu=self.swiglu_mlp, norm_type=self.norm_type, dtype=self.dtype,
             param_dtype=self.param_dtype)  # shared by loop + scan paths
+        if self.mlp_hidden is not None and (self.scan_blocks or
+                                            self.block_type != "block"):
+            raise ValueError("mlp_hidden (pruned per-block widths) requires "
+                             "loop mode with block_type='block'")
         if self.scan_blocks:
             scanned = nn.scan(
                 _ScanBody,
@@ -244,7 +251,10 @@ class VisionTransformer(nn.Module):
                 # SP rules ('seq'->'model') tokens shard across the mesh and
                 # GSPMD inserts attention's all-gathers
                 x = nn.with_logical_constraint(x, ("batch", "seq_act", "embed"))
-                x = block_cls(drop_path_rate=dpr, **block_kwargs,
+                extra = {}
+                if self.mlp_hidden is not None:
+                    extra["mlp_hidden"] = int(self.mlp_hidden[i])
+                x = block_cls(drop_path_rate=dpr, **block_kwargs, **extra,
                               name=f"blocks_{i}")(x, deterministic)
                 # feature taps (parity: forward_intermediates, reference
                 # vision_transformer.py:782-875): free unless the caller

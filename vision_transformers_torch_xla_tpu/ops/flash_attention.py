@@ -150,42 +150,63 @@ def _softmax_p(q, k, scale, seq_len):
     return p / jnp.sum(p, axis=-1, keepdims=True)
 
 
+def _softmax_rows(s):
+    m = jnp.max(s, axis=-1, keepdims=True)
+    p = jnp.exp(s - m)
+    return p / jnp.sum(p, axis=-1, keepdims=True)
+
+
 def _qkv_fwd_kernel(qkv_ref, o_ref, *, scale: float, seq_len: int, h: int):
-    """Attention straight off the fused qkv tensor, one batch elem/program.
+    """One image per program, heads batched via dot_general batch dims.
 
-    qkv block: (1, Sp, 3H, D); out block (1, Sp, H, D). Heads are batched
-    inside the kernel; no HBM-level head transposes.
+    qkv block: (1, Sp, 3H, D) — one contiguous DMA of the fused qkv rows.
+    q/k/v stay in (Sp, H, D) layout; the head axis rides the dots as a
+    batch dimension, so NO input transposes run on the VPU (the old
+    design's (Sp,3H,D)->(H,Sp,D) fp32 transposes were the bottleneck).
+    Inputs stay bf16 for native-rate MXU, fp32 accumulation + softmax.
     """
-    blk = qkv_ref[0].astype(jnp.float32)                     # (Sp, 3H, D)
-    q = blk[:, 0 * h:1 * h, :].transpose(1, 0, 2)            # (H, Sp, D)
+    blk = qkv_ref[0]                                          # (Sp, 3H, D)
+    q = blk[:, 0 * h:1 * h, :].transpose(1, 0, 2)             # (H, Sp, D)
     k = blk[:, 1 * h:2 * h, :].transpose(1, 0, 2)
     v = blk[:, 2 * h:3 * h, :].transpose(1, 0, 2)
-    p = _softmax_p(q, k, scale, seq_len)
-    o = jax.lax.dot_general(p, v, (((2,), (1,)), ((0,), (0,))),
+    s = jax.lax.dot_general(q, k, (((2,), (2,)), ((0,), (0,))),
+                            preferred_element_type=jnp.float32) * scale
+    col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 2)     # (H, Sp, Sp)
+    s = jnp.where(col < seq_len, s, _NEG_INF)
+    p = _softmax_rows(s)
+    o = jax.lax.dot_general(p.astype(v.dtype), v,
+                            (((2,), (1,)), ((0,), (0,))),
                             preferred_element_type=jnp.float32)  # (H, Sp, D)
-    o_ref[0] = o.transpose(1, 0, 2).astype(o_ref.dtype)
+    o_ref[0] = o.astype(o_ref.dtype).transpose(1, 0, 2)
 
 
-def _qkv_bwd_kernel(qkv_ref, do_ref, dqkv_ref, *, scale: float, seq_len: int,
-                    h: int):
-    blk = qkv_ref[0].astype(jnp.float32)
-    q = blk[:, 0 * h:1 * h, :].transpose(1, 0, 2)
+def _qkv_bwd_kernel(qkv_ref, do_ref, dqkv_ref, *, scale: float,
+                    seq_len: int, h: int):
+    blk = qkv_ref[0]                                          # (Sp, 3H, D)
+    q = blk[:, 0 * h:1 * h, :].transpose(1, 0, 2)             # (H, Sp, D)
     k = blk[:, 1 * h:2 * h, :].transpose(1, 0, 2)
     v = blk[:, 2 * h:3 * h, :].transpose(1, 0, 2)
-    do = do_ref[0].astype(jnp.float32).transpose(1, 0, 2)    # (H, Sp, D)
-
-    p = _softmax_p(q, k, scale, seq_len)
-    dv = jax.lax.dot_general(p, do, (((1,), (1,)), ((0,), (0,))),
-                             preferred_element_type=jnp.float32)
+    do = do_ref[0].transpose(1, 0, 2)                         # (H, Sp, D)
+    s = jax.lax.dot_general(q, k, (((2,), (2,)), ((0,), (0,))),
+                            preferred_element_type=jnp.float32) * scale
+    col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 2)
+    s = jnp.where(col < seq_len, s, _NEG_INF)
+    p = _softmax_rows(s)                                      # (H, Sq, Sk)
+    pb = p.astype(v.dtype)
+    dv = jax.lax.dot_general(pb, do, (((1,), (1,)), ((0,), (0,))),
+                             preferred_element_type=jnp.float32)  # (H,Sk,D)
     dp = jax.lax.dot_general(do, v, (((2,), (2,)), ((0,), (0,))),
-                             preferred_element_type=jnp.float32)
+                             preferred_element_type=jnp.float32)  # (H,Sq,Sk)
     ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
-    dq = jax.lax.dot_general(ds, k, (((2,), (1,)), ((0,), (0,))),
+    dsb = ds.astype(q.dtype)
+    dq = jax.lax.dot_general(dsb, k, (((2,), (1,)), ((0,), (0,))),
                              preferred_element_type=jnp.float32) * scale
-    dk = jax.lax.dot_general(ds, q, (((1,), (1,)), ((0,), (0,))),
+    dk = jax.lax.dot_general(dsb, q, (((1,), (1,)), ((0,), (0,))),
                              preferred_element_type=jnp.float32) * scale
-    out = jnp.concatenate([dq, dk, dv], axis=0)              # (3H, Sp, D)
-    dqkv_ref[0] = out.transpose(1, 0, 2).astype(dqkv_ref.dtype)
+    out = jnp.concatenate([dq.astype(dqkv_ref.dtype),
+                           dk.astype(dqkv_ref.dtype),
+                           dv.astype(dqkv_ref.dtype)], axis=0)  # (3H, Sp, D)
+    dqkv_ref[0] = out.transpose(1, 0, 2)
 
 
 def _qkv_specs(sp: int, h: int, d: int):
@@ -201,7 +222,8 @@ def _qkv_fwd_call(qkv, scale, seq_len):
     h = three_h // 3
     qkv_spec, o_spec = _qkv_specs(sp, h, d)
     return pl.pallas_call(
-        functools.partial(_qkv_fwd_kernel, scale=scale, seq_len=seq_len, h=h),
+        functools.partial(_qkv_fwd_kernel, scale=scale, seq_len=seq_len,
+                          h=h),
         grid=(b,),
         in_specs=[qkv_spec],
         out_specs=o_spec,
@@ -220,7 +242,8 @@ def _qkv_bwd_call(qkv, do, scale, seq_len):
     h = three_h // 3
     qkv_spec, o_spec = _qkv_specs(sp, h, d)
     return pl.pallas_call(
-        functools.partial(_qkv_bwd_kernel, scale=scale, seq_len=seq_len, h=h),
+        functools.partial(_qkv_bwd_kernel, scale=scale, seq_len=seq_len,
+                          h=h),
         grid=(b,),
         in_specs=[qkv_spec, o_spec],
         out_specs=qkv_spec,
@@ -253,8 +276,9 @@ _fused_attention_qkv_padded.defvjp(_faq_fwd, _faq_bwd)
 def fused_attention_qkv(qkv: jax.Array, scale: Optional[float] = None) -> jax.Array:
     """Attention from a fused qkv tensor (B, S, 3, H, D) -> (B, S, H*D).
 
-    One pad copy in, one slice out — no head-major HBM transposes (the
-    in-kernel head transposes are VMEM-local).
+    One pad copy in, one slice out — no head-major transposes anywhere
+    (HBM or VMEM): the kernels slice per-head q/k/v blocks straight out of
+    the fused tensor via three BlockSpec index maps.
     """
     b, s, three, h, d = qkv.shape
     assert three == 3
