@@ -48,3 +48,17 @@ def test_blocked_grads_match():
     for a, b in zip(g_ref, g_got):
         np.testing.assert_allclose(np.asarray(b), np.asarray(a),
                                    atol=5e-3, rtol=5e-3)
+
+
+def test_blocked_grads_multiblock():
+    # 2 Q blocks x 2 K blocks: exercises both scratch accumulators across
+    # their full grid iteration (dk/dv over Q, dq over K)
+    B, H, S, D = 1, 1, 512, 64
+    q, k, v = _rand((B, H, S, D), 9), _rand((B, H, S, D), 10), _rand((B, H, S, D), 11)
+    g_ref = jax.grad(lambda q, k, v: (_reference_attention(q, k, v) ** 2).sum(),
+                     argnums=(0, 1, 2))(q, k, v)
+    g_got = jax.grad(lambda q, k, v: (flash_attention_blocked(q, k, v) ** 2).sum(),
+                     argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(g_ref, g_got):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   atol=5e-3, rtol=5e-3)

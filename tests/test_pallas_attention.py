@@ -71,3 +71,46 @@ def test_fused_attention_qkv_grads():
     g_pal = jax.grad(lambda x: (fused_attention_qkv(x) ** 2).sum())(qkv)
     np.testing.assert_allclose(np.asarray(g_pal), np.asarray(g_ref),
                                atol=1e-2, rtol=5e-3)
+
+
+def _ref_from_cols(qkv, h):
+    b, s, thd = qkv.shape
+    d = thd // (3 * h)
+    t = qkv.reshape(b, s, 3, h, d).transpose(2, 0, 3, 1, 4)
+    o = _reference_attention(t[0], t[1], t[2])
+    return o.transpose(0, 2, 1, 3).reshape(b, s, h * d)
+
+
+def test_fused_attention_qkv_cols_matches_reference():
+    # head-pair kernel: reads the fused qkv projection output in place
+    from vision_transformers_torch_xla_tpu.ops.flash_attention import (
+        fused_attention_qkv_cols,
+    )
+    B, H, S, D = 2, 4, 197, 64
+    qkv = _rand((B, S, 3 * H * D), 3)
+    ref = _ref_from_cols(qkv, H)
+    got = fused_attention_qkv_cols(qkv, H)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=2e-3, rtol=1e-3)
+
+
+def test_fused_attention_qkv_cols_grads():
+    from vision_transformers_torch_xla_tpu.ops.flash_attention import (
+        fused_attention_qkv_cols,
+    )
+    B, H, S, D = 1, 2, 130, 64  # ragged seq exercises the column mask
+    qkv = _rand((B, S, 3 * H * D), 4)
+    w = jnp.cos(jnp.arange(H * D, dtype=jnp.float32))
+    g_ref = jax.grad(lambda x: jnp.sum(_ref_from_cols(x, H) * w))(qkv)
+    g_got = jax.grad(
+        lambda x: jnp.sum(fused_attention_qkv_cols(x, H) * w))(qkv)
+    np.testing.assert_allclose(np.asarray(g_got), np.asarray(g_ref),
+                               atol=5e-3, rtol=5e-3)
+
+
+def test_fused_attention_qkv_cols_rejects_odd_heads():
+    from vision_transformers_torch_xla_tpu.ops.flash_attention import (
+        fused_attention_qkv_cols,
+    )
+    with pytest.raises(ValueError):
+        fused_attention_qkv_cols(_rand((1, 16, 3 * 3 * 64)), 3)

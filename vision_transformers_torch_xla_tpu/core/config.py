@@ -44,6 +44,9 @@ class TrainConfig:
     layer_scale_init_value: float = 0.0  # 0 disables LayerScale
     grad_checkpointing: bool = False     # jax.checkpoint on blocks
     scan_blocks: bool = False            # lax.scan over layers (fast compile)
+    pallas_attn: str = "auto"            # 'auto' | 'on' | 'off': head-pair
+    # Pallas attention kernel (ops/flash_attention.py). auto = on for TPU
+    # backends on models that support it, off on CPU (Mosaic needs a TPU)
 
     # --- EMA (main.py:161-167) ---
     model_ema: bool = False

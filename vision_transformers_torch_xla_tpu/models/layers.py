@@ -187,15 +187,16 @@ class Attention(nn.Module):
         # the Pallas kernel has no dropout inside the softmax; an active
         # attn_drop routes through the jnp path (timm drops on the probs)
         attn_dropping = self.attn_drop > 0.0 and not deterministic
-        if self.use_pallas and not self.qk_norm and not attn_dropping:
-            # Pallas kernel reads the fused qkv tensor in place: no
-            # head-major transposes at all (ops/flash_attention.py)
+        if (self.use_pallas and not self.qk_norm and not attn_dropping
+                and hd % 64 == 0 and h % 2 == 0):
+            # head-pair Pallas kernel reads the fused qkv projection output
+            # in place — no reshape, no head transposes (ops/flash_attention
+            # .py::fused_attention_qkv_cols)
             from vision_transformers_torch_xla_tpu.ops.flash_attention import (
-                fused_attention_qkv,
+                fused_attention_qkv_cols,
             )
 
-            o = fused_attention_qkv(qkv.reshape(b, s, 3, h, hd),
-                                    scale=hd ** -0.5)
+            o = fused_attention_qkv_cols(qkv, h, scale=hd ** -0.5)
         else:
             # head-major (B,H,S,hd) layout: the explicit transpose shows up
             # as copy ops (~11% of step) but XLA's batched dots are fastest

@@ -22,6 +22,7 @@ from typing import Optional
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
+from jax.experimental.custom_partitioning import custom_partitioning
 from jax.experimental.pallas import tpu as pltpu
 
 _NEG_INF = -1e30
@@ -33,67 +34,92 @@ def _round_up(x: int, m: int) -> int:
 
 
 def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, seq_len: int):
-    q = q_ref[0].astype(jnp.float32) * scale                     # (Sp, D)
-    k = k_ref[0].astype(jnp.float32)
-    s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
-                            preferred_element_type=jnp.float32)   # (Sp, Sp)
-    col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+    """G (batch·head) pairs per program; batched dots, leading batch dim.
+
+    One pair per program is latency-bound on TPU: 1536 grid steps of
+    ~8 MFLOP dots leave the MXU idle between DMAs. Batching G pairs per
+    program cuts the grid to n/G steps of G-batched dots — big enough to
+    pipeline, small enough for VMEM (scores are G·Sp·Sp fp32 scratch).
+    Inputs stay bf16 into the MXU; accumulation + softmax in fp32.
+    """
+    q = q_ref[...]                                               # (G, Sp, D)
+    k = k_ref[...]
+    s = jax.lax.dot_general(q, k, (((2,), (2,)), ((0,), (0,))),
+                            preferred_element_type=jnp.float32)  # (G, Sp, Sp)
+    s = s * scale
+    col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 2)
     s = jnp.where(col < seq_len, s, _NEG_INF)
     m = jnp.max(s, axis=-1, keepdims=True)
     p = jnp.exp(s - m)
     p = p / jnp.sum(p, axis=-1, keepdims=True)
-    o = jnp.dot(p.astype(v_ref.dtype), v_ref[0],
-                preferred_element_type=jnp.float32)
-    o_ref[0] = o.astype(o_ref.dtype)
+    o = jax.lax.dot_general(p.astype(v_ref.dtype), v_ref[...],
+                            (((2,), (1,)), ((0,), (0,))),
+                            preferred_element_type=jnp.float32)  # (G, Sp, D)
+    o_ref[...] = o.astype(o_ref.dtype)
 
 
 def _bwd_kernel(q_ref, k_ref, v_ref, do_ref, dq_ref, dk_ref, dv_ref,
                 *, scale: float, seq_len: int):
     """Recompute P, then dV = PᵀdO; dP = dOVᵀ; dS = P⊙(dP − rowsum(dP⊙P));
-    dQ = dS·K·scale; dK = dSᵀ·Q·scale."""
-    q = q_ref[0].astype(jnp.float32)
-    k = k_ref[0].astype(jnp.float32)
-    v = v_ref[0].astype(jnp.float32)
-    do = do_ref[0].astype(jnp.float32)
+    dQ = dS·K·scale; dK = dSᵀ·Q·scale. All dots G-batched, leading batch."""
+    q = q_ref[...]                                               # (G, Sp, D)
+    k = k_ref[...]
+    v = v_ref[...]
+    do = do_ref[...]
 
-    s = jax.lax.dot_general(q * scale, k, (((1,), (1,)), ((), ())),
+    s = jax.lax.dot_general(q, k, (((2,), (2,)), ((0,), (0,))),
                             preferred_element_type=jnp.float32)
-    col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+    s = s * scale
+    col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 2)
     s = jnp.where(col < seq_len, s, _NEG_INF)
     m = jnp.max(s, axis=-1, keepdims=True)
     p = jnp.exp(s - m)
-    p = p / jnp.sum(p, axis=-1, keepdims=True)                   # (Sp, Sp)
+    p = p / jnp.sum(p, axis=-1, keepdims=True)                   # (G, Sp, Sp)
+    pb = p.astype(do.dtype)
 
-    dv = jax.lax.dot_general(p, do, (((0,), (0,)), ((), ())),
-                             preferred_element_type=jnp.float32)  # (Sp, D)
-    dp = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())),
-                             preferred_element_type=jnp.float32)  # (Sp, Sp)
+    dv = jax.lax.dot_general(pb, do, (((1,), (1,)), ((0,), (0,))),
+                             preferred_element_type=jnp.float32)  # (G, Sp, D)
+    dp = jax.lax.dot_general(do, v, (((2,), (2,)), ((0,), (0,))),
+                             preferred_element_type=jnp.float32)  # (G, Sp, Sp)
     ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
-    dq = jnp.dot(ds, k, preferred_element_type=jnp.float32) * scale
-    dk = jax.lax.dot_general(ds, q, (((0,), (0,)), ((), ())),
-                             preferred_element_type=jnp.float32) * scale
+    dsb = ds.astype(q.dtype)
+    dq = jax.lax.dot_general(dsb, k, (((2,), (1,)), ((0,), (0,))),
+                             preferred_element_type=jnp.float32)
+    dk = jax.lax.dot_general(dsb, q, (((1,), (1,)), ((0,), (0,))),
+                             preferred_element_type=jnp.float32)
 
-    dq_ref[0] = dq.astype(dq_ref.dtype)
-    dk_ref[0] = dk.astype(dk_ref.dtype)
-    dv_ref[0] = dv.astype(dv_ref.dtype)
+    dq_ref[...] = (dq * scale).astype(dq_ref.dtype)
+    dk_ref[...] = (dk * scale).astype(dk_ref.dtype)
+    dv_ref[...] = dv.astype(dv_ref.dtype)
 
 
-def _pallas_specs(sp: int, d: int, n: int):
-    spec = pl.BlockSpec((1, sp, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
-    return spec
+def _pick_g(n: int, sp: int, budget: int) -> int:
+    """Largest G dividing n whose fp32 score scratch fits the VMEM budget."""
+    g = max(1, budget // (sp * sp * 4))
+    while g > 1 and n % g:
+        g -= 1
+    return g
+
+
+def _pallas_specs(sp: int, d: int, g: int):
+    return pl.BlockSpec((g, sp, d), lambda i: (i, 0, 0),
+                        memory_space=pltpu.VMEM)
 
 
 def _fwd_call(q, k, v, scale: float, seq_len: int):
     n, sp, d = q.shape
-    spec = _pallas_specs(sp, d, n)
+    g = _pick_g(n, sp, 8 * 1024 * 1024)
+    spec = _pallas_specs(sp, d, g)
     kernel = functools.partial(_fwd_kernel, scale=scale, seq_len=seq_len)
     flops = 4 * sp * sp * d  # 2 matmuls
     return pl.pallas_call(
         kernel,
-        grid=(n,),
+        grid=(n // g,),
         in_specs=[spec, spec, spec],
         out_specs=spec,
         out_shape=jax.ShapeDtypeStruct((n, sp, d), q.dtype),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
         cost_estimate=pl.CostEstimate(
             flops=flops * n,
             bytes_accessed=4 * n * sp * d * q.dtype.itemsize,
@@ -104,15 +130,18 @@ def _fwd_call(q, k, v, scale: float, seq_len: int):
 
 def _bwd_call(q, k, v, do, scale: float, seq_len: int):
     n, sp, d = q.shape
-    spec = _pallas_specs(sp, d, n)
+    g = _pick_g(n, sp, 4 * 1024 * 1024)  # bwd holds p, dp, ds concurrently
+    spec = _pallas_specs(sp, d, g)
     kernel = functools.partial(_bwd_kernel, scale=scale, seq_len=seq_len)
     out_shape = jax.ShapeDtypeStruct((n, sp, d), q.dtype)
     return pl.pallas_call(
         kernel,
-        grid=(n,),
+        grid=(n // g,),
         in_specs=[spec] * 4,
         out_specs=(spec, spec, spec),
         out_shape=(out_shape, out_shape, out_shape),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
         cost_estimate=pl.CostEstimate(
             flops=10 * sp * sp * d * n,
             bytes_accessed=7 * n * sp * d * q.dtype.itemsize,
@@ -137,6 +166,225 @@ def _fa_bwd(scale, seq_len, res, do):
 
 
 _fused_attention_padded.defvjp(_fa_fwd, _fa_bwd)
+
+
+def _hp_fwd_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float,
+                   seq_len: int, d: int):
+    """Head-pair program: blocks are (G, Sp, 2D) lane-aligned slices taken
+    straight from the fused qkv matmul output (B, Sp, 3·H·D) via three
+    BlockSpec index maps — the DMA engine does the head gather, so there
+    are NO transposes anywhere (HBM or VMEM). Two D=64 heads share a
+    128-lane block; each is a lane-slice fed to G-batched dots."""
+    for half in range(2):
+        sl = slice(half * d, (half + 1) * d)
+        q = q_ref[:, :, sl]                                   # (G, Sp, D)
+        k = k_ref[:, :, sl]
+        v = v_ref[:, :, sl]
+        s = jax.lax.dot_general(q, k, (((2,), (2,)), ((0,), (0,))),
+                                preferred_element_type=jnp.float32)
+        s = s * scale
+        col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 2)
+        s = jnp.where(col < seq_len, s, _NEG_INF)
+        m = jnp.max(s, axis=-1, keepdims=True)
+        p = jnp.exp(s - m)
+        p = p / jnp.sum(p, axis=-1, keepdims=True)
+        o = jax.lax.dot_general(p.astype(v.dtype), v,
+                                (((2,), (1,)), ((0,), (0,))),
+                                preferred_element_type=jnp.float32)
+        o_ref[:, :, sl] = o.astype(o_ref.dtype)
+
+
+def _hp_bwd_kernel(q_ref, k_ref, v_ref, do_ref, dq_ref, dk_ref, dv_ref,
+                   *, scale: float, seq_len: int, d: int):
+    """Backward head-pair program: recompute P (flash-style), then the five
+    gradient dots, all G-batched with leading batch dims. dq/dk/dv are
+    separate (B, Sp, H·D) outputs (Mosaic rejects mid-dim int stores into
+    one (B, Sp, 3, H·D) buffer); the caller concatenates — one copy."""
+    for half in range(2):
+        sl = slice(half * d, (half + 1) * d)
+        q = q_ref[:, :, sl]
+        k = k_ref[:, :, sl]
+        v = v_ref[:, :, sl]
+        do = do_ref[:, :, sl]
+        s = jax.lax.dot_general(q, k, (((2,), (2,)), ((0,), (0,))),
+                                preferred_element_type=jnp.float32)
+        s = s * scale
+        col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 2)
+        s = jnp.where(col < seq_len, s, _NEG_INF)
+        m = jnp.max(s, axis=-1, keepdims=True)
+        p = jnp.exp(s - m)
+        p = p / jnp.sum(p, axis=-1, keepdims=True)             # (G, Sq, Sk)
+        pb = p.astype(do.dtype)
+        dv = jax.lax.dot_general(pb, do, (((1,), (1,)), ((0,), (0,))),
+                                 preferred_element_type=jnp.float32)
+        dp = jax.lax.dot_general(do, v, (((2,), (2,)), ((0,), (0,))),
+                                 preferred_element_type=jnp.float32)
+        ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
+        dsb = ds.astype(q.dtype)
+        dq = jax.lax.dot_general(dsb, k, (((2,), (1,)), ((0,), (0,))),
+                                 preferred_element_type=jnp.float32)
+        dk = jax.lax.dot_general(dsb, q, (((1,), (1,)), ((0,), (0,))),
+                                 preferred_element_type=jnp.float32)
+        dq_ref[:, :, sl] = (dq * scale).astype(dq_ref.dtype)
+        dk_ref[:, :, sl] = (dk * scale).astype(dk_ref.dtype)
+        dv_ref[:, :, sl] = dv.astype(dv_ref.dtype)
+
+
+def _hp_in_specs(g: int, sp: int, d: int, h: int):
+    """q/k/v column-region specs over the fused (B, Sp, 3·H·D) tensor.
+    Grid is (B/G, H/2); program (i, j) reads heads (2j, 2j+1)."""
+    two_d = 2 * d
+    hp = h // 2
+    q = pl.BlockSpec((g, sp, two_d), lambda i, j: (i, 0, j),
+                     memory_space=pltpu.VMEM)
+    k = pl.BlockSpec((g, sp, two_d), lambda i, j: (i, 0, hp + j),
+                     memory_space=pltpu.VMEM)
+    v = pl.BlockSpec((g, sp, two_d), lambda i, j: (i, 0, 2 * hp + j),
+                     memory_space=pltpu.VMEM)
+    return q, k, v
+
+
+def _pick_hp_g(b: int, cap: int = 16) -> int:
+    """Largest power-of-two ≤ cap dividing the (possibly per-shard) batch."""
+    g = cap
+    while g > 1 and b % g:
+        g //= 2
+    return g
+
+
+def _hp_fwd_call(qkv, scale, seq_len, h, d):
+    b, sp, _ = qkv.shape
+    g = _pick_hp_g(b)
+    qs, ks, vs = _hp_in_specs(g, sp, d, h)
+    os_ = pl.BlockSpec((g, sp, 2 * d), lambda i, j: (i, 0, j),
+                       memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        functools.partial(_hp_fwd_kernel, scale=scale, seq_len=seq_len, d=d),
+        grid=(b // g, h // 2),
+        in_specs=[qs, ks, vs],
+        out_specs=os_,
+        out_shape=jax.ShapeDtypeStruct((b, sp, h * d), qkv.dtype),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * b * h * sp * sp * d,
+            bytes_accessed=4 * b * h * sp * d * qkv.dtype.itemsize,
+            transcendentals=b * h * sp * sp),
+    )(qkv, qkv, qkv)
+
+
+def _hp_bwd_call(qkv, do, scale, seq_len, h, d):
+    b, sp, _ = qkv.shape
+    g = _pick_hp_g(b, cap=8)  # bwd holds p, dp, ds concurrently in VMEM
+    qs, ks, vs = _hp_in_specs(g, sp, d, h)
+    dos = pl.BlockSpec((g, sp, 2 * d), lambda i, j: (i, 0, j),
+                       memory_space=pltpu.VMEM)
+    g_shape = jax.ShapeDtypeStruct((b, sp, h * d), qkv.dtype)
+    dq, dk, dv = pl.pallas_call(
+        functools.partial(_hp_bwd_kernel, scale=scale, seq_len=seq_len, d=d),
+        grid=(b // g, h // 2),
+        in_specs=[qs, ks, vs, dos],
+        out_specs=(dos, dos, dos),
+        out_shape=(g_shape, g_shape, g_shape),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        cost_estimate=pl.CostEstimate(
+            flops=10 * b * h * sp * sp * d,
+            bytes_accessed=7 * b * h * sp * d * qkv.dtype.itemsize,
+            transcendentals=b * h * sp * sp),
+    )(qkv, qkv, qkv, do)
+    return jnp.concatenate([dq, dk, dv], axis=-1)  # [dq | dk | dv]
+
+
+def _batch_partitioned(raw_fn, out_rank: int, rule: str = "b s c -> b s o",
+                       repl: tuple = ("s", "c", "o")):
+    """Wrap a batch-parallel kernel call in jax custom_partitioning so GSPMD
+    runs it per-shard along the leading (batch) dim instead of replicating
+    the Mosaic custom call (which would all-gather the global batch on a
+    pod). Sequence/feature dims are forced replicated; the batch dim keeps
+    whatever mesh axes the operand carries (data/fsdp)."""
+    from jax.sharding import NamedSharding, PartitionSpec
+
+    cp = custom_partitioning(raw_fn)
+
+    def _batch_axes(shape_with_sharding):
+        sh = shape_with_sharding.sharding
+        spec = getattr(sh, "spec", None)
+        return spec[0] if spec else None
+
+    def infer(mesh, arg_shapes, result_shape):
+        spec = PartitionSpec(_batch_axes(arg_shapes[0]),
+                             *([None] * (out_rank - 1)))
+        return NamedSharding(mesh, spec)
+
+    def prop(mesh, user_shape):
+        spec = PartitionSpec(_batch_axes(user_shape),
+                             *([None] * (out_rank - 1)))
+        return NamedSharding(mesh, spec)
+
+    def part(mesh, arg_shapes, result_shape):
+        batch = _batch_axes(arg_shapes[0])
+        arg_shardings = tuple(
+            NamedSharding(mesh, PartitionSpec(batch,
+                                              *([None] * (len(a.shape) - 1))))
+            for a in arg_shapes)
+        out_sharding = NamedSharding(
+            mesh, PartitionSpec(batch, *([None] * (out_rank - 1))))
+        return mesh, raw_fn, out_sharding, arg_shardings
+
+    cp.def_partition(partition=part, infer_sharding_from_operands=infer,
+                     propagate_user_sharding=prop,
+                     # Shardy path: same contract as the GSPMD callbacks —
+                     # batch factor propagates, everything else replicated
+                     sharding_rule=rule,
+                     need_replication_factors=repl)
+    return cp
+
+
+@functools.lru_cache(maxsize=None)
+def _hp_partitioned(scale: float, seq_len: int, h: int, d: int):
+    fwd_p = _batch_partitioned(
+        lambda qkv: _hp_fwd_call(qkv, scale, seq_len, h, d), out_rank=3)
+    bwd_p = _batch_partitioned(
+        lambda qkv, do: _hp_bwd_call(qkv, do, scale, seq_len, h, d),
+        out_rank=3, rule="b s c, b s o -> b s c", repl=("s", "c", "o"))
+
+    @jax.custom_vjp
+    def attn(qkv):
+        return fwd_p(qkv)
+
+    def attn_fwd(qkv):
+        return fwd_p(qkv), qkv
+
+    def attn_bwd(qkv, do):
+        return (bwd_p(qkv, do),)
+
+    attn.defvjp(attn_fwd, attn_bwd)
+    return attn
+
+
+def fused_attention_qkv_cols(qkv: jax.Array, num_heads: int,
+                             scale: Optional[float] = None) -> jax.Array:
+    """Attention straight off the fused qkv projection output.
+
+    qkv: (B, S, 3·H·D) laid out [q_heads | k_heads | v_heads] — the natural
+    output of the fused qkv Dense, with NO reshape/transpose between the
+    matmul and the kernel (the reference materializes (3,B,H,S,D) copies,
+    ~12% of its step; reference models/vision_transformer.py:58-62).
+    Head pairs ride 128-lane blocks; grid (B/G, H/2); one pad copy in,
+    one slice out. Returns (B, S, H·D).
+    """
+    b, s, three_hd = qkv.shape
+    h = num_heads
+    d = three_hd // (3 * h)
+    if d % 64 or h % 2:
+        raise ValueError(f"head_dim {d} must be a multiple of 64 and "
+                         f"num_heads {h} even for the head-pair kernel")
+    scale = float(scale if scale is not None else d ** -0.5)
+    sp = max(_round_up(s, 128), 128)
+    qkv_p = jnp.pad(qkv, ((0, 0), (0, sp - s), (0, 0)))
+    o = _hp_partitioned(scale, s, h, d)(qkv_p)
+    return o[:, :s]
 
 
 def _softmax_p(q, k, scale, seq_len):

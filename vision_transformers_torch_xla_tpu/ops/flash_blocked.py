@@ -30,7 +30,8 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
-def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, m_scratch, l_scratch, acc_scratch,
+def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref,
+                m_scratch, l_scratch, acc_scratch,
                 *, scale: float, seq_len: int, block_k: int):
     """Grid (BH, num_q_blocks, num_k_blocks); K is the innermost dim so the
     scratch accumulators carry across K iterations."""
@@ -65,8 +66,11 @@ def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, m_scratch, l_scratch, acc_scratch,
 
     @pl.when(kb == nk - 1)
     def _():
-        o_ref[0] = (acc_scratch[:] / jnp.maximum(l_scratch[:], 1e-30)) \
-            .astype(o_ref.dtype)
+        l_fin = jnp.maximum(l_scratch[:], 1e-30)
+        o_ref[0] = (acc_scratch[:] / l_fin).astype(o_ref.dtype)
+        # logsumexp per row (FlashAttention-2 residual): bwd rebuilds
+        # p = exp(s - L) without an online max
+        lse_ref[0] = m_scratch[:] + jnp.log(l_fin)
 
 
 def _flash_fwd(q, k, v, scale, seq_len, block_q=BLOCK_Q, block_k=BLOCK_K):
@@ -80,13 +84,16 @@ def _flash_fwd(q, k, v, scale, seq_len, block_q=BLOCK_Q, block_k=BLOCK_K):
                            memory_space=pltpu.VMEM)
     o_spec = pl.BlockSpec((1, block_q, d), lambda b, i, j: (b, i, 0),
                           memory_space=pltpu.VMEM)
+    lse_spec = pl.BlockSpec((1, block_q, 1), lambda b, i, j: (b, i, 0),
+                            memory_space=pltpu.VMEM)
     return pl.pallas_call(
         functools.partial(_fwd_kernel, scale=scale, seq_len=seq_len,
                           block_k=block_k),
         grid=grid,
         in_specs=[q_spec, kv_spec, kv_spec],
-        out_specs=o_spec,
-        out_shape=jax.ShapeDtypeStruct((n, sp, d), q.dtype),
+        out_specs=(o_spec, lse_spec),
+        out_shape=(jax.ShapeDtypeStruct((n, sp, d), q.dtype),
+                   jax.ShapeDtypeStruct((n, sp, 1), jnp.float32)),
         scratch_shapes=[
             pltpu.VMEM((block_q, 1), jnp.float32),
             pltpu.VMEM((block_q, 1), jnp.float32),
@@ -99,48 +106,160 @@ def _flash_fwd(q, k, v, scale, seq_len, block_q=BLOCK_Q, block_k=BLOCK_K):
     )(q, k, v)
 
 
+def _bwd_dkdv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
+                     dk_ref, dv_ref, dk_scratch, dv_scratch,
+                     *, scale: float, seq_len: int, block_k: int):
+    """Grid (BH, num_k_blocks, num_q_blocks); Q innermost, dk/dv accumulate
+    in fp32 scratch across Q iterations (FlashAttention-2 bwd, kv-stationary).
+
+    Padded q rows need no masking: their do is zero, so dv/ds contributions
+    vanish; padded k columns are masked in s before the exp."""
+    qb = pl.program_id(2)
+    nqb = pl.num_programs(2)
+
+    @pl.when(qb == 0)
+    def _():
+        dk_scratch[:] = jnp.zeros_like(dk_scratch)
+        dv_scratch[:] = jnp.zeros_like(dv_scratch)
+
+    q = q_ref[0]                                          # (BQ, D)
+    k = k_ref[0]                                          # (BK, D)
+    v = v_ref[0]
+    do = do_ref[0]                                        # (BQ, D)
+    lse = lse_ref[0]                                      # (BQ, 1)
+    delta = delta_ref[0]                                  # (BQ, 1)
+
+    s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32)  # (BQ, BK)
+    s = s * scale
+    kb = pl.program_id(1)
+    col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + kb * block_k
+    s = jnp.where(col < seq_len, s, _NEG_INF)
+    p = jnp.exp(s - lse)                                  # (BQ, BK)
+
+    pb = p.astype(do.dtype)
+    dv_scratch[:] += jax.lax.dot_general(
+        pb, do, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)               # (BK, D)
+    dp = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())),
+                             preferred_element_type=jnp.float32)  # (BQ, BK)
+    ds = p * (dp - delta)
+    dk_scratch[:] += jax.lax.dot_general(
+        ds.astype(q.dtype), q, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32) * scale       # (BK, D)
+
+    @pl.when(qb == nqb - 1)
+    def _():
+        dk_ref[0] = dk_scratch[:].astype(dk_ref.dtype)
+        dv_ref[0] = dv_scratch[:].astype(dv_ref.dtype)
+
+
+def _bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
+                   dq_ref, dq_scratch,
+                   *, scale: float, seq_len: int, block_k: int):
+    """Grid (BH, num_q_blocks, num_k_blocks); K innermost, dq accumulates in
+    fp32 scratch across K iterations."""
+    kb = pl.program_id(2)
+    nkb = pl.num_programs(2)
+
+    @pl.when(kb == 0)
+    def _():
+        dq_scratch[:] = jnp.zeros_like(dq_scratch)
+
+    q = q_ref[0]
+    k = k_ref[0]
+    v = v_ref[0]
+    do = do_ref[0]
+    lse = lse_ref[0]
+    delta = delta_ref[0]
+
+    s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32)
+    s = s * scale
+    col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + kb * block_k
+    s = jnp.where(col < seq_len, s, _NEG_INF)
+    p = jnp.exp(s - lse)
+    dp = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())),
+                             preferred_element_type=jnp.float32)
+    ds = p * (dp - delta)
+    dq_scratch[:] += jax.lax.dot_general(
+        ds.astype(k.dtype), k, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32) * scale
+
+    @pl.when(kb == nkb - 1)
+    def _():
+        dq_ref[0] = dq_scratch[:].astype(dq_ref.dtype)
+
+
+def _flash_bwd(q, k, v, o, lse, do, scale, seq_len,
+               block_q=BLOCK_Q, block_k=BLOCK_K):
+    n, sp, d = q.shape
+    nq = sp // block_q
+    nk = sp // block_k
+    delta = jnp.sum(do.astype(jnp.float32) * o.astype(jnp.float32),
+                    axis=-1, keepdims=True)               # (N, Sp, 1)
+
+    q_spec_q = pl.BlockSpec((1, block_q, d), lambda b, i, j: (b, j, 0),
+                            memory_space=pltpu.VMEM)
+    kv_spec_k = pl.BlockSpec((1, block_k, d), lambda b, i, j: (b, i, 0),
+                             memory_space=pltpu.VMEM)
+    row_spec_q = pl.BlockSpec((1, block_q, 1), lambda b, i, j: (b, j, 0),
+                              memory_space=pltpu.VMEM)
+    dk, dv = pl.pallas_call(
+        functools.partial(_bwd_dkdv_kernel, scale=scale, seq_len=seq_len,
+                          block_k=block_k),
+        grid=(n, nk, nq),
+        in_specs=[q_spec_q, kv_spec_k, kv_spec_k, q_spec_q, row_spec_q,
+                  row_spec_q],
+        out_specs=(kv_spec_k, kv_spec_k),
+        out_shape=(jax.ShapeDtypeStruct((n, sp, d), k.dtype),
+                   jax.ShapeDtypeStruct((n, sp, d), v.dtype)),
+        scratch_shapes=[pltpu.VMEM((block_k, d), jnp.float32),
+                        pltpu.VMEM((block_k, d), jnp.float32)],
+        cost_estimate=pl.CostEstimate(
+            flops=6 * n * sp * sp * d,
+            bytes_accessed=6 * n * sp * d * q.dtype.itemsize,
+            transcendentals=n * sp * sp),
+    )(q, k, v, do, lse, delta)
+
+    q_spec = pl.BlockSpec((1, block_q, d), lambda b, i, j: (b, i, 0),
+                          memory_space=pltpu.VMEM)
+    kv_spec = pl.BlockSpec((1, block_k, d), lambda b, i, j: (b, j, 0),
+                           memory_space=pltpu.VMEM)
+    row_spec = pl.BlockSpec((1, block_q, 1), lambda b, i, j: (b, i, 0),
+                            memory_space=pltpu.VMEM)
+    dq = pl.pallas_call(
+        functools.partial(_bwd_dq_kernel, scale=scale, seq_len=seq_len,
+                          block_k=block_k),
+        grid=(n, nq, nk),
+        in_specs=[q_spec, kv_spec, kv_spec, q_spec, row_spec, row_spec],
+        out_specs=q_spec,
+        out_shape=jax.ShapeDtypeStruct((n, sp, d), q.dtype),
+        scratch_shapes=[pltpu.VMEM((block_q, d), jnp.float32)],
+        cost_estimate=pl.CostEstimate(
+            flops=4 * n * sp * sp * d,
+            bytes_accessed=5 * n * sp * d * q.dtype.itemsize,
+            transcendentals=n * sp * sp),
+    )(q, k, v, do, lse, delta)
+    return dq, dk, dv
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
 def _flash_attention_padded(q, k, v, scale: float, seq_len: int):
-    return _flash_fwd(q, k, v, scale, seq_len)
+    o, _ = _flash_fwd(q, k, v, scale, seq_len)
+    return o
 
 
 def _flash_vjp_fwd(q, k, v, scale, seq_len):
-    o = _flash_fwd(q, k, v, scale, seq_len)
-    return o, (q, k, v)
+    o, lse = _flash_fwd(q, k, v, scale, seq_len)
+    return o, (q, k, v, o, lse)
 
 
 def _flash_vjp_bwd(scale, seq_len, res, do):
-    """Backward via jnp in fp32, chunked over Q blocks with lax.map to bound
-    memory (a fully-Pallas blocked backward is a later-round refinement —
-    this already avoids (S,S) residuals in HBM)."""
-    q, k, v = res
-    n, sp, d = q.shape
-    qf = q.astype(jnp.float32)
-    kf = k.astype(jnp.float32)
-    vf = v.astype(jnp.float32)
-    dof = do.astype(jnp.float32)
-    nq = sp // BLOCK_Q
-
-    col_valid = (jnp.arange(sp) < seq_len)[None, None, :]
-
-    def q_chunk(i):
-        qs = jax.lax.dynamic_slice_in_dim(qf, i * BLOCK_Q, BLOCK_Q, axis=1)
-        dos = jax.lax.dynamic_slice_in_dim(dof, i * BLOCK_Q, BLOCK_Q, axis=1)
-        s = jnp.einsum("nqd,nkd->nqk", qs * scale, kf,
-                       preferred_element_type=jnp.float32)
-        s = jnp.where(col_valid, s, _NEG_INF)
-        p = jax.nn.softmax(s, axis=-1)
-        dv_c = jnp.einsum("nqk,nqd->nkd", p, dos)
-        dp = jnp.einsum("nqd,nkd->nqk", dos, vf)
-        ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
-        dq_c = jnp.einsum("nqk,nkd->nqd", ds, kf) * scale
-        dk_c = jnp.einsum("nqk,nqd->nkd", ds, qs) * scale
-        return dq_c, dk_c, dv_c
-
-    dqs, dks, dvs = jax.lax.map(q_chunk, jnp.arange(nq))
-    dq = dqs.transpose(1, 0, 2, 3).reshape(n, sp, d)
-    dk = dks.sum(axis=0)
-    dv = dvs.sum(axis=0)
+    """Fully-Pallas blocked backward (FlashAttention-2 style): rebuilds
+    p = exp(s − L) from the saved logsumexp, no (S,S) residuals in HBM."""
+    q, k, v, o, lse = res
+    dq, dk, dv = _flash_bwd(q, k, v, o, lse, do, scale, seq_len)
     return dq.astype(q.dtype), dk.astype(k.dtype), dv.astype(v.dtype)
 
 
