@@ -34,6 +34,25 @@ FAMILIES = [
     ("nfnet_f0", dict(depths=(1, 1, 1, 1)), 64),
     ("eca_nfnet_l0", dict(depths=(1, 1, 1, 1)), 64),
     ("nf_seresnet26", dict(depths=(1, 1, 1, 1)), 64),
+    # round-2 families (reference levit/tiny_vit/hiera/mvitv2/davit/twins/
+    # gcvit/nest/coat/volo/efficientformer/focalnet .py registry surfaces)
+    ("levit_128s", dict(depths=(1, 1, 1)), 64),
+    ("tiny_vit_5m_224", dict(depths=(1, 1, 1, 1), img_size=64,
+                             window_sizes=(2, 2, 4, 2)), 64),
+    ("hiera_tiny_224", dict(depths=(1, 1, 1, 1), img_size=64), 64),
+    ("mvitv2_tiny", dict(depths=(1, 1, 1, 1), img_size=64), 64),
+    ("davit_tiny", dict(depths=(1, 1, 1, 1)), 64),
+    ("twins_pcpvt_small", dict(depths=(1, 1, 1, 1)), 64),
+    ("gcvit_xxtiny", dict(depths=(1, 1, 1, 1), img_size=64,
+                          window_sizes=(4, 4, 2, 2)), 64),
+    ("nest_tiny", dict(depths=(1, 1, 1), img_size=96), 96),
+    ("coat_tiny", dict(depths=(1, 1, 1, 1), parallel_depth=2,
+                       embed_dims=(32, 32, 32, 32), img_size=64), 64),
+    ("volo_d1_224", dict(depths=(1, 1), embed_dims=(64, 128),
+                         num_heads=(2, 4), img_size=64), 64),
+    ("efficientformer_l1", dict(depths=(1, 1, 1, 1), vit_num=1), 64),
+    ("focalnet_tiny_srf", dict(depths=(1, 1, 1, 1)), 64),
+    ("focalnet_large_fl3", dict(depths=(1, 1, 1, 1), embed_dim=32), 64),
 ]
 
 
