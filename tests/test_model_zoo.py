@@ -52,6 +52,17 @@ FAMILIES = [
                          num_heads=(2, 4), img_size=64), 64),
     ("efficientformer_l1", dict(depths=(1, 1, 1, 1), vit_num=1), 64),
     ("focalnet_tiny_srf", dict(depths=(1, 1, 1, 1)), 64),
+    ("convit_tiny", dict(depth=2, local_up_to_layer=1, img_size=64,
+                         embed_dim=16), 64),
+    ("pit_ti_224", dict(depths=(1, 1, 1), img_size=64), 64),
+    ("tnt_s_patch16_224", dict(depth=2, img_size=64, embed_dim=64,
+                               inner_dim=16, num_heads_outer=2), 64),
+    ("crossvit_tiny_240", dict(depths=((1, 1, 0),), img_size=48,
+                               embed_dim=(48, 96)), 48),
+    ("crossvit_9_dagger_240", dict(depths=((1, 1, 0),), img_size=48,
+                                   embed_dim=(32, 64),
+                                   num_heads=(2, 2)), 48),
+    ("pit_s_distilled_224", dict(depths=(1, 1, 1), img_size=64), 64),
     ("focalnet_large_fl3", dict(depths=(1, 1, 1, 1), embed_dim=32), 64),
 ]
 

@@ -48,6 +48,10 @@ import vision_transformers_torch_xla_tpu.models.coat  # noqa: F401,E402
 import vision_transformers_torch_xla_tpu.models.volo  # noqa: F401,E402
 import vision_transformers_torch_xla_tpu.models.efficientformer  # noqa: F401,E402
 import vision_transformers_torch_xla_tpu.models.focalnet  # noqa: F401,E402
+import vision_transformers_torch_xla_tpu.models.convit  # noqa: F401,E402
+import vision_transformers_torch_xla_tpu.models.pit  # noqa: F401,E402
+import vision_transformers_torch_xla_tpu.models.crossvit  # noqa: F401,E402
+import vision_transformers_torch_xla_tpu.models.tnt  # noqa: F401,E402
 import vision_transformers_torch_xla_tpu.models.efficientnet  # noqa: F401,E402
 import vision_transformers_torch_xla_tpu.models.vit_hybrid  # noqa: F401,E402
 import vision_transformers_torch_xla_tpu.models.cait  # noqa: F401,E402
