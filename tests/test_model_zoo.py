@@ -55,6 +55,8 @@ FAMILIES = [
     ("convit_tiny", dict(depth=2, local_up_to_layer=1, img_size=64,
                          embed_dim=16), 64),
     ("pit_ti_224", dict(depths=(1, 1, 1), img_size=64), 64),
+    ("mobilevit_xxs", dict(), 64),
+    ("mobilevitv2_050", dict(), 64),
     ("tnt_s_patch16_224", dict(depth=2, img_size=64, embed_dim=64,
                                inner_dim=16, num_heads_outer=2), 64),
     ("crossvit_tiny_240", dict(depths=((1, 1, 0),), img_size=48,
@@ -76,6 +78,11 @@ def test_family_forward(name, kwargs, hw):
     y = m.apply(vs, x, True)
     assert y.shape == (1, 10)
     assert y.dtype == jnp.float32
+    # train mode (deterministic=False): catches inverted train/deterministic
+    # conventions and exercises BN batch-stats updates + dropout rng wiring
+    rngs = {"dropout": jax.random.key(1), "droppath": jax.random.key(2)}
+    y2, _ = m.apply(vs, x, False, rngs=rngs, mutable=True)
+    assert y2.shape == (1, 10)
 
 
 def test_zoo_size():

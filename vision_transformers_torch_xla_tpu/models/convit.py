@@ -173,8 +173,8 @@ class ConVit(nn.Module):
     param_dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x, train: bool = False):
-        deterministic = not train
+    def __call__(self, x, deterministic: bool = True):
+        train = not deterministic
         dim = self.embed_dim * self.num_heads
         x = PatchEmbed(patch_size=self.patch_size, embed_dim=dim,
                        dtype=self.dtype, param_dtype=self.param_dtype,

@@ -100,8 +100,8 @@ class CrossVit(nn.Module):
         return x.reshape(b, -1, dim)
 
     @nn.compact
-    def __call__(self, x, train: bool = False):
-        deterministic = not train
+    def __call__(self, x, deterministic: bool = True):
+        train = not deterministic
         nb = len(self.patch_size)
         sizes = [int(self.img_size * s) for s in self.img_scale]
         xs = []

@@ -76,7 +76,14 @@ class DavitBlock(nn.Module):
             out = out.transpose(0, 3, 1, 2).reshape(b, hh * ww, c)
             y = proj(out.astype(x.dtype)).reshape(b, hh, ww, c)
         else:
-            ws = min(self.window_size, hh)
+            ws = min(self.window_size, hh, ww)
+            # pad to a window multiple (reference davit.py pads without
+            # masking; zero tokens only dilute softmax mass at edges)
+            ph = (-hh) % ws
+            pw = (-ww) % ws
+            if ph or pw:
+                y = jnp.pad(y, ((0, 0), (0, ph), (0, pw), (0, 0)))
+            hp, wp = hh + ph, ww + pw
             t = _window_partition(y, ws)
             bnw, n, _ = t.shape
             qkv = qkv_layer(t).reshape(bnw, n, 3, h, c // h)
@@ -88,7 +95,9 @@ class DavitBlock(nn.Module):
             out = jnp.einsum("bhqk,bhkd->bhqd", attn.astype(v.dtype), v,
                              preferred_element_type=jnp.float32)
             out = out.transpose(0, 2, 1, 3).reshape(bnw, n, c)
-            y = _window_merge(proj(out.astype(x.dtype)), ws, hh, ww)
+            y = _window_merge(proj(out.astype(x.dtype)), ws, hp, wp)
+            if ph or pw:
+                y = y[:, :hh, :ww]
         rng = None if deterministic or self.drop_path_rate == 0 else \
             self.make_rng("droppath")
         x = x + drop_path(y, self.drop_path_rate, deterministic, rng)

@@ -151,8 +151,8 @@ class FocalNet(nn.Module):
     param_dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x, train: bool = False):
-        deterministic = not train
+    def __call__(self, x, deterministic: bool = True):
+        train = not deterministic
         dims = [self.embed_dim * (2 ** i) for i in range(len(self.depths))]
         # stem: 4x reduction; overlap variant uses k7 s4 (reference :283-315)
         if self.use_overlap_down:

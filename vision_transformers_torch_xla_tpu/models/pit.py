@@ -41,8 +41,8 @@ class PoolingVisionTransformer(nn.Module):
     param_dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x, train: bool = False):
-        deterministic = not train
+    def __call__(self, x, deterministic: bool = True):
+        train = not deterministic
         num_tokens = 2 if self.distilled else 1
         dim = self.base_dims[0] * self.heads[0]
         # overlapping conv stem (reference ConvEmbedding :116-140)

@@ -79,8 +79,8 @@ class TNT(nn.Module):
     param_dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x, train: bool = False):
-        deterministic = not train
+    def __call__(self, x, deterministic: bool = True):
+        train = not deterministic
         b, hh, ww, c = x.shape
         p = self.patch_size
         gh, gw = hh // p, ww // p
