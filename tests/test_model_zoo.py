@@ -56,6 +56,10 @@ FAMILIES = [
                          embed_dim=16), 64),
     ("pit_ti_224", dict(depths=(1, 1, 1), img_size=64), 64),
     ("mobilevit_xxs", dict(), 64),
+    ("vgg11_bn", dict(), 64),
+    ("densenet121", dict(block_config=(1, 1, 1, 1)), 64),
+    ("inception_v3", dict(), 96),
+    ("xception", dict(middle_blocks=1), 96),
     ("mobilevitv2_050", dict(), 64),
     ("tnt_s_patch16_224", dict(depth=2, img_size=64, embed_dim=64,
                                inner_dim=16, num_heads_outer=2), 64),

@@ -53,6 +53,10 @@ import vision_transformers_torch_xla_tpu.models.pit  # noqa: F401,E402
 import vision_transformers_torch_xla_tpu.models.crossvit  # noqa: F401,E402
 import vision_transformers_torch_xla_tpu.models.tnt  # noqa: F401,E402
 import vision_transformers_torch_xla_tpu.models.mobilevit  # noqa: F401,E402
+import vision_transformers_torch_xla_tpu.models.vgg  # noqa: F401,E402
+import vision_transformers_torch_xla_tpu.models.densenet  # noqa: F401,E402
+import vision_transformers_torch_xla_tpu.models.inception  # noqa: F401,E402
+import vision_transformers_torch_xla_tpu.models.xception  # noqa: F401,E402
 import vision_transformers_torch_xla_tpu.models.efficientnet  # noqa: F401,E402
 import vision_transformers_torch_xla_tpu.models.vit_hybrid  # noqa: F401,E402
 import vision_transformers_torch_xla_tpu.models.cait  # noqa: F401,E402
