@@ -57,6 +57,10 @@ FAMILIES = [
     ("pit_ti_224", dict(depths=(1, 1, 1), img_size=64), 64),
     ("mobilevit_xxs", dict(), 64),
     ("vgg11_bn", dict(), 64),
+    ("edgenext_xx_small", dict(depths=(1, 1, 1, 1)), 64),
+    ("ghostnetv2_100", dict(), 64),
+    ("visformer_tiny", dict(depths=(1, 1, 1)), 64),
+    ("swiftformer_xs", dict(layers=(2, 2, 2, 2)), 64),
     ("densenet121", dict(block_config=(1, 1, 1, 1)), 64),
     ("inception_v3", dict(), 96),
     ("xception", dict(middle_blocks=1), 96),

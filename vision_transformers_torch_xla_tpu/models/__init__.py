@@ -57,6 +57,10 @@ import vision_transformers_torch_xla_tpu.models.vgg  # noqa: F401,E402
 import vision_transformers_torch_xla_tpu.models.densenet  # noqa: F401,E402
 import vision_transformers_torch_xla_tpu.models.inception  # noqa: F401,E402
 import vision_transformers_torch_xla_tpu.models.xception  # noqa: F401,E402
+import vision_transformers_torch_xla_tpu.models.edgenext  # noqa: F401,E402
+import vision_transformers_torch_xla_tpu.models.ghostnet  # noqa: F401,E402
+import vision_transformers_torch_xla_tpu.models.visformer  # noqa: F401,E402
+import vision_transformers_torch_xla_tpu.models.swiftformer  # noqa: F401,E402
 import vision_transformers_torch_xla_tpu.models.efficientnet  # noqa: F401,E402
 import vision_transformers_torch_xla_tpu.models.vit_hybrid  # noqa: F401,E402
 import vision_transformers_torch_xla_tpu.models.cait  # noqa: F401,E402
