@@ -61,6 +61,8 @@ FAMILIES = [
     ("ghostnetv2_100", dict(), 64),
     ("visformer_tiny", dict(depths=(1, 1, 1)), 64),
     ("swiftformer_xs", dict(layers=(2, 2, 2, 2)), 64),
+    ("fastvit_t8", dict(layers=(1, 1, 1, 1)), 64),
+    ("fastvit_sa12", dict(layers=(1, 1, 1, 1)), 64),
     ("densenet121", dict(block_config=(1, 1, 1, 1)), 64),
     ("inception_v3", dict(), 96),
     ("xception", dict(middle_blocks=1), 96),

@@ -61,6 +61,7 @@ import vision_transformers_torch_xla_tpu.models.edgenext  # noqa: F401,E402
 import vision_transformers_torch_xla_tpu.models.ghostnet  # noqa: F401,E402
 import vision_transformers_torch_xla_tpu.models.visformer  # noqa: F401,E402
 import vision_transformers_torch_xla_tpu.models.swiftformer  # noqa: F401,E402
+import vision_transformers_torch_xla_tpu.models.fastvit  # noqa: F401,E402
 import vision_transformers_torch_xla_tpu.models.efficientnet  # noqa: F401,E402
 import vision_transformers_torch_xla_tpu.models.vit_hybrid  # noqa: F401,E402
 import vision_transformers_torch_xla_tpu.models.cait  # noqa: F401,E402
