@@ -62,6 +62,8 @@ FAMILIES = [
     ("visformer_tiny", dict(depths=(1, 1, 1)), 64),
     ("swiftformer_xs", dict(layers=(2, 2, 2, 2)), 64),
     ("fastvit_t8", dict(layers=(1, 1, 1, 1)), 64),
+    ("repvit_m0_9", dict(depth=(1, 1, 1, 1)), 64),
+    ("efficientvit_m0", dict(depth=(1, 1, 1), img_size=64), 64),
     ("fastvit_sa12", dict(layers=(1, 1, 1, 1)), 64),
     ("densenet121", dict(block_config=(1, 1, 1, 1)), 64),
     ("inception_v3", dict(), 96),
