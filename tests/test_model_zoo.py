@@ -64,6 +64,9 @@ FAMILIES = [
     ("fastvit_t8", dict(layers=(1, 1, 1, 1)), 64),
     ("repvit_m0_9", dict(depth=(1, 1, 1, 1)), 64),
     ("efficientvit_m0", dict(depth=(1, 1, 1), img_size=64), 64),
+    ("resnet18d", dict(stage_sizes=(1, 1, 1, 1)), 64),
+    ("seresnext50_32x4d", dict(stage_sizes=(1, 1, 1, 1)), 64),
+    ("ecaresnet50d", dict(stage_sizes=(1, 1, 1, 1)), 64),
     ("fastvit_sa12", dict(layers=(1, 1, 1, 1)), 64),
     ("densenet121", dict(block_config=(1, 1, 1, 1)), 64),
     ("inception_v3", dict(), 96),
