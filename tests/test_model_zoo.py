@@ -66,6 +66,8 @@ FAMILIES = [
     ("efficientvit_m0", dict(depth=(1, 1, 1), img_size=64), 64),
     ("resnet18d", dict(stage_sizes=(1, 1, 1, 1)), 64),
     ("res2net50_26w_4s", dict(stage_sizes=(1, 1, 1, 1)), 64),
+    ("starnet_s050", dict(), 64),
+    ("shvit_s1", dict(depth=(1, 1, 1)), 64),
     ("resnest50d", dict(stage_sizes=(1, 1, 1, 1)), 64),
     ("seresnext50_32x4d", dict(stage_sizes=(1, 1, 1, 1)), 64),
     ("ecaresnet50d", dict(stage_sizes=(1, 1, 1, 1)), 64),
