@@ -67,6 +67,8 @@ FAMILIES = [
     ("resnet18d", dict(stage_sizes=(1, 1, 1, 1)), 64),
     ("res2net50_26w_4s", dict(stage_sizes=(1, 1, 1, 1)), 64),
     ("starnet_s050", dict(), 64),
+    ("rexnet_100", dict(depth_mult=0.34), 64),
+    ("ese_vovnet19b_dw", dict(layer_per_block=1), 64),
     ("shvit_s1", dict(depth=(1, 1, 1)), 64),
     ("resnest50d", dict(stage_sizes=(1, 1, 1, 1)), 64),
     ("seresnext50_32x4d", dict(stage_sizes=(1, 1, 1, 1)), 64),

@@ -67,6 +67,8 @@ import vision_transformers_torch_xla_tpu.models.efficientvit  # noqa: F401,E402
 import vision_transformers_torch_xla_tpu.models.resnest  # noqa: F401,E402
 import vision_transformers_torch_xla_tpu.models.starnet  # noqa: F401,E402
 import vision_transformers_torch_xla_tpu.models.shvit  # noqa: F401,E402
+import vision_transformers_torch_xla_tpu.models.rexnet  # noqa: F401,E402
+import vision_transformers_torch_xla_tpu.models.vovnet  # noqa: F401,E402
 import vision_transformers_torch_xla_tpu.models.efficientnet  # noqa: F401,E402
 import vision_transformers_torch_xla_tpu.models.vit_hybrid  # noqa: F401,E402
 import vision_transformers_torch_xla_tpu.models.cait  # noqa: F401,E402
