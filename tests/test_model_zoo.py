@@ -68,6 +68,8 @@ FAMILIES = [
     ("res2net50_26w_4s", dict(stage_sizes=(1, 1, 1, 1)), 64),
     ("starnet_s050", dict(), 64),
     ("rexnet_100", dict(depth_mult=0.34), 64),
+    ("inception_next_atto", dict(depths=(1, 1, 1, 1)), 64),
+    ("fasternet_t0", dict(depths=(1, 1, 1, 1)), 64),
     ("ese_vovnet19b_dw", dict(layer_per_block=1), 64),
     ("shvit_s1", dict(depth=(1, 1, 1)), 64),
     ("resnest50d", dict(stage_sizes=(1, 1, 1, 1)), 64),
