@@ -69,6 +69,8 @@ FAMILIES = [
     ("starnet_s050", dict(), 64),
     ("rexnet_100", dict(depth_mult=0.34), 64),
     ("inception_next_atto", dict(depths=(1, 1, 1, 1)), 64),
+    ("mambaout_femto", dict(depths=(1, 1, 1, 1)), 64),
+    ("nextvit_small", dict(depths=(1, 1, 5, 1)), 64),
     ("fasternet_t0", dict(depths=(1, 1, 1, 1)), 64),
     ("ese_vovnet19b_dw", dict(layer_per_block=1), 64),
     ("shvit_s1", dict(depth=(1, 1, 1)), 64),

@@ -71,6 +71,8 @@ import vision_transformers_torch_xla_tpu.models.rexnet  # noqa: F401,E402
 import vision_transformers_torch_xla_tpu.models.vovnet  # noqa: F401,E402
 import vision_transformers_torch_xla_tpu.models.inception_next  # noqa: F401,E402
 import vision_transformers_torch_xla_tpu.models.fasternet  # noqa: F401,E402
+import vision_transformers_torch_xla_tpu.models.mambaout  # noqa: F401,E402
+import vision_transformers_torch_xla_tpu.models.nextvit  # noqa: F401,E402
 import vision_transformers_torch_xla_tpu.models.efficientnet  # noqa: F401,E402
 import vision_transformers_torch_xla_tpu.models.vit_hybrid  # noqa: F401,E402
 import vision_transformers_torch_xla_tpu.models.cait  # noqa: F401,E402
