@@ -71,6 +71,9 @@ FAMILIES = [
     ("inception_next_atto", dict(depths=(1, 1, 1, 1)), 64),
     ("mambaout_femto", dict(depths=(1, 1, 1, 1)), 64),
     ("nextvit_small", dict(depths=(1, 1, 5, 1)), 64),
+    ("cspresnet50", dict(depths=(1, 1, 1, 1)), 64),
+    ("cspdarknet53", dict(depths=(1, 1, 1, 1, 1)), 64),
+    ("darknet53", dict(depths=(1, 1, 1, 1, 1)), 64),
     ("efficientformerv2_s0", dict(depths=(1, 1, 2, 2), num_vit=1,
                                   mlp_ratios=(4, 4, (3, 4), (3, 4))), 64),
     ("fasternet_t0", dict(depths=(1, 1, 1, 1)), 64),

@@ -233,14 +233,8 @@ _VARIANTS = {
                                depths=(4, 4, 12, 6), vit_num=4),
     "efficientformer_l7": dict(embed_dims=(96, 192, 384, 768),
                                depths=(6, 6, 18, 8), vit_num=8),
-    "efficientformerv2_s0": dict(embed_dims=(32, 48, 96, 176),
-                                 depths=(2, 2, 6, 4), vit_num=2, v2=True),
-    "efficientformerv2_s1": dict(embed_dims=(32, 48, 120, 224),
-                                 depths=(3, 3, 9, 6), vit_num=2, v2=True),
-    "efficientformerv2_s2": dict(embed_dims=(32, 64, 144, 288),
-                                 depths=(4, 4, 12, 8), vit_num=4, v2=True),
-    "efficientformerv2_l": dict(embed_dims=(40, 80, 192, 384),
-                                depths=(5, 5, 15, 10), vit_num=6, v2=True),
+    # efficientformerv2_* live in efficientformer_v2.py (dedicated
+    # Attention2d implementation with rel-pos biases + talking heads)
 }
 
 import sys  # noqa: E402
