@@ -72,6 +72,10 @@ FAMILIES = [
     ("mambaout_femto", dict(depths=(1, 1, 1, 1)), 64),
     ("nextvit_small", dict(depths=(1, 1, 5, 1)), 64),
     ("cspresnet50", dict(depths=(1, 1, 1, 1)), 64),
+    ("resnetv2_50x1_bit", dict(layers=(1, 1, 1, 1)), 64),
+    ("sequencer2d_s", dict(layers=(1, 1, 1, 1), embed_dims=(48, 96, 96, 96),
+                           hidden_sizes=(12, 24, 24, 24)), 56),
+    ("resnetv2_50", dict(layers=(1, 1, 1, 1)), 64),
     ("cspdarknet53", dict(depths=(1, 1, 1, 1, 1)), 64),
     ("darknet53", dict(depths=(1, 1, 1, 1, 1)), 64),
     ("efficientformerv2_s0", dict(depths=(1, 1, 2, 2), num_vit=1,
