@@ -76,6 +76,9 @@ FAMILIES = [
     ("sequencer2d_s", dict(layers=(1, 1, 1, 1), embed_dims=(48, 96, 96, 96),
                            hidden_sizes=(12, 24, 24, 24)), 56),
     ("resnetv2_50", dict(layers=(1, 1, 1, 1)), 64),
+    ("dpn68b", dict(k_sec=(1, 1, 1, 1)), 64),
+    ("tresnet_m", dict(layers=(1, 1, 1, 1)), 64),
+    ("tresnet_v2_l", dict(layers=(1, 1, 1, 1)), 64),
     ("cspdarknet53", dict(depths=(1, 1, 1, 1, 1)), 64),
     ("darknet53", dict(depths=(1, 1, 1, 1, 1)), 64),
     ("efficientformerv2_s0", dict(depths=(1, 1, 2, 2), num_vit=1,

@@ -77,6 +77,8 @@ import vision_transformers_torch_xla_tpu.models.efficientformer_v2  # noqa: F401
 import vision_transformers_torch_xla_tpu.models.cspnet  # noqa: F401,E402
 import vision_transformers_torch_xla_tpu.models.resnetv2  # noqa: F401,E402
 import vision_transformers_torch_xla_tpu.models.sequencer  # noqa: F401,E402
+import vision_transformers_torch_xla_tpu.models.dpn  # noqa: F401,E402
+import vision_transformers_torch_xla_tpu.models.tresnet  # noqa: F401,E402
 import vision_transformers_torch_xla_tpu.models.efficientnet  # noqa: F401,E402
 import vision_transformers_torch_xla_tpu.models.vit_hybrid  # noqa: F401,E402
 import vision_transformers_torch_xla_tpu.models.cait  # noqa: F401,E402
