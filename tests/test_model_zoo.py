@@ -79,6 +79,8 @@ FAMILIES = [
     ("dpn68b", dict(k_sec=(1, 1, 1, 1)), 64),
     ("tresnet_m", dict(layers=(1, 1, 1, 1)), 64),
     ("dla46_c", dict(), 64),
+    ("skresnet18", dict(layers=(1, 1, 1, 1)), 64),
+    ("skresnext50_32x4d", dict(layers=(1, 1, 1, 1)), 64),
     ("tresnet_v2_l", dict(layers=(1, 1, 1, 1)), 64),
     ("cspdarknet53", dict(depths=(1, 1, 1, 1, 1)), 64),
     ("darknet53", dict(depths=(1, 1, 1, 1, 1)), 64),

@@ -80,6 +80,7 @@ import vision_transformers_torch_xla_tpu.models.sequencer  # noqa: F401,E402
 import vision_transformers_torch_xla_tpu.models.dpn  # noqa: F401,E402
 import vision_transformers_torch_xla_tpu.models.tresnet  # noqa: F401,E402
 import vision_transformers_torch_xla_tpu.models.dla  # noqa: F401,E402
+import vision_transformers_torch_xla_tpu.models.sknet  # noqa: F401,E402
 import vision_transformers_torch_xla_tpu.models.efficientnet  # noqa: F401,E402
 import vision_transformers_torch_xla_tpu.models.vit_hybrid  # noqa: F401,E402
 import vision_transformers_torch_xla_tpu.models.cait  # noqa: F401,E402
