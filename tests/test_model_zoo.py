@@ -81,6 +81,7 @@ FAMILIES = [
     ("dla46_c", dict(), 64),
     ("skresnet18", dict(layers=(1, 1, 1, 1)), 64),
     ("hgnet_tiny", dict(), 64),
+    ("selecsls42b", dict(), 64),
     ("hgnetv2_b0", dict(), 64),
     ("skresnext50_32x4d", dict(layers=(1, 1, 1, 1)), 64),
     ("tresnet_v2_l", dict(layers=(1, 1, 1, 1)), 64),
