@@ -82,6 +82,12 @@ FAMILIES = [
     ("skresnet18", dict(layers=(1, 1, 1, 1)), 64),
     ("hgnet_tiny", dict(), 64),
     ("selecsls42b", dict(), 64),
+    ("vit_relpos_small_patch16_224", dict(img_size=64, embed_dim=64,
+                                          depth=2, num_heads=2), 64),
+    ("vit_srelpos_small_patch16_224", dict(img_size=64, embed_dim=64,
+                                           depth=2, num_heads=2), 64),
+    ("vit_relpos_base_patch16_cls_224", dict(img_size=64, embed_dim=64,
+                                             depth=2, num_heads=2), 64),
     ("hgnetv2_b0", dict(), 64),
     ("skresnext50_32x4d", dict(layers=(1, 1, 1, 1)), 64),
     ("tresnet_v2_l", dict(layers=(1, 1, 1, 1)), 64),
