@@ -104,6 +104,8 @@ FAMILIES = [
     ("fastvit_sa12", dict(layers=(1, 1, 1, 1)), 64),
     ("densenet121", dict(block_config=(1, 1, 1, 1)), 64),
     ("inception_v3", dict(), 96),
+    ("inception_v4", dict(), 96),
+    ("inception_resnet_v2", dict(), 96),
     ("xception", dict(middle_blocks=1), 96),
     ("mobilevitv2_050", dict(), 64),
     ("tnt_s_patch16_224", dict(depth=2, img_size=64, embed_dim=64,
