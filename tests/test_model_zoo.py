@@ -83,6 +83,9 @@ FAMILIES = [
     ("skresnet18", dict(layers=(1, 1, 1, 1)), 64),
     ("hgnet_tiny", dict(), 64),
     ("selecsls42b", dict(), 64),
+    ("samvit_base_patch16", dict(img_size=64, embed_dim=64, depth=2,
+                                 num_heads=2, window_size=2,
+                                 global_attn_indexes=(1,)), 64),
     ("vit_relpos_small_patch16_224", dict(img_size=64, embed_dim=64,
                                           depth=2, num_heads=2), 64),
     ("vit_srelpos_small_patch16_224", dict(img_size=64, embed_dim=64,
