@@ -114,3 +114,16 @@ def test_fused_attention_qkv_cols_rejects_odd_heads():
     )
     with pytest.raises(ValueError):
         fused_attention_qkv_cols(_rand((1, 16, 3 * 3 * 64)), 3)
+
+
+def test_fused_attention_qkv_cols_long_seq_fallback():
+    # S > _MAX_VMEM_SEQ routes through the blocked flash kernel
+    from vision_transformers_torch_xla_tpu.ops.flash_attention import (
+        fused_attention_qkv_cols,
+    )
+    B, H, S, D = 1, 2, 1100, 64
+    qkv = _rand((B, S, 3 * H * D), 7)
+    got = fused_attention_qkv_cols(qkv, H)
+    ref = _ref_from_cols(qkv, H)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=5e-3, rtol=5e-3)

@@ -381,6 +381,16 @@ def fused_attention_qkv_cols(qkv: jax.Array, num_heads: int,
         raise ValueError(f"head_dim {d} must be a multiple of 64 and "
                          f"num_heads {h} even for the head-pair kernel")
     scale = float(scale if scale is not None else d ** -0.5)
+    if s > _MAX_VMEM_SEQ:
+        # long sequences (hi-res ViTs): (S, S) scores no longer fit VMEM —
+        # route through the blocked online-softmax flash kernel
+        from vision_transformers_torch_xla_tpu.ops.flash_blocked import (
+            flash_attention_blocked,
+        )
+
+        t = qkv.reshape(b, s, 3, h, d).transpose(2, 0, 3, 1, 4)
+        o = flash_attention_blocked(t[0], t[1], t[2], scale)
+        return o.transpose(0, 2, 1, 3).reshape(b, s, h * d)
     # no pad/slice: a block sublane dim equal to the array's ragged seq dim
     # is legal, Mosaic pads reads internally (zero-fill, verified on v5e —
     # the score column mask keeps correctness independent of the fill) and
