@@ -60,6 +60,7 @@ FAMILIES = [
     ("edgenext_xx_small", dict(depths=(1, 1, 1, 1)), 64),
     ("ghostnetv2_100", dict(), 64),
     ("repghostnet_050", dict(), 64),
+    ("hardcorenas_a", dict(), 64),
     ("visformer_tiny", dict(depths=(1, 1, 1)), 64),
     ("swiftformer_xs", dict(layers=(2, 2, 2, 2)), 64),
     ("fastvit_t8", dict(layers=(1, 1, 1, 1)), 64),

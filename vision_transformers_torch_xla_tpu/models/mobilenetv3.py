@@ -71,6 +71,7 @@ _LCNET: Tuple = (
 class MobileNetV3(nn.Module):
     blocks: Tuple = _LARGE
     width_mult: float = 1.0
+    stem_ch: int = 16
     head_ch: int = 960
     head_hidden: int = 1280
     minimal: bool = False  # no SE, relu everywhere, 3x3 kernels
@@ -97,7 +98,7 @@ class MobileNetV3(nn.Module):
         se_conv = partial(nn.Conv, padding="SAME", dtype=self.dtype,
                           param_dtype=self.param_dtype)
         x = x.astype(self.dtype)
-        stem = _round_ch(16 * self.width_mult)
+        stem = _round_ch(self.stem_ch * self.width_mult)
         x = conv(stem, (3, 3), strides=2, name="stem_conv")(x)
         x = self._act(bn(name="stem_bn")(x), "hs")
 
