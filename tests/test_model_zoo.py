@@ -61,6 +61,8 @@ FAMILIES = [
     ("ghostnetv2_100", dict(), 64),
     ("repghostnet_050", dict(), 64),
     ("hardcorenas_a", dict(), 64),
+    ("legacy_seresnet50", dict(layers=(1, 1, 1, 1)), 64),
+    ("legacy_senet154", dict(layers=(1, 1, 1, 1)), 64),
     ("visformer_tiny", dict(depths=(1, 1, 1)), 64),
     ("swiftformer_xs", dict(layers=(2, 2, 2, 2)), 64),
     ("fastvit_t8", dict(layers=(1, 1, 1, 1)), 64),
