@@ -115,6 +115,7 @@ FAMILIES = [
     ("inception_resnet_v2", dict(), 96),
     ("xception", dict(middle_blocks=1), 96),
     ("xception41", dict(), 96),
+    ("rdnet_tiny", dict(num_blocks_list=(1,) * 7), 64),
     ("mobilevitv2_050", dict(), 64),
     ("tnt_s_patch16_224", dict(depth=2, img_size=64, embed_dim=64,
                                inner_dim=16, num_heads_outer=2), 64),

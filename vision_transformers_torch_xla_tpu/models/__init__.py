@@ -91,6 +91,7 @@ import vision_transformers_torch_xla_tpu.models.vit_sam  # noqa: F401,E402
 import vision_transformers_torch_xla_tpu.models.hardcorenas  # noqa: F401,E402
 import vision_transformers_torch_xla_tpu.models.senet  # noqa: F401,E402
 import vision_transformers_torch_xla_tpu.models.xception_aligned  # noqa: F401,E402
+import vision_transformers_torch_xla_tpu.models.rdnet  # noqa: F401,E402
 import vision_transformers_torch_xla_tpu.models.efficientnet  # noqa: F401,E402
 import vision_transformers_torch_xla_tpu.models.vit_hybrid  # noqa: F401,E402
 import vision_transformers_torch_xla_tpu.models.cait  # noqa: F401,E402
