@@ -126,6 +126,13 @@ FAMILIES = [
                                    num_heads=(2, 2)), 48),
     ("pit_s_distilled_224", dict(depths=(1, 1, 1), img_size=64), 64),
     ("focalnet_large_fl3", dict(depths=(1, 1, 1, 1), embed_dim=32), 64),
+    # round-3: effnet_builder block types (mixconv / condconv / er+cn /
+    # uir+mqa / msfa head)
+    ("mixnet_s", dict(), 64),
+    ("efficientnet_cc_b0_4e", dict(), 64),
+    ("tf_efficientnetv2_b0", dict(), 64),
+    ("mobilenetv4_hybrid_medium", dict(), 64),
+    ("mobilenetv5_base", dict(img_size=128), 128),
 ]
 
 

@@ -212,3 +212,215 @@ for _name, _cfg in _VARIANTS.items():
     _fn.__doc__ = (f"MobileNetV3/LCNet variant {_name!r} (reference "
                    f"mobilenetv3.py registry surface).")
     setattr(_mod, _name, register_model(_fn))
+
+
+# ---------------------------------------------------------------------------
+# Builder-based additions: MobileNetV3 large_150d, FBNetV3, MobileNetV4
+# (reference mobilenetv3.py:533-644 _gen_mobilenet_v3, :645-715 _gen_fbnetv3,
+# :761-1040 _gen_mobilenet_v4). These decode timm arch strings through
+# effnet_builder.EffNet with the MobileNetV3-style head (pool -> 1x1 conv
+# [-> norm] -> act).
+# ---------------------------------------------------------------------------
+
+from vision_transformers_torch_xla_tpu.models.effnet_builder import (  # noqa: E402
+    EffNet as _EffNet,
+    decode_arch_def as _decode_arch_def,
+)
+
+_MNV3_LARGE = (
+    ("ds_r1_k3_s1_e1_c16_nre",),
+    ("ir_r1_k3_s2_e4_c24_nre", "ir_r1_k3_s1_e3_c24_nre"),
+    ("ir_r3_k5_s2_e3_c40_se0.25_nre",),
+    ("ir_r1_k3_s2_e6_c80", "ir_r1_k3_s1_e2.5_c80", "ir_r2_k3_s1_e2.3_c80"),
+    ("ir_r2_k3_s1_e6_c112_se0.25",),
+    ("ir_r3_k5_s2_e6_c160_se0.25",),
+    ("cn_r1_k1_s1_c960",),
+)
+_FBNETV3_B = (
+    ("ds_r2_k3_s1_e1_c16",),
+    ("ir_r1_k5_s2_e4_c24", "ir_r3_k5_s1_e2_c24"),
+    ("ir_r1_k5_s2_e5_c40_se0.25", "ir_r4_k5_s1_e3_c40_se0.25"),
+    ("ir_r1_k5_s2_e5_c72", "ir_r4_k3_s1_e3_c72"),
+    ("ir_r1_k3_s1_e5_c120_se0.25", "ir_r5_k5_s1_e3_c120_se0.25"),
+    ("ir_r1_k3_s2_e6_c184_se0.25", "ir_r5_k5_s1_e4_c184_se0.25",
+     "ir_r1_k5_s1_e6_c224_se0.25"),
+    ("cn_r1_k1_s1_c1344",),
+)
+_FBNETV3_D = (
+    ("ds_r2_k3_s1_e1_c16",),
+    ("ir_r1_k3_s2_e5_c24", "ir_r5_k3_s1_e2_c24"),
+    ("ir_r1_k5_s2_e4_c40_se0.25", "ir_r4_k3_s1_e3_c40_se0.25"),
+    ("ir_r1_k3_s2_e5_c72", "ir_r4_k3_s1_e3_c72"),
+    ("ir_r1_k3_s1_e5_c128_se0.25", "ir_r6_k5_s1_e3_c128_se0.25"),
+    ("ir_r1_k3_s2_e6_c208_se0.25", "ir_r5_k5_s1_e5_c208_se0.25",
+     "ir_r1_k5_s1_e6_c240_se0.25"),
+    ("cn_r1_k1_s1_c1440",),
+)
+_FBNETV3_G = (
+    ("ds_r3_k3_s1_e1_c24",),
+    ("ir_r1_k5_s2_e4_c40", "ir_r4_k5_s1_e2_c40"),
+    ("ir_r1_k5_s2_e4_c56_se0.25", "ir_r4_k5_s1_e3_c56_se0.25"),
+    ("ir_r1_k5_s2_e5_c104", "ir_r4_k3_s1_e3_c104"),
+    ("ir_r1_k3_s1_e5_c160_se0.25", "ir_r8_k5_s1_e3_c160_se0.25"),
+    ("ir_r1_k3_s2_e6_c264_se0.25", "ir_r6_k5_s1_e5_c264_se0.25",
+     "ir_r2_k5_s1_e6_c288_se0.25"),
+    ("cn_r1_k1_s1_c1728",),
+)
+_MNV4_CONV_SMALL = (
+    ("cn_r1_k3_s2_e1_c32", "cn_r1_k1_s1_e1_c32"),
+    ("cn_r1_k3_s2_e1_c96", "cn_r1_k1_s1_e1_c64"),
+    ("uir_r1_a5_k5_s2_e3_c96", "uir_r4_a0_k3_s1_e2_c96",
+     "uir_r1_a3_k0_s1_e4_c96"),
+    ("uir_r1_a3_k3_s2_e6_c128", "uir_r1_a5_k5_s1_e4_c128",
+     "uir_r1_a0_k5_s1_e4_c128", "uir_r1_a0_k5_s1_e3_c128",
+     "uir_r2_a0_k3_s1_e4_c128"),
+    ("cn_r1_k1_s1_c960",),
+)
+_MNV4_CONV_MEDIUM = (
+    ("er_r1_k3_s2_e4_c48",),
+    ("uir_r1_a3_k5_s2_e4_c80", "uir_r1_a3_k3_s1_e2_c80"),
+    ("uir_r1_a3_k5_s2_e6_c160", "uir_r2_a3_k3_s1_e4_c160",
+     "uir_r1_a3_k5_s1_e4_c160", "uir_r1_a3_k3_s1_e4_c160",
+     "uir_r1_a3_k0_s1_e4_c160", "uir_r1_a0_k0_s1_e2_c160",
+     "uir_r1_a3_k0_s1_e4_c160"),
+    ("uir_r1_a5_k5_s2_e6_c256", "uir_r1_a5_k5_s1_e4_c256",
+     "uir_r2_a3_k5_s1_e4_c256", "uir_r1_a0_k0_s1_e4_c256",
+     "uir_r1_a3_k0_s1_e4_c256", "uir_r1_a3_k5_s1_e2_c256",
+     "uir_r1_a5_k5_s1_e4_c256", "uir_r2_a0_k0_s1_e4_c256",
+     "uir_r1_a5_k0_s1_e2_c256"),
+    ("cn_r1_k1_s1_c960",),
+)
+_MNV4_CONV_LARGE = (
+    ("er_r1_k3_s2_e4_c48",),
+    ("uir_r1_a3_k5_s2_e4_c96", "uir_r1_a3_k3_s1_e4_c96"),
+    ("uir_r1_a3_k5_s2_e4_c192", "uir_r3_a3_k3_s1_e4_c192",
+     "uir_r1_a3_k5_s1_e4_c192", "uir_r5_a5_k3_s1_e4_c192",
+     "uir_r1_a3_k0_s1_e4_c192"),
+    ("uir_r4_a5_k5_s2_e4_c512", "uir_r1_a5_k0_s1_e4_c512",
+     "uir_r1_a5_k3_s1_e4_c512", "uir_r2_a5_k0_s1_e4_c512",
+     "uir_r1_a5_k3_s1_e4_c512", "uir_r1_a5_k5_s1_e4_c512",
+     "uir_r3_a5_k0_s1_e4_c512"),
+    ("cn_r1_k1_s1_c960",),
+)
+_MNV4_HYBRID_MEDIUM = (
+    ("er_r1_k3_s2_e4_c48",),
+    ("uir_r1_a3_k5_s2_e4_c80", "uir_r1_a3_k3_s1_e2_c80"),
+    ("uir_r1_a3_k5_s2_e6_c160", "uir_r1_a0_k0_s1_e2_c160",
+     "uir_r1_a3_k3_s1_e4_c160", "uir_r1_a3_k5_s1_e4_c160",
+     "mqa_r1_k3_h4_s1_v2_d64_c160", "uir_r1_a3_k3_s1_e4_c160",
+     "mqa_r1_k3_h4_s1_v2_d64_c160", "uir_r1_a3_k0_s1_e4_c160",
+     "mqa_r1_k3_h4_s1_v2_d64_c160", "uir_r1_a3_k3_s1_e4_c160",
+     "mqa_r1_k3_h4_s1_v2_d64_c160", "uir_r1_a3_k0_s1_e4_c160"),
+    ("uir_r1_a5_k5_s2_e6_c256", "uir_r1_a5_k5_s1_e4_c256",
+     "uir_r2_a3_k5_s1_e4_c256", "uir_r1_a0_k0_s1_e2_c256",
+     "uir_r1_a3_k5_s1_e2_c256", "uir_r1_a0_k0_s1_e2_c256",
+     "uir_r1_a0_k0_s1_e4_c256", "mqa_r1_k3_h4_s1_d64_c256",
+     "uir_r1_a3_k0_s1_e4_c256", "mqa_r1_k3_h4_s1_d64_c256",
+     "uir_r1_a5_k5_s1_e4_c256", "mqa_r1_k3_h4_s1_d64_c256",
+     "uir_r1_a5_k0_s1_e4_c256", "mqa_r1_k3_h4_s1_d64_c256",
+     "uir_r1_a5_k0_s1_e4_c256"),
+    ("cn_r1_k1_s1_c960",),
+)
+_MNV4_HYBRID_LARGE = (
+    ("er_r1_k3_s2_e4_c48",),
+    ("uir_r1_a3_k5_s2_e4_c96", "uir_r1_a3_k3_s1_e4_c96"),
+    ("uir_r1_a3_k5_s2_e4_c192", "uir_r3_a3_k3_s1_e4_c192",
+     "uir_r1_a3_k5_s1_e4_c192", "uir_r2_a5_k3_s1_e4_c192",
+     "mqa_r1_k3_h8_s1_v2_d48_c192", "uir_r1_a5_k3_s1_e4_c192",
+     "mqa_r1_k3_h8_s1_v2_d48_c192", "uir_r1_a5_k3_s1_e4_c192",
+     "mqa_r1_k3_h8_s1_v2_d48_c192", "uir_r1_a5_k3_s1_e4_c192",
+     "mqa_r1_k3_h8_s1_v2_d48_c192", "uir_r1_a3_k0_s1_e4_c192"),
+    ("uir_r4_a5_k5_s2_e4_c512", "uir_r1_a5_k0_s1_e4_c512",
+     "uir_r1_a5_k3_s1_e4_c512", "uir_r2_a5_k0_s1_e4_c512",
+     "uir_r1_a5_k3_s1_e4_c512", "uir_r1_a5_k5_s1_e4_c512",
+     "mqa_r1_k3_h8_s1_d64_c512", "uir_r1_a5_k0_s1_e4_c512",
+     "mqa_r1_k3_h8_s1_d64_c512", "uir_r1_a5_k0_s1_e4_c512",
+     "mqa_r1_k3_h8_s1_d64_c512", "uir_r1_a5_k0_s1_e4_c512",
+     "mqa_r1_k3_h8_s1_d64_c512", "uir_r1_a5_k0_s1_e4_c512"),
+    ("cn_r1_k1_s1_c960",),
+)
+
+
+def _mnv3_builder(arch, cm=1.0, dm=1.0, *, stem=16, num_features=1280,
+                  head_bias=True, head_norm=False, act="hard_swish",
+                  se_from_exp=True, se_round_divisible=True,
+                  round_limit=0.9, fix_stem=None, layer_scale=None, aa=""):
+    blocks = _decode_arch_def(arch, dm)
+    if fix_stem is None:
+        fix_stem = cm < 0.75 if se_from_exp else False
+
+    def build(**kw):
+        for k in ("pretrained_tag", "global_pool", "init_values", "remat",
+                  "scan_blocks"):
+            kw.pop(k, None)
+        kw = {k: v for k, v in kw.items() if v is not None}
+        merged = dict(block_args=blocks, stem_size=stem, fix_stem=fix_stem,
+                      num_features=num_features, head_style="mnv3",
+                      head_bias=head_bias, head_norm=head_norm, act=act,
+                      se_from_exp=se_from_exp, se_gate="hard_sigmoid",
+                      se_force_act="relu",
+                      se_round_divisible=se_round_divisible,
+                      round_mult=cm, round_limit=round_limit,
+                      layer_scale_init_value=layer_scale, aa=aa,
+                      drop_rate=0.2)
+        merged.update(kw)
+        return _EffNet(**merged)
+
+    return build
+
+
+_BUILDER_VARIANTS = {
+    "mobilenetv3_large_150d": _mnv3_builder(_MNV3_LARGE, 1.5, 1.2),
+    "fbnetv3_b": _mnv3_builder(_FBNETV3_B, stem=16, num_features=1984,
+                               head_bias=False, se_from_exp=False,
+                               round_limit=0.95),
+    "fbnetv3_d": _mnv3_builder(_FBNETV3_D, stem=24, num_features=1984,
+                               head_bias=False, se_from_exp=False,
+                               round_limit=0.95),
+    "fbnetv3_g": _mnv3_builder(_FBNETV3_G, stem=32, num_features=1984,
+                               head_bias=False, se_from_exp=False,
+                               round_limit=0.95),
+    "mobilenetv4_conv_small_035": _mnv3_builder(
+        _MNV4_CONV_SMALL, 0.35, stem=32, head_bias=False, head_norm=True,
+        act="relu", fix_stem=True),
+    "mobilenetv4_conv_small_050": _mnv3_builder(
+        _MNV4_CONV_SMALL, 0.50, stem=32, head_bias=False, head_norm=True,
+        act="relu", fix_stem=True),
+    "mobilenetv4_conv_small": _mnv3_builder(
+        _MNV4_CONV_SMALL, 1.0, stem=32, head_bias=False, head_norm=True,
+        act="relu", fix_stem=False),
+    "mobilenetv4_conv_medium": _mnv3_builder(
+        _MNV4_CONV_MEDIUM, 1.0, stem=32, head_bias=False, head_norm=True,
+        act="relu", fix_stem=False),
+    "mobilenetv4_conv_aa_medium": _mnv3_builder(
+        _MNV4_CONV_MEDIUM, 1.0, stem=32, head_bias=False, head_norm=True,
+        act="relu", fix_stem=False, aa="avg"),
+    "mobilenetv4_conv_blur_medium": _mnv3_builder(
+        _MNV4_CONV_MEDIUM, 1.0, stem=32, head_bias=False, head_norm=True,
+        act="relu", fix_stem=False, aa="blur"),
+    "mobilenetv4_conv_large": _mnv3_builder(
+        _MNV4_CONV_LARGE, 1.0, stem=24, head_bias=False, head_norm=True,
+        act="relu", fix_stem=False),
+    "mobilenetv4_conv_aa_large": _mnv3_builder(
+        _MNV4_CONV_LARGE, 1.0, stem=24, head_bias=False, head_norm=True,
+        act="relu", fix_stem=False, aa="avg"),
+    "mobilenetv4_hybrid_medium": _mnv3_builder(
+        _MNV4_HYBRID_MEDIUM, 1.0, stem=32, head_bias=False, head_norm=True,
+        act="relu", fix_stem=False, layer_scale=1e-5),
+    "mobilenetv4_hybrid_medium_075": _mnv3_builder(
+        _MNV4_HYBRID_MEDIUM, 0.75, stem=32, head_bias=False, head_norm=True,
+        act="relu", fix_stem=True, layer_scale=1e-5),
+    "mobilenetv4_hybrid_large": _mnv3_builder(
+        _MNV4_HYBRID_LARGE, 1.0, stem=24, head_bias=False, head_norm=True,
+        act="gelu", fix_stem=False, layer_scale=1e-5),
+    "mobilenetv4_hybrid_large_075": _mnv3_builder(
+        _MNV4_HYBRID_LARGE, 0.75, stem=24, head_bias=False, head_norm=True,
+        act="gelu", fix_stem=True, layer_scale=1e-5),
+}
+
+for _name, _fn in _BUILDER_VARIANTS.items():
+    _fn.__name__ = _name
+    _fn.__qualname__ = _name
+    _fn.__doc__ = (f"MobileNetV3/V4/FBNetV3 variant {_name!r} (reference "
+                   f"mobilenetv3.py registry surface, arch-string decoded).")
+    setattr(_mod, _name, register_model(_fn))
