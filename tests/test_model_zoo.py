@@ -133,6 +133,15 @@ FAMILIES = [
     ("tf_efficientnetv2_b0", dict(), 64),
     ("mobilenetv4_hybrid_medium", dict(), 64),
     ("mobilenetv5_base", dict(img_size=128), 128),
+    # byobnet/byoanet config system (reference byobnet.py/byoanet.py)
+    ("test_byobnet", dict(), 64),
+    ("repvgg_a0", dict(depths=(1, 1, 1, 1)), 64),
+    ("mobileone_s0", dict(depths=(2, 2, 2, 2)), 64),
+    ("regnetz_c16_evos", dict(depths=(1, 1, 1, 1)), 64),
+    ("halonet26t", dict(depths=(1, 1, 2, 1)), 64),
+    ("lambda_resnet26t", dict(depths=(1, 1, 2, 1)), 64),
+    ("botnet26t_256", dict(depths=(1, 1, 2, 1)), 64),
+    ("resnet50_clip", dict(depths=(1, 1, 1, 1)), 64),
 ]
 
 

@@ -102,3 +102,4 @@ import vision_transformers_torch_xla_tpu.models.xcit  # noqa: F401,E402
 import vision_transformers_torch_xla_tpu.models.maxvit  # noqa: F401,E402
 import vision_transformers_torch_xla_tpu.models.convmixer  # noqa: F401,E402
 import vision_transformers_torch_xla_tpu.models.mobilenetv5  # noqa: F401,E402
+import vision_transformers_torch_xla_tpu.models.byobnet  # noqa: F401,E402

@@ -1,0 +1,1186 @@
+"""Bring-Your-Own-Blocks networks (ByobNet/ByoaNet) in Flax, NHWC.
+
+Parity with the reference's dormant byobnet.py (2962 LoC: ByoBlockCfg /
+ByoModelCfg dataclasses :54-107, block classes :324-1013, stem :1025-1149,
+ByobNet :1278-1596, model_cfgs :1622-2194, registrations :2580-2950) and
+byoanet.py (477 LoC self-attention cfgs).  Covers the 68-name surface:
+GENet (gernet), RepVGG, ResNet-51Q/61Q, the *ts ResNeXt/ResNet-33
+experiments with SE/ECA/GC/BAT attention, RegNetZ (incl. EvoNorm
+variants), MobileOne, OpenAI-CLIP modified ResNets (attention-pool and
+GAP heads), test_byobnet, plus the byoanet self-attention hybrids
+(BoTNet, HaloNet, LambdaNet, and mixed lam/halo/bot stacks).
+
+TPU-native design notes:
+  * Configs are plain nested dicts frozen to hashable tuples at
+    entrypoint-construction time; the decoded per-block plan is static so
+    the jitted forward is one straight-line XLA graph.
+  * Self-attention blocks size their position embeddings from the traced
+    feature-map shape (nn.compact), so no feat_size plumbing is needed —
+    the reference's `fixed_input_size` models just fix at first trace.
+  * Strided self-attn blocks attend at full resolution then 2x2
+    avg-pool, which matches the reference's BottleneckAttn stride
+    handling (timm pools after attention too) and keeps halo/lambda
+    kernels simple; parameter shapes are unaffected.
+  * RepVGG / MobileOne keep their train-time multi-branch form (conv is
+    linear, so branches could be re-parameterized for serving via
+    ckpt/export.py's AOT path).
+"""
+from __future__ import annotations
+
+import math
+import sys
+from functools import partial
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+from vision_transformers_torch_xla_tpu.models.effnet_builder import (
+    _Norm,
+    _act,
+    make_divisible,
+)
+from vision_transformers_torch_xla_tpu.models.layers import drop_path
+from vision_transformers_torch_xla_tpu.models.registry import register_model
+
+__all__ = []
+
+
+# ---------------------------------------------------------------------------
+# config helpers (parity: byobnet.py:54-231)
+# ---------------------------------------------------------------------------
+
+def bcfg(type: str, d: int, c: int, s: int = 2, gs=None, br: float = 1.0,
+         **over) -> Dict[str, Any]:
+    return dict(type=type, d=d, c=c, s=s, gs=gs, br=br, **over)
+
+
+def interleave(types, d, every=1, first=False, **kw):
+    """Interleave two block types (byobnet.py:165-196)."""
+    if isinstance(every, int):
+        every = list(range(0 if first else every, d, every + 1))
+        if not every:
+            every = [d - 1]
+    return tuple(bcfg(types[1] if i in every else types[0], 1, **kw)
+                 for i in range(d))
+
+
+def rep_bcfg(d=(4, 6, 16, 1), wf=(1., 1., 1., 1.), groups=0):
+    c = (64, 128, 256, 512)
+    return tuple(bcfg("rep", di, ci * wfi,
+                      gs=("alt", groups) if groups else None)
+                 for di, ci, wfi in zip(d, c, wf))
+
+
+def mobileone_bcfg(d=(2, 8, 10, 1), wf=(1., 1., 1., 1.), se_blocks=(),
+                   num_conv_branches=1):
+    c = (64, 128, 256, 512)
+    prev_c = min(64, c[0] * wf[0])
+    se_blocks = se_blocks or (0,) * len(d)
+    stages = []
+    for di, ci, wi, se in zip(d, c, wf, se_blocks):
+        scfg = []
+        for i in range(di):
+            out_c = ci * wi
+            ak = dict(attn_layer="se") if i >= di - se else {}
+            bk = dict(num_conv_branches=num_conv_branches)
+            scfg.append(bcfg("one", 1, prev_c, gs=1, block_kwargs=bk, **ak))
+            scfg.append(bcfg("one", 1, out_c, gs=0,
+                             block_kwargs=dict(kernel_size=1, **bk), **ak))
+            prev_c = out_c
+        stages.append(tuple(scfg))
+    return tuple(stages)
+
+
+def _freeze(obj):
+    if isinstance(obj, dict):
+        return ("__dict__",) + tuple(
+            sorted((k, _freeze(v)) for k, v in obj.items()))
+    if isinstance(obj, (list, tuple)):
+        return tuple(_freeze(v) for v in obj)
+    return obj
+
+
+def _thaw(obj):
+    if isinstance(obj, tuple) and obj and obj[0] == "__dict__":
+        return {k: _thaw(v) for k, v in obj[1:]}
+    if isinstance(obj, tuple):
+        return tuple(_thaw(v) for v in obj)
+    return obj
+
+
+def _num_groups(group_size, channels):
+    if not group_size:
+        return 1
+    return max(1, channels // group_size)
+
+
+# ---------------------------------------------------------------------------
+# channel-attention layers (reference timm attn registry: se/eca/gca/bat)
+# ---------------------------------------------------------------------------
+
+class SEAttn(nn.Module):
+    rd_ratio: float = 1 / 16
+    rd_divisor: int = 8
+    dtype: Any = jnp.bfloat16
+    param_dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        c = x.shape[-1]
+        rd = make_divisible(c * self.rd_ratio, self.rd_divisor)
+        conv = partial(nn.Conv, use_bias=True, dtype=self.dtype,
+                       param_dtype=self.param_dtype)
+        s = x.mean(axis=(1, 2), keepdims=True)
+        s = nn.relu(conv(rd, (1, 1), name="fc1")(s))
+        s = nn.sigmoid(conv(c, (1, 1), name="fc2")(s))
+        return x * s
+
+
+class ECAAttn(nn.Module):
+    """Efficient channel attention: 1-D conv over the channel descriptor."""
+    dtype: Any = jnp.bfloat16
+    param_dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        c = x.shape[-1]
+        t = int(abs(math.log2(c) + 1) / 2)
+        k = max(t if t % 2 else t + 1, 3)
+        s = x.mean(axis=(1, 2))[:, :, None]           # (B, C, 1)
+        s = nn.Conv(1, (k,), padding="SAME", use_bias=False,
+                    dtype=self.dtype, param_dtype=self.param_dtype,
+                    name="conv")(s)
+        return x * nn.sigmoid(s[..., 0])[:, None, None, :]
+
+
+class GCAttn(nn.Module):
+    """GlobalContext: softmax-attn context pooling + channel MLP add."""
+    rd_ratio: float = 1 / 8
+    dtype: Any = jnp.bfloat16
+    param_dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        c = x.shape[-1]
+        rd = make_divisible(c * self.rd_ratio)
+        conv = partial(nn.Conv, use_bias=True, dtype=self.dtype,
+                       param_dtype=self.param_dtype)
+        w = conv(1, (1, 1), name="attn")(x)
+        w = jax.nn.softmax(w.reshape(w.shape[0], -1).astype(jnp.float32),
+                           axis=-1).astype(x.dtype)
+        ctx = jnp.einsum("bl,blc->bc", w,
+                         x.reshape(x.shape[0], -1, c))[:, None, None, :]
+        s = conv(rd, (1, 1), name="fc1")(ctx)
+        s = nn.LayerNorm(dtype=self.dtype, param_dtype=self.param_dtype,
+                         name="ln")(s)
+        s = conv(c, (1, 1), name="fc2")(nn.relu(s))
+        return x + s
+
+
+class BATAttn(nn.Module):
+    """Non-local bilinear attentional transform (reference 'bat' attn,
+    bat_resnext26ts): theta/phi/g 1x1 projections, spatial softmax
+    attention, projected back with a residual add."""
+    block_size: int = 8  # kept for cfg parity; attention is global here
+    dtype: Any = jnp.bfloat16
+    param_dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        B, H, W, C = x.shape
+        rd = C // 2
+        conv = partial(nn.Conv, use_bias=False, dtype=self.dtype,
+                       param_dtype=self.param_dtype)
+        theta = conv(rd, (1, 1), name="theta")(x).reshape(B, H * W, rd)
+        phi = conv(rd, (1, 1), name="phi")(x).reshape(B, H * W, rd)
+        g = conv(rd, (1, 1), name="g")(x).reshape(B, H * W, rd)
+        attn = jax.nn.softmax(
+            jnp.einsum("bqc,bkc->bqk", theta, phi).astype(jnp.float32)
+            * rd ** -0.5, axis=-1).astype(x.dtype)
+        y = jnp.einsum("bqk,bkc->bqc", attn, g).reshape(B, H, W, rd)
+        y = conv(C, (1, 1), name="proj")(y)
+        return x + y
+
+
+def _make_attn(kind: Optional[str], kwargs: Dict, dtype, param_dtype, name):
+    if not kind:
+        return None
+    kwargs = dict(kwargs or {})
+    kwargs.pop("block_size", None) if kind != "bat" else None
+    if kind == "se":
+        return SEAttn(rd_ratio=kwargs.get("rd_ratio", 1 / 16),
+                      rd_divisor=kwargs.get("rd_divisor", 8),
+                      dtype=dtype, param_dtype=param_dtype, name=name)
+    if kind == "eca":
+        return ECAAttn(dtype=dtype, param_dtype=param_dtype, name=name)
+    if kind in ("gc", "gca"):
+        return GCAttn(rd_ratio=kwargs.get("rd_ratio", 1 / 8), dtype=dtype,
+                      param_dtype=param_dtype, name=name)
+    if kind == "bat":
+        return BATAttn(block_size=kwargs.get("block_size", 8), dtype=dtype,
+                       param_dtype=param_dtype, name=name)
+    raise ValueError(f"unknown attn layer {kind!r}")
+
+
+# ---------------------------------------------------------------------------
+# self-attention layers (byoanet: bottleneck / halo / lambda)
+# ---------------------------------------------------------------------------
+
+def _rel_logits_1d(q, rel_k):
+    """Relative logits along one axis via the skew trick.
+    q: (B, heads, H, W, d); rel_k: (2W-1, d) -> (B, heads, H, W, W)."""
+    B, h, H, W, d = q.shape
+    x = jnp.einsum("bnhwd,md->bnhwm", q, rel_k)       # (.., 2W-1)
+    x = x.reshape(B, h * H, W, 2 * W - 1)
+    x = jnp.pad(x, ((0, 0), (0, 0), (0, 0), (0, 1)))
+    x = x.reshape(B, h * H, W * 2 * W)
+    x = jnp.pad(x, ((0, 0), (0, 0), (0, W - 1)))
+    x = x.reshape(B, h * H, W + 1, 2 * W - 1)[:, :, :W, W - 1:]
+    return x.reshape(B, h, H, W, W)
+
+
+class BottleneckAttn(nn.Module):
+    """BoTNet MHSA with decomposed 2-D relative position embeddings
+    (reference self_attn_layer='bottleneck')."""
+    dim_out: int
+    num_heads: int = 4
+    dim_head: Optional[int] = None
+    stride: int = 1
+    dtype: Any = jnp.bfloat16
+    param_dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        B, H, W, C = x.shape
+        dh = self.dim_head or self.dim_out // self.num_heads
+        qk_dim = self.num_heads * dh
+        qkv = nn.Conv(qk_dim * 2 + self.dim_out, (1, 1), use_bias=False,
+                      dtype=self.dtype, param_dtype=self.param_dtype,
+                      name="qkv")(x)
+        q, k, v = jnp.split(qkv, [qk_dim, 2 * qk_dim], axis=-1)
+        q = q.reshape(B, H, W, self.num_heads, dh).transpose(0, 3, 1, 2, 4)
+        k = k.reshape(B, H * W, self.num_heads, dh)
+        v = v.reshape(B, H * W, self.num_heads,
+                      self.dim_out // self.num_heads)
+        scale = dh ** -0.5
+        logits = jnp.einsum("bnhwd,bknd->bnhwk", q * scale, k)
+        rel_w = self.param("rel_w", nn.initializers.normal(scale),
+                           (2 * W - 1, dh), self.param_dtype)
+        rel_h = self.param("rel_h", nn.initializers.normal(scale),
+                           (2 * H - 1, dh), self.param_dtype)
+        # decomposed 2-D relative logits: width term broadcasts over key
+        # row H', height term over key column W'
+        rw = _rel_logits_1d(q * scale, rel_w.astype(q.dtype))
+        rh = _rel_logits_1d((q * scale).transpose(0, 1, 3, 2, 4),
+                            rel_h.astype(q.dtype))      # (B,n,W,H,H')
+        rh = rh.transpose(0, 1, 3, 2, 4)                # (B,n,H,W,H')
+        logits = logits.reshape(B, self.num_heads, H, W, H, W)
+        logits = logits + rw[:, :, :, :, None, :] + rh[:, :, :, :, :, None]
+        logits = logits.reshape(B, self.num_heads, H, W, H * W)
+        attn = jax.nn.softmax(logits.astype(jnp.float32),
+                              axis=-1).astype(v.dtype)
+        y = jnp.einsum("bnhwk,bknd->bhwnd", attn, v)
+        y = y.reshape(B, H, W, self.dim_out)
+        if self.stride > 1:
+            y = nn.avg_pool(y, (2, 2), strides=(2, 2))
+        return y
+
+
+class HaloAttn(nn.Module):
+    """Blocked local attention with halo (reference
+    self_attn_layer='halo'; Vaswani et al., Scaling Local Self-Attention).
+    Queries come from non-overlapping bs x bs blocks; keys/values from the
+    (bs + 2*halo)^2 neighborhood, extracted as overlapping patches."""
+    dim_out: int
+    num_heads: int = 8
+    dim_head: Optional[int] = None
+    block_size: int = 8
+    halo_size: int = 3
+    qk_ratio: float = 1.0
+    stride: int = 1
+    dtype: Any = jnp.bfloat16
+    param_dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        B, H, W, C = x.shape
+        dh_v = self.dim_out // self.num_heads
+        dh_qk = self.dim_head or make_divisible(dh_v * self.qk_ratio,
+                                                divisor=8)
+        bs, hs = self.block_size, self.halo_size
+        bs = min(bs, H)  # shrink blocks for small feature maps
+        pad_h = (bs - H % bs) % bs
+        pad_w = (bs - W % bs) % bs
+        q = nn.Conv(self.num_heads * dh_qk, (1, 1), use_bias=False,
+                    dtype=self.dtype, param_dtype=self.param_dtype,
+                    name="q")(x)
+        kv = nn.Conv(self.num_heads * (dh_qk + dh_v), (1, 1),
+                     use_bias=False, dtype=self.dtype,
+                     param_dtype=self.param_dtype, name="kv")(x)
+        if pad_h or pad_w:
+            q = jnp.pad(q, ((0, 0), (0, pad_h), (0, pad_w), (0, 0)))
+            kv = jnp.pad(kv, ((0, 0), (0, pad_h), (0, pad_w), (0, 0)))
+        Hp, Wp = H + pad_h, W + pad_w
+        nh, nw = Hp // bs, Wp // bs
+        # queries: (B, nh*nw, heads, bs*bs, dh_qk)
+        q = q.reshape(B, nh, bs, nw, bs, self.num_heads, dh_qk)
+        q = q.transpose(0, 1, 3, 5, 2, 4, 6).reshape(
+            B, nh * nw, self.num_heads, bs * bs, dh_qk)
+        # kv neighborhoods: pad by halo, extract overlapping windows
+        kv = jnp.pad(kv, ((0, 0), (hs, hs), (hs, hs), (0, 0)))
+        win = bs + 2 * hs
+        kv_w = jnp.stack([
+            jax.lax.dynamic_slice_in_dim(
+                jax.lax.dynamic_slice_in_dim(kv, i * bs, win, axis=1),
+                j * bs, win, axis=2)
+            for i in range(nh) for j in range(nw)], axis=1)
+        kv_w = kv_w.reshape(B, nh * nw, win * win, self.num_heads,
+                            dh_qk + dh_v).transpose(0, 1, 3, 2, 4)
+        k, v = jnp.split(kv_w, [dh_qk], axis=-1)
+        # decomposed relative position (query pos x key pos per axis)
+        rel = self.param("rel_pos", nn.initializers.normal(dh_qk ** -0.5),
+                         (2, bs, win), self.param_dtype)
+        rel2d = (rel[0][:, None, :, None] + rel[1][None, :, None, :])
+        rel2d = rel2d.reshape(bs * bs, win * win).astype(q.dtype)
+        logits = jnp.einsum("bwnqd,bwnkd->bwnqk", q * dh_qk ** -0.5, k)
+        logits = logits + rel2d
+        attn = jax.nn.softmax(logits.astype(jnp.float32),
+                              axis=-1).astype(v.dtype)
+        y = jnp.einsum("bwnqk,bwnkd->bwnqd", attn, v)
+        y = y.reshape(B, nh, nw, self.num_heads, bs, bs, dh_v)
+        y = y.transpose(0, 1, 4, 2, 5, 3, 6).reshape(
+            B, Hp, Wp, self.num_heads * dh_v)
+        y = y[:, :H, :W]
+        if self.stride > 1:
+            y = nn.avg_pool(y, (2, 2), strides=(2, 2))
+        return y
+
+
+class LambdaLayer(nn.Module):
+    """Lambda layer (reference self_attn_layer='lambda'; Bello, LambdaNetworks).
+    Content lambda over softmax(keys); position lambdas from local 3-D
+    conv (r set) or relative position embeddings (r=None)."""
+    dim_out: int
+    num_heads: int = 4
+    dim_head: int = 16
+    r: Optional[int] = 9
+    stride: int = 1
+    dtype: Any = jnp.bfloat16
+    param_dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        B, H, W, C = x.shape
+        dk, dv = self.dim_head, self.dim_out // self.num_heads
+        conv = partial(nn.Conv, use_bias=False, dtype=self.dtype,
+                       param_dtype=self.param_dtype)
+        q = conv(self.num_heads * dk, (1, 1), name="q")(x)
+        q = _Norm(kind="bn", deterministic=True, dtype=self.dtype,
+                  param_dtype=self.param_dtype, name="q_norm")(q)
+        k = conv(dk, (1, 1), name="k")(x).reshape(B, H * W, dk)
+        v = conv(dv, (1, 1), name="v")(x)
+        v = _Norm(kind="bn", deterministic=True, dtype=self.dtype,
+                  param_dtype=self.param_dtype, name="v_norm")(v)
+        v = v.reshape(B, H * W, dv)
+        q = q.reshape(B, H * W, self.num_heads, dk)
+        content = jnp.einsum(
+            "bmk,bmv->bkv",
+            jax.nn.softmax(k.astype(jnp.float32), axis=1).astype(v.dtype), v)
+        yc = jnp.einsum("bmnk,bkv->bmnv", q, content)
+        if self.r is not None:
+            # local position lambdas: one r x r kernel per k-dim, shared
+            # across v channels (timm Conv3d(1, dk, (r, r, 1)) semantics:
+            # r*r*dk params) — realised by folding dv into the batch dim
+            vs = v.reshape(B, H, W, dv).transpose(0, 3, 1, 2)
+            vs = vs.reshape(B * dv, H, W, 1)
+            pos = nn.Conv(dk, (self.r, self.r), use_bias=False,
+                          padding="SAME", dtype=self.dtype,
+                          param_dtype=self.param_dtype, name="pos_conv")(vs)
+            pos = pos.reshape(B, dv, H * W, dk).transpose(0, 2, 3, 1)
+        else:
+            rel = self.param("rel_pos",
+                             nn.initializers.normal(dk ** -0.5),
+                             (2 * H - 1, 2 * W - 1, dk), self.param_dtype)
+            idx_h = np.arange(H)[:, None] - np.arange(H)[None, :] + H - 1
+            idx_w = np.arange(W)[:, None] - np.arange(W)[None, :] + W - 1
+            E = rel[idx_h[:, None, :, None], idx_w[None, :, None, :]]
+            E = E.reshape(H * W, H * W, dk).astype(v.dtype)
+            pos = jnp.einsum("mnk,bnv->bmkv", E, v)
+        yp = jnp.einsum("bmnk,bmkv->bmnv", q, pos)
+        y = (yc + yp).reshape(B, H, W, self.num_heads * dv)
+        if self.stride > 1:
+            y = nn.avg_pool(y, (2, 2), strides=(2, 2))
+        return y
+
+
+def _make_self_attn(kind, kwargs, dim_out, stride, dtype, param_dtype,
+                    name):
+    kwargs = dict(kwargs or {})
+    if kind == "bottleneck":
+        return BottleneckAttn(dim_out, num_heads=kwargs.get("num_heads", 4),
+                              dim_head=kwargs.get("dim_head"),
+                              stride=stride, dtype=dtype,
+                              param_dtype=param_dtype, name=name)
+    if kind == "halo":
+        return HaloAttn(dim_out, num_heads=kwargs.get("num_heads", 8),
+                        dim_head=kwargs.get("dim_head"),
+                        block_size=kwargs.get("block_size", 8),
+                        halo_size=kwargs.get("halo_size", 3),
+                        qk_ratio=kwargs.get("qk_ratio", 1.0),
+                        stride=stride, dtype=dtype,
+                        param_dtype=param_dtype, name=name)
+    if kind == "lambda":
+        return LambdaLayer(dim_out, num_heads=kwargs.get("num_heads", 4),
+                           dim_head=kwargs.get("dim_head", 16),
+                           r=kwargs.get("r", 9), stride=stride, dtype=dtype,
+                           param_dtype=param_dtype, name=name)
+    raise ValueError(f"unknown self-attn layer {kind!r}")
+
+
+# ---------------------------------------------------------------------------
+# the trunk
+# ---------------------------------------------------------------------------
+
+class ByobNet(nn.Module):
+    """Generic BYOB trunk (reference byobnet.py:1278-1596)."""
+    blocks: Tuple                    # frozen stage cfgs
+    downsample: str = "conv1x1"
+    stem_type: str = "3x3"
+    stem_pool: Optional[str] = "maxpool"
+    stem_chs: Any = 32
+    width_factor: float = 1.0
+    num_features: int = 0
+    act: str = "relu"
+    norm: str = "bn"
+    norm_gs: int = 16                # evos group size
+    head_type: str = "classifier"
+    head_hidden_size: Optional[int] = None
+    attn_layer: Optional[str] = None
+    attn_kwargs: Tuple = ()
+    self_attn_layer: Optional[str] = None
+    self_attn_kwargs: Tuple = ()
+    block_kwargs: Tuple = ()
+    num_classes: int = 1000
+    drop_rate: float = 0.0
+    drop_path_rate: float = 0.0
+    global_pool: str = "avg"
+    img_size: int = 224              # factory parity; shapes fix at trace
+    dtype: Any = jnp.bfloat16
+    param_dtype: Any = jnp.float32
+
+    def _cna(self, x, out, k, name, *, stride=1, groups=1, apply_act=True,
+             deterministic=True):
+        """conv + norm [+ act] (reference LayerFn.conv_norm_act)."""
+        x = nn.Conv(out, (k, k), strides=stride, padding="SAME",
+                    feature_group_count=groups, use_bias=False,
+                    dtype=self.dtype, param_dtype=self.param_dtype,
+                    name=f"{name}_conv")(x)
+        x = _Norm(kind=self.norm, group_size=self.norm_gs, eps=1e-5,
+                  deterministic=deterministic,
+                  act=self.act if (apply_act and self.norm == "evos")
+                  else None,
+                  dtype=self.dtype, param_dtype=self.param_dtype,
+                  name=f"{name}_norm")(x)
+        if apply_act and self.norm != "evos":
+            x = _act(self.act)(x)
+        return x
+
+    def _shortcut(self, x, out, stride, name, deterministic):
+        in_ch = x.shape[-1]
+        if in_ch == out and stride == 1:
+            return x
+        if not self.downsample:
+            return None
+        if self.downsample == "avg":
+            if stride > 1:
+                x = nn.avg_pool(x, (2, 2), strides=(stride, stride))
+            return self._cna(x, out, 1, name, apply_act=False,
+                             deterministic=deterministic)
+        return self._cna(x, out, 1, name, stride=stride, apply_act=False,
+                         deterministic=deterministic)
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool = True):
+        det = deterministic
+        cna = partial(self._cna, deterministic=det)
+        x = x.astype(self.dtype)
+        wf = self.width_factor
+        model_bk = _thaw(self.block_kwargs) if self.block_kwargs else {}
+        model_sa = (self.self_attn_layer,
+                    _thaw(self.self_attn_kwargs)
+                    if self.self_attn_kwargs else {})
+
+        # ----------------------------------------------------------- stem
+        st = self.stem_type
+        first_c = _thaw(self.blocks)[0]
+        if isinstance(first_c, tuple):
+            first_c = first_c[0]
+        if isinstance(self.stem_chs, (tuple, list)):
+            stem_chs = [int(round(c * wf)) for c in self.stem_chs]
+        else:
+            stem_chs = int(round((self.stem_chs or first_c["c"]) * wf))
+        if st == "rep":
+            x = self._rep_block(x, stem_chs, 3, 2, None, {}, "stem", 0.0,
+                                det)
+        elif st == "one":
+            x = self._one_block(x, stem_chs, 3, 2, None,
+                                dict(num_conv_branches=1), {}, "stem", 0.0,
+                                det)
+        else:
+            if st in ("quad", "quad2"):
+                reps, chs_decay = 4, 0.5
+                num_act = 2 if st == "quad2" else 4
+            elif st == "deep":
+                reps, chs_decay, num_act = 3, 1.0, 3
+            elif st == "tiered":
+                reps, num_act = 3, 3
+            else:  # '', 3x3, 7x7
+                reps, num_act = 1, 1
+            if isinstance(stem_chs, list):
+                plan = stem_chs
+            elif st == "tiered":
+                plan = [3 * stem_chs // 8, stem_chs // 2, stem_chs]
+            else:
+                plan = [round(stem_chs * (0.5 if st in ("quad", "quad2")
+                                          else 1.0) ** i)
+                        for i in range(reps)][::-1] if reps > 1 \
+                    else [stem_chs]
+            strides = [2] + [1] * (len(plan) - 1)
+            if not self.stem_pool and len(plan) > 1:
+                strides[-1] = 2
+            k = 7 if st == "7x7" else 3
+            for i, (ch, s) in enumerate(zip(plan, strides)):
+                apply_act = i >= len(plan) - num_act
+                x = cna(x, ch, k, f"stem_{i}", stride=s,
+                        apply_act=apply_act)
+            if self.stem_pool in ("maxpool", "max"):
+                x = nn.max_pool(jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)),
+                                        constant_values=-jnp.inf),
+                                (3, 3), strides=(2, 2))
+            elif self.stem_pool == "avg2":
+                x = nn.avg_pool(x, (2, 2), strides=(2, 2))
+            elif self.stem_pool in ("avgpool", "avg"):
+                x = nn.avg_pool(x, (3, 3), strides=(2, 2), padding="SAME")
+
+        # --------------------------------------------------------- stages
+        stages = []
+        for s in _thaw(self.blocks):
+            stage = list(s) if isinstance(s, tuple) else [s]
+            expanded = []
+            for ci, c in enumerate(stage):
+                for r in range(c["d"]):
+                    b = dict(c)
+                    b["d"] = 1
+                    expanded.append(b)
+            stages.append(expanded)
+        total = sum(len(s) for s in stages) or 1
+        dprs = np.linspace(0, self.drop_path_rate, total)
+        bi = 0
+        for si, stage in enumerate(stages):
+            stage_stride = stage[0]["s"]
+            for bj, b in enumerate(stage):
+                stride = stage_stride if bj == 0 else 1
+                out = make_divisible(b["c"] * wf)
+                gs = b.get("gs")
+                if isinstance(gs, tuple) and gs and gs[0] == "alt":
+                    gs = out // gs[1] if (bj + 1) % 2 == 0 else 0
+                bk = dict(model_bk)
+                bk.update(b.get("block_kwargs") or {})
+                name = f"s{si}_b{bj}"
+                dpr = float(dprs[bi])
+                bt = b["type"]
+                if bt == "rep":
+                    x = self._rep_block(x, out, 3, stride, gs, b, name, dpr,
+                                        det)
+                elif bt == "one":
+                    x = self._one_block(x, out, bk.pop("kernel_size", 3),
+                                        stride, gs, bk, b, name, dpr, det)
+                else:
+                    x = self._residual_block(bt, x, out, stride, gs,
+                                             b, bk, model_sa, name, dpr,
+                                             det)
+                bi += 1
+
+        # ----------------------------------------------------------- head
+        if self.num_features:
+            nf = int(round(wf * self.num_features))
+            x = cna(x, nf, 1, "final_conv")
+        if self.head_type in ("", "classifier", "mlp"):
+            x = x.mean(axis=(1, 2))
+            if self.head_type == "mlp":
+                x = nn.LayerNorm(dtype=self.dtype,
+                                 param_dtype=self.param_dtype,
+                                 name="head_norm")(x)
+                x = nn.Dense(self.head_hidden_size, dtype=self.dtype,
+                             param_dtype=self.param_dtype,
+                             name="head_hidden")(x)
+                x = _act(self.act)(x)
+        elif self.head_type == "attn_abs":
+            # CLIP attention pool: mean token query + abs pos embed
+            B, H, W, C = x.shape
+            seq = x.reshape(B, H * W, C)
+            seq = jnp.concatenate([seq.mean(axis=1, keepdims=True), seq],
+                                  axis=1)
+            pos = self.param("head_pos_embed",
+                             nn.initializers.normal(C ** -0.5),
+                             (H * W + 1, C), self.param_dtype)
+            seq = seq + pos.astype(seq.dtype)
+            heads = max(1, C // 64)
+            dense = partial(nn.Dense, use_bias=True, dtype=self.dtype,
+                            param_dtype=self.param_dtype)
+            q = dense(C, name="head_q")(seq[:, :1])
+            k = dense(C, name="head_k")(seq)
+            v = dense(C, name="head_v")(seq)
+            q = q.reshape(B, 1, heads, C // heads)
+            k = k.reshape(B, -1, heads, C // heads)
+            v = v.reshape(B, -1, heads, C // heads)
+            a = jnp.einsum("bqhd,bkhd->bhqk", q * (C // heads) ** -0.5, k)
+            a = jax.nn.softmax(a.astype(jnp.float32), axis=-1)
+            y = jnp.einsum("bhqk,bkhd->bqhd", a.astype(v.dtype), v)
+            x = dense(C, name="head_proj")(y.reshape(B, 1, C))[:, 0]
+        else:
+            raise ValueError(f"unknown head_type {self.head_type!r}")
+        if self.drop_rate:
+            x = nn.Dropout(self.drop_rate)(x, deterministic=det)
+        if self.num_classes == 0:
+            return x
+        return nn.Dense(self.num_classes, dtype=self.dtype,
+                        param_dtype=self.param_dtype,
+                        name="classifier")(x).astype(jnp.float32)
+
+    # -------------------------------------------------------------- blocks
+    def _block_attn(self, x, b, name):
+        kind = b.get("attn_layer") or self.attn_layer
+        kwargs = b.get("attn_kwargs")
+        if kwargs is None:
+            kwargs = _thaw(self.attn_kwargs) if self.attn_kwargs else {}
+        a = _make_attn(kind, kwargs, self.dtype, self.param_dtype, name)
+        return a(x) if a is not None else x
+
+    def _residual_block(self, bt, x, out, stride, gs, b, bk, model_sa,
+                        name, dpr, det):
+        """basic / bottle / dark / edge / self_attn blocks
+        (byobnet.py:324-581, 934-1013)."""
+        cna = partial(self._cna, deterministic=det)
+        br = b.get("br", 1.0)
+        bottle_in = bk.get("bottle_in", False)
+        linear_out = bk.get("linear_out", False)
+        extra_conv = bk.get("extra_conv", False)
+        in_ch = x.shape[-1]
+        mid = make_divisible((in_ch if bottle_in else out) * br)
+        groups = _num_groups(gs, mid)
+        shortcut = self._shortcut(x, out, stride, f"{name}_short", det)
+        y = x
+        if bt == "basic":
+            y = cna(y, mid, 3, f"{name}_conv1", stride=stride)
+            y = cna(y, out, 3, f"{name}_conv2", groups=groups,
+                    apply_act=False)
+            y = self._block_attn(y, b, f"{name}_attn")
+        elif bt == "bottle":
+            y = cna(y, mid, 1, f"{name}_conv1")
+            y = cna(y, mid, 3, f"{name}_conv2", stride=stride,
+                    groups=groups)
+            if extra_conv:
+                y = cna(y, mid, 3, f"{name}_conv2b", groups=groups)
+            y = self._block_attn(y, b, f"{name}_attn")
+            y = cna(y, out, 1, f"{name}_conv3", apply_act=False)
+        elif bt == "dark":
+            y = cna(y, mid, 1, f"{name}_conv1")
+            y = self._block_attn(y, b, f"{name}_attn")
+            y = cna(y, out, 3, f"{name}_conv2", stride=stride,
+                    groups=groups, apply_act=False)
+        elif bt == "edge":
+            y = cna(y, mid, 3, f"{name}_conv1", stride=stride,
+                    groups=groups)
+            y = self._block_attn(y, b, f"{name}_attn")
+            y = cna(y, out, 1, f"{name}_conv2", apply_act=False)
+        elif bt == "self_attn":
+            y = cna(y, mid, 1, f"{name}_conv1")
+            sa_stride = stride
+            if extra_conv:
+                y = cna(y, mid, 3, f"{name}_conv2", stride=stride,
+                        groups=groups)
+                sa_stride = 1
+            kind = b.get("self_attn_layer") or model_sa[0]
+            kwargs = b.get("self_attn_kwargs")
+            if kwargs is None:
+                kwargs = model_sa[1]
+            y = _make_self_attn(kind, kwargs, mid, sa_stride, self.dtype,
+                                self.param_dtype, f"{name}_sa")(y)
+            y = _Norm(kind=self.norm, group_size=self.norm_gs, eps=1e-5,
+                      deterministic=det,
+                      act=self.act if self.norm == "evos" else None,
+                      dtype=self.dtype, param_dtype=self.param_dtype,
+                      name=f"{name}_post_norm")(y)
+            if self.norm != "evos":
+                y = _act(self.act)(y)
+            y = cna(y, out, 1, f"{name}_conv3", apply_act=False)
+        else:
+            raise ValueError(f"unknown block type {bt!r}")
+        rng = None if det or dpr == 0 else self.make_rng("droppath")
+        y = drop_path(y, dpr, det, rng)
+        if shortcut is not None:
+            y = y + shortcut
+        if not linear_out:
+            y = _act(self.act)(y)
+        return y
+
+    def _rep_block(self, x, out, k, stride, gs, b, name, dpr, det):
+        """RepVGG block: kxk + 1x1 + identity branches
+        (byobnet.py:582-744)."""
+        in_ch = x.shape[-1]
+        groups = _num_groups(gs, in_ch)
+        cna = partial(self._cna, deterministic=det)
+        use_ident = in_ch == out and stride == 1
+        y = cna(x, out, k, f"{name}_kxk", stride=stride, groups=groups,
+                apply_act=False)
+        y = y + cna(x, out, 1, f"{name}_1x1", stride=stride, groups=groups,
+                    apply_act=False)
+        if use_ident:
+            ident = _Norm(kind=self.norm, group_size=self.norm_gs,
+                          eps=1e-5, deterministic=det, dtype=self.dtype,
+                          param_dtype=self.param_dtype,
+                          name=f"{name}_ident_norm")(x)
+            rng = None if det or dpr == 0 else self.make_rng("droppath")
+            y = drop_path(y, dpr, det, rng) + ident
+        y = self._block_attn(y, b, f"{name}_attn")
+        return _act(self.act)(y)
+
+    def _one_block(self, x, out, k, stride, gs, bk, b, name, dpr, det):
+        """MobileOne block: N kxk branches + 1x1 scale + identity
+        (byobnet.py:745-933)."""
+        in_ch = x.shape[-1]
+        groups = _num_groups(gs, in_ch)
+        cna = partial(self._cna, deterministic=det)
+        branches = bk.get("num_conv_branches", 1)
+        use_ident = in_ch == out and stride == 1
+        y = 0.0
+        if k > 1:
+            y = cna(x, out, 1, f"{name}_scale", stride=stride,
+                    groups=groups, apply_act=False)
+        for i in range(branches):
+            y = y + cna(x, out, k, f"{name}_kxk_{i}", stride=stride,
+                        groups=groups, apply_act=False)
+        if use_ident:
+            ident = _Norm(kind=self.norm, group_size=self.norm_gs,
+                          eps=1e-5, deterministic=det, dtype=self.dtype,
+                          param_dtype=self.param_dtype,
+                          name=f"{name}_ident_norm")(x)
+            rng = None if det or dpr == 0 else self.make_rng("droppath")
+            y = drop_path(y, dpr, det, rng) + ident
+        y = self._block_attn(y, b, f"{name}_attn")
+        return _act(self.act)(y)
+
+
+# ---------------------------------------------------------------------------
+# model configs (reference byobnet.py:1622-2194, byoanet.py model_cfgs)
+# ---------------------------------------------------------------------------
+
+def _resnext26ts_blocks(**kw):
+    return (bcfg("bottle", 2, 256, s=1, gs=32, br=0.25, **kw),
+            bcfg("bottle", 2, 512, s=2, gs=32, br=0.25, **kw),
+            bcfg("bottle", 2, 1024, s=2, gs=32, br=0.25, **kw),
+            bcfg("bottle", 2, 2048, s=2, gs=32, br=0.25, **kw))
+
+
+def _resnet33ts_blocks():
+    return (bcfg("bottle", 2, 256, s=1, gs=0, br=0.25),
+            bcfg("bottle", 3, 512, s=2, gs=0, br=0.25),
+            bcfg("bottle", 3, 1536, s=2, gs=0, br=0.25),
+            bcfg("bottle", 2, 1536, s=2, gs=0, br=0.25))
+
+
+_TIERED = dict(stem_chs=64, stem_type="tiered", stem_pool="maxpool",
+               act="silu")
+_REGNETZ = dict(stem_pool="", downsample="", act="silu", attn_layer="se",
+                attn_kwargs=dict(rd_ratio=0.25),
+                block_kwargs=dict(bottle_in=True, linear_out=True))
+
+
+def _regnetz_blocks(ds, cs, gs, br, s0=2):
+    return tuple(bcfg("bottle", d, c, s=(s0 if i == 0 else 2), gs=gs, br=br)
+                 for i, (d, c) in enumerate(zip(ds, cs)))
+
+
+def _clip_blocks(ds):
+    return tuple(bcfg("bottle", d, c, s=(1 if i == 0 else 2), br=0.25)
+                 for i, (d, c) in enumerate(zip(ds, (256, 512, 1024,
+                                                     2048))))
+
+
+_CLIP = dict(stem_chs=(32, 32, 64), stem_type="", stem_pool="avg2",
+             downsample="avg", head_type="attn_abs")
+
+MODEL_CFGS: Dict[str, Dict[str, Any]] = {
+    "gernet_l": dict(
+        blocks=(bcfg("basic", 1, 128, s=2, gs=0, br=1.),
+                bcfg("basic", 2, 192, s=2, gs=0, br=1.),
+                bcfg("bottle", 6, 640, s=2, gs=0, br=0.25),
+                bcfg("bottle", 5, 640, s=2, gs=1, br=3.),
+                bcfg("bottle", 4, 640, s=1, gs=1, br=3.)),
+        stem_chs=32, stem_pool=None, num_features=2560),
+    "gernet_m": dict(
+        blocks=(bcfg("basic", 1, 128, s=2, gs=0, br=1.),
+                bcfg("basic", 2, 192, s=2, gs=0, br=1.),
+                bcfg("bottle", 6, 640, s=2, gs=0, br=0.25),
+                bcfg("bottle", 4, 640, s=2, gs=1, br=3.),
+                bcfg("bottle", 1, 640, s=1, gs=1, br=3.)),
+        stem_chs=32, stem_pool=None, num_features=2560),
+    "gernet_s": dict(
+        blocks=(bcfg("basic", 1, 48, s=2, gs=0, br=1.),
+                bcfg("basic", 3, 48, s=2, gs=0, br=1.),
+                bcfg("bottle", 7, 384, s=2, gs=0, br=0.25),
+                bcfg("bottle", 2, 560, s=2, gs=1, br=3.),
+                bcfg("bottle", 1, 256, s=1, gs=1, br=3.)),
+        stem_chs=13, stem_pool=None, num_features=1920),
+    "repvgg_a0": dict(blocks=rep_bcfg(d=(2, 4, 14, 1),
+                                      wf=(0.75, 0.75, 0.75, 2.5)),
+                      stem_type="rep", stem_chs=48),
+    "repvgg_a1": dict(blocks=rep_bcfg(d=(2, 4, 14, 1), wf=(1, 1, 1, 2.5)),
+                      stem_type="rep", stem_chs=64),
+    "repvgg_a2": dict(blocks=rep_bcfg(d=(2, 4, 14, 1),
+                                      wf=(1.5, 1.5, 1.5, 2.75)),
+                      stem_type="rep", stem_chs=64),
+    "repvgg_b0": dict(blocks=rep_bcfg(wf=(1., 1., 1., 2.5)),
+                      stem_type="rep", stem_chs=64),
+    "repvgg_b1": dict(blocks=rep_bcfg(wf=(2., 2., 2., 4.)),
+                      stem_type="rep", stem_chs=64),
+    "repvgg_b1g4": dict(blocks=rep_bcfg(wf=(2., 2., 2., 4.), groups=4),
+                        stem_type="rep", stem_chs=64),
+    "repvgg_b2": dict(blocks=rep_bcfg(wf=(2.5, 2.5, 2.5, 5.)),
+                      stem_type="rep", stem_chs=64),
+    "repvgg_b2g4": dict(blocks=rep_bcfg(wf=(2.5, 2.5, 2.5, 5.), groups=4),
+                        stem_type="rep", stem_chs=64),
+    "repvgg_b3": dict(blocks=rep_bcfg(wf=(3., 3., 3., 5.)),
+                      stem_type="rep", stem_chs=64),
+    "repvgg_b3g4": dict(blocks=rep_bcfg(wf=(3., 3., 3., 5.), groups=4),
+                        stem_type="rep", stem_chs=64),
+    "repvgg_d2se": dict(blocks=rep_bcfg(d=(8, 14, 24, 1),
+                                        wf=(2.5, 2.5, 2.5, 5.)),
+                        stem_type="rep", stem_chs=64, attn_layer="se",
+                        attn_kwargs=dict(rd_ratio=0.0625, rd_divisor=1)),
+    "resnet51q": dict(
+        blocks=(bcfg("bottle", 2, 256, s=1, gs=32, br=0.25),
+                bcfg("bottle", 4, 512, s=2, gs=32, br=0.25),
+                bcfg("bottle", 6, 1536, s=2, gs=32, br=0.25),
+                bcfg("bottle", 4, 1536, s=2, gs=1, br=1.0)),
+        stem_chs=128, stem_type="quad2", stem_pool=None, num_features=2048,
+        act="silu"),
+    "resnet61q": dict(
+        blocks=(bcfg("edge", 1, 256, s=1, gs=0, br=1.0),
+                bcfg("bottle", 4, 512, s=2, gs=32, br=0.25),
+                bcfg("bottle", 6, 1536, s=2, gs=32, br=0.25),
+                bcfg("bottle", 4, 1536, s=2, gs=1, br=1.0)),
+        stem_chs=128, stem_type="quad", stem_pool=None, num_features=2048,
+        act="silu", block_kwargs=dict(extra_conv=True)),
+    "resnext26ts": dict(blocks=_resnext26ts_blocks(), **_TIERED),
+    "gcresnext26ts": dict(blocks=_resnext26ts_blocks(), **_TIERED,
+                          attn_layer="gca"),
+    "seresnext26ts": dict(blocks=_resnext26ts_blocks(), **_TIERED,
+                          attn_layer="se"),
+    "eca_resnext26ts": dict(blocks=_resnext26ts_blocks(), **_TIERED,
+                            attn_layer="eca"),
+    "bat_resnext26ts": dict(blocks=_resnext26ts_blocks(), **_TIERED,
+                            attn_layer="bat",
+                            attn_kwargs=dict(block_size=8)),
+    "resnet32ts": dict(blocks=_resnet33ts_blocks(), stem_chs=64,
+                       stem_type="tiered", stem_pool="", num_features=0,
+                       act="silu"),
+    "resnet33ts": dict(blocks=_resnet33ts_blocks(), stem_chs=64,
+                       stem_type="tiered", stem_pool="", num_features=1280,
+                       act="silu"),
+    "gcresnet33ts": dict(blocks=_resnet33ts_blocks(), stem_chs=64,
+                         stem_type="tiered", stem_pool="",
+                         num_features=1280, act="silu", attn_layer="gca"),
+    "seresnet33ts": dict(blocks=_resnet33ts_blocks(), stem_chs=64,
+                         stem_type="tiered", stem_pool="",
+                         num_features=1280, act="silu", attn_layer="se"),
+    "eca_resnet33ts": dict(blocks=_resnet33ts_blocks(), stem_chs=64,
+                           stem_type="tiered", stem_pool="",
+                           num_features=1280, act="silu",
+                           attn_layer="eca"),
+    "gcresnet50t": dict(
+        blocks=(bcfg("bottle", 3, 256, s=1, br=0.25),
+                bcfg("bottle", 4, 512, s=2, br=0.25),
+                bcfg("bottle", 6, 1024, s=2, br=0.25),
+                bcfg("bottle", 3, 2048, s=2, br=0.25)),
+        stem_chs=64, stem_type="tiered", stem_pool="", attn_layer="gca"),
+    "gcresnext50ts": dict(
+        blocks=(bcfg("bottle", 3, 256, s=1, gs=32, br=0.25),
+                bcfg("bottle", 4, 512, s=2, gs=32, br=0.25),
+                bcfg("bottle", 6, 1024, s=2, gs=32, br=0.25),
+                bcfg("bottle", 3, 2048, s=2, gs=32, br=0.25)),
+        **_TIERED, attn_layer="gca"),
+    "regnetz_b16": dict(blocks=_regnetz_blocks((2, 6, 12, 2),
+                                               (48, 96, 192, 288), 16, 3),
+                        stem_chs=32, num_features=1536, **_REGNETZ),
+    "regnetz_c16": dict(blocks=_regnetz_blocks((2, 6, 12, 2),
+                                               (48, 96, 192, 288), 16, 4),
+                        stem_chs=32, num_features=1536, **_REGNETZ),
+    "regnetz_d32": dict(blocks=_regnetz_blocks((3, 6, 12, 3),
+                                               (64, 128, 256, 384), 32, 4,
+                                               s0=1),
+                        stem_chs=64, stem_type="tiered",
+                        num_features=1792, **_REGNETZ),
+    "regnetz_d8": dict(blocks=_regnetz_blocks((3, 6, 12, 3),
+                                              (64, 128, 256, 384), 8, 4,
+                                              s0=1),
+                       stem_chs=64, stem_type="tiered", num_features=1792,
+                       **_REGNETZ),
+    "regnetz_e8": dict(blocks=_regnetz_blocks((3, 8, 16, 3),
+                                              (96, 192, 384, 512), 8, 4,
+                                              s0=1),
+                       stem_chs=64, stem_type="tiered", num_features=2048,
+                       **_REGNETZ),
+    "regnetz_b16_evos": dict(blocks=_regnetz_blocks((2, 6, 12, 2),
+                                                    (48, 96, 192, 288),
+                                                    16, 3),
+                             stem_chs=32, num_features=1536, norm="evos",
+                             norm_gs=16, **_REGNETZ),
+    "regnetz_c16_evos": dict(blocks=_regnetz_blocks((2, 6, 12, 2),
+                                                    (48, 96, 192, 288),
+                                                    16, 4),
+                             stem_chs=32, num_features=1536, norm="evos",
+                             norm_gs=16, **_REGNETZ),
+    "regnetz_d8_evos": dict(blocks=_regnetz_blocks((3, 6, 12, 3),
+                                                   (64, 128, 256, 384),
+                                                   8, 4, s0=1),
+                            stem_chs=64, stem_type="deep",
+                            num_features=1792, norm="evos", norm_gs=16,
+                            **_REGNETZ),
+    "mobileone_s0": dict(blocks=mobileone_bcfg(wf=(0.75, 1.0, 1.0, 2.),
+                                               num_conv_branches=4),
+                         stem_type="one", stem_chs=48),
+    "mobileone_s1": dict(blocks=mobileone_bcfg(wf=(1.5, 1.5, 2.0, 2.5)),
+                         stem_type="one", stem_chs=64),
+    "mobileone_s2": dict(blocks=mobileone_bcfg(wf=(1.5, 2.0, 2.5, 4.0)),
+                         stem_type="one", stem_chs=64),
+    "mobileone_s3": dict(blocks=mobileone_bcfg(wf=(2.0, 2.5, 3.0, 4.0)),
+                         stem_type="one", stem_chs=64),
+    "mobileone_s4": dict(blocks=mobileone_bcfg(wf=(3.0, 3.5, 3.5, 4.0),
+                                               se_blocks=(0, 0, 5, 1)),
+                         stem_type="one", stem_chs=64),
+    "resnet50_clip": dict(blocks=_clip_blocks((3, 4, 6, 3)), **_CLIP),
+    "resnet101_clip": dict(blocks=_clip_blocks((3, 4, 23, 3)), **_CLIP),
+    "resnet50x4_clip": dict(blocks=_clip_blocks((4, 6, 10, 6)),
+                            width_factor=1.25, **_CLIP),
+    "resnet50x16_clip": dict(blocks=_clip_blocks((6, 8, 18, 8)),
+                             width_factor=1.5, **_CLIP),
+    "resnet50x64_clip": dict(blocks=_clip_blocks((3, 15, 36, 10)),
+                             width_factor=2.0, **_CLIP),
+    "resnet50_mlp": dict(blocks=_clip_blocks((3, 4, 6, 3)),
+                         stem_chs=(32, 32, 64), stem_type="",
+                         stem_pool="avg2", downsample="avg",
+                         head_hidden_size=1024, head_type="mlp"),
+    "test_byobnet": dict(
+        blocks=(bcfg("edge", 1, 32, s=2, gs=0, br=0.5),
+                bcfg("dark", 1, 64, s=2, gs=0, br=0.5),
+                bcfg("basic", 1, 128, s=2, gs=32, br=0.25),
+                bcfg("bottle", 1, 256, s=2, gs=64, br=0.25)),
+        stem_chs=24, downsample="avg", stem_pool="", act="relu",
+        attn_layer="se", attn_kwargs=dict(rd_ratio=0.25)),
+    # ---- byoanet (reference byoanet.py model_cfgs) ----
+    "botnet26t_256": dict(
+        blocks=(bcfg("bottle", 2, 256, s=1, gs=0, br=0.25),
+                bcfg("bottle", 2, 512, s=2, gs=0, br=0.25),
+                interleave(("bottle", "self_attn"), 2, c=1024, s=2, gs=0,
+                           br=0.25),
+                bcfg("self_attn", 2, 2048, s=2, gs=0, br=0.25)),
+        stem_chs=64, stem_type="tiered", stem_pool="maxpool",
+        self_attn_layer="bottleneck", img_size=256),
+    "sebotnet33ts_256": dict(
+        blocks=(bcfg("bottle", 2, 256, s=1, gs=0, br=0.25),
+                interleave(("bottle", "self_attn"), 3, every=[2], c=512,
+                           s=2, gs=0, br=0.25),
+                interleave(("bottle", "self_attn"), 3, every=[2], c=1024,
+                           s=2, gs=0, br=0.25),
+                bcfg("self_attn", 2, 1536, s=2, gs=0, br=0.333)),
+        stem_chs=64, stem_type="tiered", stem_pool="", act="silu",
+        num_features=1280, attn_layer="se", self_attn_layer="bottleneck",
+        img_size=256),
+    "botnet50ts_256": dict(
+        blocks=(bcfg("bottle", 3, 256, s=1, gs=0, br=0.25),
+                interleave(("bottle", "self_attn"), 4, every=4, c=512,
+                           s=2, gs=0, br=0.25),
+                interleave(("bottle", "self_attn"), 6, c=1024, s=2, gs=0,
+                           br=0.25),
+                interleave(("bottle", "self_attn"), 3, c=2048, s=2, gs=0,
+                           br=0.25)),
+        stem_chs=64, stem_type="tiered", stem_pool="maxpool", act="silu",
+        self_attn_layer="bottleneck", img_size=256),
+    "eca_botnext26ts_256": dict(
+        blocks=(bcfg("bottle", 2, 256, s=1, gs=16, br=0.25),
+                bcfg("bottle", 2, 512, s=2, gs=16, br=0.25),
+                interleave(("bottle", "self_attn"), 2, c=1024, s=2, gs=16,
+                           br=0.25),
+                bcfg("self_attn", 2, 2048, s=2, gs=16, br=0.25)),
+        stem_chs=64, stem_type="tiered", stem_pool="maxpool", act="silu",
+        attn_layer="eca", self_attn_layer="bottleneck",
+        self_attn_kwargs=dict(dim_head=16), img_size=256),
+    "halonet_h1": dict(
+        blocks=(bcfg("self_attn", 3, 64, s=1, gs=0, br=1.0),
+                bcfg("self_attn", 3, 128, s=2, gs=0, br=1.0),
+                bcfg("self_attn", 10, 256, s=2, gs=0, br=1.0),
+                bcfg("self_attn", 3, 512, s=2, gs=0, br=1.0)),
+        stem_chs=64, stem_type="7x7", stem_pool="maxpool",
+        self_attn_layer="halo",
+        self_attn_kwargs=dict(block_size=8, halo_size=3)),
+    "halonet26t": dict(
+        blocks=(bcfg("bottle", 2, 256, s=1, gs=0, br=0.25),
+                bcfg("bottle", 2, 512, s=2, gs=0, br=0.25),
+                interleave(("bottle", "self_attn"), 2, c=1024, s=2, gs=0,
+                           br=0.25),
+                bcfg("self_attn", 2, 2048, s=2, gs=0, br=0.25)),
+        stem_chs=64, stem_type="tiered", stem_pool="maxpool",
+        self_attn_layer="halo",
+        self_attn_kwargs=dict(block_size=8, halo_size=2)),
+    "sehalonet33ts": dict(
+        blocks=(bcfg("bottle", 2, 256, s=1, gs=0, br=0.25),
+                interleave(("bottle", "self_attn"), 3, every=[2], c=512,
+                           s=2, gs=0, br=0.25),
+                interleave(("bottle", "self_attn"), 3, every=[2], c=1024,
+                           s=2, gs=0, br=0.25),
+                bcfg("self_attn", 2, 1536, s=2, gs=0, br=0.333)),
+        stem_chs=64, stem_type="tiered", stem_pool="", act="silu",
+        num_features=1280, attn_layer="se", self_attn_layer="halo",
+        self_attn_kwargs=dict(block_size=8, halo_size=3)),
+    "halonet50ts": dict(
+        blocks=(bcfg("bottle", 3, 256, s=1, gs=0, br=0.25),
+                interleave(("bottle", "self_attn"), 4, every=4, c=512,
+                           s=2, gs=0, br=0.25, self_attn_layer="halo",
+                           self_attn_kwargs=dict(block_size=8, halo_size=3,
+                                                 num_heads=4)),
+                interleave(("bottle", "self_attn"), 6, c=1024, s=2, gs=0,
+                           br=0.25),
+                interleave(("bottle", "self_attn"), 3, c=2048, s=2, gs=0,
+                           br=0.25)),
+        stem_chs=64, stem_type="tiered", stem_pool="maxpool", act="silu",
+        self_attn_layer="halo",
+        self_attn_kwargs=dict(block_size=8, halo_size=3)),
+    "eca_halonext26ts": dict(
+        blocks=(bcfg("bottle", 2, 256, s=1, gs=16, br=0.25),
+                bcfg("bottle", 2, 512, s=2, gs=16, br=0.25),
+                interleave(("bottle", "self_attn"), 2, c=1024, s=2, gs=16,
+                           br=0.25),
+                bcfg("self_attn", 2, 2048, s=2, gs=16, br=0.25)),
+        stem_chs=64, stem_type="tiered", stem_pool="maxpool", act="silu",
+        attn_layer="eca", self_attn_layer="halo",
+        self_attn_kwargs=dict(block_size=8, halo_size=2, dim_head=16)),
+    "lambda_resnet26t": dict(
+        blocks=(bcfg("bottle", 2, 256, s=1, gs=0, br=0.25),
+                bcfg("bottle", 2, 512, s=2, gs=0, br=0.25),
+                interleave(("bottle", "self_attn"), 2, c=1024, s=2, gs=0,
+                           br=0.25),
+                bcfg("self_attn", 2, 2048, s=2, gs=0, br=0.25)),
+        stem_chs=64, stem_type="tiered", stem_pool="maxpool",
+        self_attn_layer="lambda", self_attn_kwargs=dict(r=9)),
+    "lambda_resnet50ts": dict(
+        blocks=(bcfg("bottle", 3, 256, s=1, gs=0, br=0.25),
+                interleave(("bottle", "self_attn"), 4, every=4, c=512,
+                           s=2, gs=0, br=0.25),
+                interleave(("bottle", "self_attn"), 6, c=1024, s=2, gs=0,
+                           br=0.25),
+                interleave(("bottle", "self_attn"), 3, c=2048, s=2, gs=0,
+                           br=0.25)),
+        stem_chs=64, stem_type="tiered", stem_pool="maxpool", act="silu",
+        self_attn_layer="lambda", self_attn_kwargs=dict(r=9)),
+    "lambda_resnet26rpt_256": dict(
+        blocks=(bcfg("bottle", 2, 256, s=1, gs=0, br=0.25),
+                bcfg("bottle", 2, 512, s=2, gs=0, br=0.25),
+                interleave(("bottle", "self_attn"), 2, c=1024, s=2, gs=0,
+                           br=0.25),
+                bcfg("self_attn", 2, 2048, s=2, gs=0, br=0.25)),
+        stem_chs=64, stem_type="tiered", stem_pool="maxpool",
+        self_attn_layer="lambda", self_attn_kwargs=dict(r=None),
+        img_size=256),
+    "haloregnetz_b": dict(
+        blocks=(bcfg("bottle", 2, 48, s=2, gs=16, br=3),
+                bcfg("bottle", 6, 96, s=2, gs=16, br=3),
+                interleave(("bottle", "self_attn"), 12, every=3, c=192,
+                           s=2, gs=16, br=3),
+                bcfg("self_attn", 2, 288, s=2, gs=16, br=3)),
+        stem_chs=32, stem_pool="", downsample="", num_features=1536,
+        act="silu", attn_layer="se", attn_kwargs=dict(rd_ratio=0.25),
+        block_kwargs=dict(bottle_in=True, linear_out=True),
+        self_attn_layer="halo",
+        self_attn_kwargs=dict(block_size=7, halo_size=2, qk_ratio=0.33)),
+    "lamhalobotnet50ts_256": dict(
+        blocks=(bcfg("bottle", 3, 256, s=1, gs=0, br=0.25),
+                interleave(("bottle", "self_attn"), 4, c=512, s=2, gs=0,
+                           br=0.25, self_attn_layer="lambda",
+                           self_attn_kwargs=dict(r=13)),
+                interleave(("bottle", "self_attn"), 6, c=1024, s=2, gs=0,
+                           br=0.25, self_attn_layer="halo",
+                           self_attn_kwargs=dict(halo_size=3)),
+                interleave(("bottle", "self_attn"), 3, c=2048, s=2, gs=0,
+                           br=0.25, self_attn_layer="bottleneck",
+                           self_attn_kwargs=dict())),
+        stem_chs=64, stem_type="tiered", stem_pool="", act="silu",
+        img_size=256),
+    "halo2botnet50ts_256": dict(
+        blocks=(bcfg("bottle", 3, 256, s=1, gs=0, br=0.25),
+                interleave(("bottle", "self_attn"), 4, c=512, s=2, gs=0,
+                           br=0.25, self_attn_layer="halo",
+                           self_attn_kwargs=dict(halo_size=3)),
+                interleave(("bottle", "self_attn"), 6, c=1024, s=2, gs=0,
+                           br=0.25, self_attn_layer="halo",
+                           self_attn_kwargs=dict(halo_size=3)),
+                interleave(("bottle", "self_attn"), 3, c=2048, s=2, gs=0,
+                           br=0.25, self_attn_layer="bottleneck",
+                           self_attn_kwargs=dict())),
+        stem_chs=64, stem_type="tiered", stem_pool="", act="silu",
+        img_size=256),
+}
+
+# CLIP GAP variants: same trunk, plain avg-pool classifier head
+# (reference byobnet.py:2192)
+for _k in ("resnet50_clip", "resnet101_clip", "resnet50x4_clip",
+           "resnet50x16_clip", "resnet50x64_clip"):
+    MODEL_CFGS[_k + "_gap"] = dict(MODEL_CFGS[_k], head_type="classifier")
+
+
+def _byob(cfg: Dict[str, Any]):
+    cfg = dict(cfg)
+    blocks = cfg.pop("blocks")
+    for k in ("attn_kwargs", "self_attn_kwargs", "block_kwargs"):
+        if k in cfg:
+            cfg[k] = _freeze(cfg[k])
+    frozen_blocks = _freeze(blocks)
+
+    def build(**kw):
+        for k in ("pretrained_tag", "global_pool", "init_values", "remat",
+                  "scan_blocks"):
+            kw.pop(k, None)
+        kw = {k: v for k, v in kw.items() if v is not None}
+        merged = dict(cfg)
+        if "depths" in kw:
+            # test hook: rewrite stage depths to shrink compile time
+            depths = kw.pop("depths")
+            new_blocks = []
+            for s, d in zip(_thaw(frozen_blocks), depths):
+                if isinstance(s, tuple):
+                    new_blocks.append(tuple(list(s)[:max(1, d)]))
+                else:
+                    s = dict(s)
+                    s["d"] = d
+                    new_blocks.append(s)
+            merged["blocks"] = _freeze(tuple(new_blocks))
+        else:
+            merged["blocks"] = frozen_blocks
+        merged.update(kw)
+        return ByobNet(**merged)
+
+    return build
+
+
+_mod = sys.modules[__name__]
+for _name, _cfg in MODEL_CFGS.items():
+    _fn = _byob(_cfg)
+    _fn.__name__ = _name
+    _fn.__qualname__ = _name
+    _fn.__doc__ = (f"ByobNet/ByoaNet variant {_name!r} (reference "
+                   f"byobnet.py/byoanet.py registry surface).")
+    setattr(_mod, _name, register_model(_fn))
