@@ -20,7 +20,9 @@ FAMILIES = [
     ("xcit_nano_12_p16_224", dict(img_size=32, embed_dim=64, depth=1,
                                   cls_attn_layers=1, num_heads=2), 32),
     ("regnety_004", dict(depth=6), 64),
-    ("maxvit_tiny_224", dict(depths=(1, 1), dims=(32, 64), stem_dim=16), 56),
+    ("maxvit_tiny_rw_224", dict(depths=(1, 1, 1, 1),
+                                embed_dim=(32, 64, 96, 128),
+                                stem_width=(16, 24)), 64),
     ("swinv2_tiny_window8_256", dict(img_size=64, window_size=4,
                                      depths=(1, 1, 1, 1)), 64),
     ("swinv2_cr_small_ns_224", dict(img_size=64, window_size=4,
