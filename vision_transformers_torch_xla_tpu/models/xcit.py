@@ -15,7 +15,6 @@ from flax import linen as nn
 from vision_transformers_torch_xla_tpu.models.cait import ClassAttentionBlock
 from vision_transformers_torch_xla_tpu.models.layers import (
     Mlp,
-    PatchEmbed,
     _dense,
     _layer_norm,
     drop_path,
@@ -143,13 +142,41 @@ class XCiT(nn.Module):
     @nn.compact
     def __call__(self, x: jax.Array, deterministic: bool = True) -> jax.Array:
         b = x.shape[0]
-        g = self.img_size // self.patch_size
-        x = PatchEmbed(self.patch_size, self.embed_dim, dtype=self.dtype,
-                       param_dtype=self.param_dtype, name="patch_embed")(x)
-        pos = self.param("pos_embed",
-                         nn.with_logical_partitioning(trunc_init, (None, "seq", "embed")),
-                         (1, g * g, self.embed_dim), self.param_dtype)
-        x = x + pos.astype(x.dtype)
+        g = x.shape[1] // self.patch_size
+        # conv patch stem (reference xcit.py:76-106 ConvPatchEmbed):
+        # stacked conv3x3(s2)+BN with GELU between; 4 convs for p16,
+        # 3 for p8
+        d = self.embed_dim
+        plan = ((d // 8, d // 4, d // 2, d) if self.patch_size == 16
+                else (d // 4, d // 2, d))
+        x = x.astype(self.dtype)
+        for i, ch in enumerate(plan):
+            x = nn.Conv(ch, (3, 3), strides=2, padding="SAME",
+                        use_bias=False, dtype=self.dtype,
+                        param_dtype=self.param_dtype,
+                        name=f"patch_embed_conv{i}")(x)
+            x = nn.BatchNorm(use_running_average=deterministic,
+                             momentum=0.9, epsilon=1e-5, dtype=self.dtype,
+                             param_dtype=self.param_dtype,
+                             name=f"patch_embed_bn{i}")(x)
+            if i < len(plan) - 1:
+                x = nn.gelu(x)
+        x = x.reshape(b, g * g, d)
+        # Fourier positional encoding (reference xcit.py:40-73): fixed
+        # sin/cos features of the 2-D grid, projected to embed_dim by a
+        # learned 1x1 conv (hidden 32 per axis -> 64 channels)
+        hidden = 32
+        yy, xx = jnp.meshgrid(jnp.arange(g), jnp.arange(g), indexing="ij")
+        coords = jnp.stack([yy, xx], axis=-1).astype(jnp.float32) + 1.0
+        coords = coords / (coords[-1:, -1:, :] + 1e-6) * (2 * jnp.pi)
+        dim_t = 10000.0 ** (2 * (jnp.arange(hidden) // 2) / hidden)
+        feats = coords[:, :, :, None] / dim_t
+        feats = jnp.concatenate(
+            [jnp.sin(feats[..., 0::2]), jnp.cos(feats[..., 1::2])],
+            axis=-1).reshape(g, g, -1)
+        pos = nn.Dense(d, dtype=self.dtype, param_dtype=self.param_dtype,
+                       name="pos_proj")(feats.astype(self.dtype))
+        x = x + pos.reshape(1, g * g, d)
         for i in range(self.depth):
             dpr = self.drop_path_rate * i / max(self.depth - 1, 1)
             x = XCiTLayer(self.embed_dim, self.num_heads, self.mlp_ratio,
@@ -185,16 +212,39 @@ def _xcit(_dim, _depth, _heads, **kw):
     return XCiT(**kw)
 
 
-@register_model
-def xcit_nano_12_p16_224(**kw):
-    return _xcit(128, 12, 4, **kw)
+_SIZES = {
+    # name part -> (embed_dim, num_heads); depths/eta per reference
+    # xcit.py registrations (nano/tiny/small 12-layer use eta=1.0,
+    # everything deeper/larger uses 1e-5)
+    "nano": (128, 4),
+    "tiny": (192, 4),
+    "small": (384, 8),
+    "medium": (512, 8),
+    "large": (768, 16),
+}
+_GRID = [(s, d) for s in ("nano", "tiny", "small") for d in (12, 24)
+         if not (s == "nano" and d == 24)] + [("medium", 24), ("large", 24)]
 
+import sys  # noqa: E402
 
-@register_model
-def xcit_tiny_12_p16_224(**kw):
-    return _xcit(192, 12, 4, **kw)
+_mod = sys.modules[__name__]
+for _size, _depth in _GRID:
+    for _ps in (16, 8):
+        for _res in (224, 384):
+            _dim, _heads = _SIZES[_size]
+            _eta = 1.0 if _depth == 12 and _size in ("nano", "tiny",
+                                                     "small") else 1e-5
+            _name = f"xcit_{_size}_{_depth}_p{_ps}_{_res}"
 
+            def _build(_dim=_dim, _depth=_depth, _heads=_heads, _ps=_ps,
+                       _res=_res, _eta=_eta, **kw):
+                kw.setdefault("patch_size", _ps)
+                kw.setdefault("img_size", _res)
+                kw.setdefault("init_values", _eta)
+                return _xcit(_dim, _depth, _heads, **kw)
 
-@register_model
-def xcit_small_12_p16_224(**kw):
-    return _xcit(384, 12, 8, **kw)
+            _build.__name__ = _name
+            _build.__qualname__ = _name
+            _build.__doc__ = (f"XCiT variant {_name!r} (reference xcit.py "
+                              f"registry surface).")
+            setattr(_mod, _name, register_model(_build))
