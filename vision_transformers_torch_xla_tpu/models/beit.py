@@ -146,3 +146,27 @@ def beit_base_patch16_224(**kw):
 @register_model
 def beit_large_patch16_224(**kw):
     return _beit(1024, 24, 16, **kw)
+
+
+_MORE = {
+    # reference beit.py: 384/512 fine-tune resolutions + BEiT-v2 (same
+    # trunk, rel-pos bias, init_values 1e-5; weights differ)
+    "beit_base_patch16_384": (768, 12, 12, 384),
+    "beit_large_patch16_384": (1024, 24, 16, 384),
+    "beit_large_patch16_512": (1024, 24, 16, 512),
+    "beitv2_base_patch16_224": (768, 12, 12, 224),
+    "beitv2_large_patch16_224": (1024, 24, 16, 224),
+}
+
+import sys  # noqa: E402
+
+_mod = sys.modules[__name__]
+for _name, (_d, _dep, _h, _res) in _MORE.items():
+    def _build(_d=_d, _dep=_dep, _h=_h, _res=_res, **kw):
+        kw.setdefault("img_size", _res)
+        return _beit(_d, _dep, _h, **kw)
+    _build.__name__ = _name
+    _build.__qualname__ = _name
+    _build.__doc__ = (f"BEiT variant {_name!r} (reference beit.py "
+                      f"registry surface).")
+    setattr(_mod, _name, register_model(_build))

@@ -147,3 +147,30 @@ def cait_xs24_224(**kw):
 @register_model
 def cait_s24_224(**kw):
     return _cait(384, 24, 8, **kw)
+
+
+_MORE = {
+    # reference cait.py registrations (full size/resolution grid)
+    "cait_xxs24_384": (192, 24, 4, 384, 1e-5),
+    "cait_xxs36_224": (192, 36, 4, 224, 1e-5),
+    "cait_xxs36_384": (192, 36, 4, 384, 1e-5),
+    "cait_xs24_384": (288, 24, 6, 384, 1e-5),
+    "cait_s24_384": (384, 24, 8, 384, 1e-5),
+    "cait_s36_384": (384, 36, 8, 384, 1e-6),
+    "cait_m36_384": (768, 36, 16, 384, 1e-6),
+    "cait_m48_448": (768, 48, 16, 448, 1e-6),
+}
+
+import sys  # noqa: E402
+
+_mod = sys.modules[__name__]
+for _name, (_d, _dep, _h, _res, _iv) in _MORE.items():
+    def _build(_d=_d, _dep=_dep, _h=_h, _res=_res, _iv=_iv, **kw):
+        kw.setdefault("img_size", _res)
+        kw.setdefault("init_values", _iv)
+        return _cait(_d, _dep, _h, **kw)
+    _build.__name__ = _name
+    _build.__qualname__ = _name
+    _build.__doc__ = (f"CaiT variant {_name!r} (reference cait.py "
+                      f"registry surface).")
+    setattr(_mod, _name, register_model(_build))

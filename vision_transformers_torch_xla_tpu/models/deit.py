@@ -113,3 +113,57 @@ def deit_small_distilled_patch16_224(**kw):
 @register_model
 def deit_base_distilled_patch16_224(**kw):
     return _deit(True, 16, 768, 12, 12, **kw)
+
+
+@register_model
+def deit_base_patch16_384(**kw):
+    kw.setdefault("img_size", 384)
+    return _deit(False, 16, 768, 12, 12, **kw)
+
+
+@register_model
+def deit_base_distilled_patch16_384(**kw):
+    kw.setdefault("img_size", 384)
+    return _deit(True, 16, 768, 12, 12, **kw)
+
+
+# DeiT-3 (reference deit.py deit3_* registrations): plain ViT trunk with
+# LayerScale 1e-6 and no_embed_class (pos embed covers patch tokens only)
+def _deit3(_patch, _dim, _depth, _heads, **kw):
+    kw.pop("pretrained_tag", None)
+    if kw.get("init_values") is None:
+        kw.pop("init_values", None)
+    kw.setdefault("init_values", 1e-6)
+    kw.setdefault("no_embed_class", True)
+    kw.setdefault("global_pool", "token")
+    kw.setdefault("fc_norm", False)
+    kw.setdefault("patch_size", _patch)
+    kw.setdefault("embed_dim", _dim)
+    kw.setdefault("depth", _depth)
+    kw.setdefault("num_heads", _heads)
+    return VisionTransformer(**kw)
+
+
+_DEIT3 = {
+    "deit3_small_patch16_224": (16, 384, 12, 6, 224),
+    "deit3_small_patch16_384": (16, 384, 12, 6, 384),
+    "deit3_medium_patch16_224": (16, 512, 12, 8, 224),
+    "deit3_base_patch16_224": (16, 768, 12, 12, 224),
+    "deit3_base_patch16_384": (16, 768, 12, 12, 384),
+    "deit3_large_patch16_224": (16, 1024, 24, 16, 224),
+    "deit3_large_patch16_384": (16, 1024, 24, 16, 384),
+    "deit3_huge_patch14_224": (14, 1280, 32, 16, 224),
+}
+
+import sys  # noqa: E402
+
+_mod = sys.modules[__name__]
+for _name, (_p, _d, _dep, _h, _res) in _DEIT3.items():
+    def _build(_p=_p, _d=_d, _dep=_dep, _h=_h, _res=_res, **kw):
+        kw.setdefault("img_size", _res)
+        return _deit3(_p, _d, _dep, _h, **kw)
+    _build.__name__ = _name
+    _build.__qualname__ = _name
+    _build.__doc__ = (f"DeiT-3 variant {_name!r} (reference deit.py "
+                      f"registry surface).")
+    setattr(_mod, _name, register_model(_build))

@@ -50,6 +50,32 @@ class DLA(nn.Module):
             if self.block == "basic":
                 z = conv_bn(y, out, 3, stride, f"{name}_c1")
                 z = conv_bn(z, out, 3, 1, f"{name}_c2", act=False)
+            elif self.block == "bottle2neck":
+                # Res2Net-style multi-scale split (reference dla.py
+                # DlaBottle2neck): 1x1 -> cascaded per-split 3x3 -> 1x1
+                scale = 4
+                mid = max(1, int(out * (self.base_width / 64))
+                          * self.cardinality)
+                mid = (mid // scale) * scale or scale
+                z = conv_bn(y, mid, 1, 1, f"{name}_c1")
+                splits = jnp.split(z, scale, axis=-1)
+                outs = []
+                prev = None
+                for si2, sp in enumerate(splits[:-1]):
+                    if prev is not None and stride == 1:
+                        sp = sp + prev
+                    sp = conv_bn(sp, mid // scale, 3, stride,
+                                 f"{name}_c2_{si2}",
+                                 groups=self.cardinality)
+                    outs.append(sp)
+                    prev = sp
+                last = splits[-1]
+                if stride > 1:
+                    last = nn.avg_pool(last, (stride, stride),
+                                       strides=(stride, stride))
+                outs.append(last)
+                z = jnp.concatenate(outs, axis=-1)
+                z = conv_bn(z, out, 1, 1, f"{name}_c3", act=False)
             else:
                 # mid = floor(out * bw/64) * cardinality / expansion(2)
                 # (reference dla.py:62-64)
@@ -158,6 +184,14 @@ _VARIANTS = {
     "dla169": dict(levels=(1, 1, 2, 3, 5, 1),
                    channels=(16, 32, 128, 256, 512, 1024),
                    block="bottleneck", shortcut_root=True),
+    "dla60_res2net": dict(levels=(1, 1, 1, 2, 3, 1),
+                          channels=(16, 32, 128, 256, 512, 1024),
+                          block="bottle2neck", cardinality=1,
+                          base_width=28),
+    "dla60_res2next": dict(levels=(1, 1, 1, 2, 3, 1),
+                           channels=(16, 32, 128, 256, 512, 1024),
+                           block="bottle2neck", cardinality=8,
+                           base_width=4),
 }
 
 import sys  # noqa: E402

@@ -133,6 +133,8 @@ _VARIANTS = {
                   k_sec=(3, 4, 12, 3), inc_sec=(16, 32, 32, 64)),
     "dpn68b": dict(small=True, num_init_features=10, k_r=128, groups=32,
                    b=True, k_sec=(3, 4, 12, 3), inc_sec=(16, 32, 32, 64)),
+    "dpn48b": dict(small=True, num_init_features=10, k_r=128, groups=32,
+                   b=True, k_sec=(3, 4, 6, 3), inc_sec=(16, 32, 32, 64)),
     "dpn92": dict(num_init_features=64, k_r=96, groups=32,
                   k_sec=(3, 4, 20, 3), inc_sec=(16, 32, 24, 128)),
     "dpn98": dict(num_init_features=96, k_r=160, groups=40,

@@ -136,6 +136,8 @@ class FastVit(nn.Module):
     mlp_ratios: Sequence[float] = (3, 3, 3, 3)
     token_mixers: Sequence[str] = ("repmixer",) * 4
     pos_emb_stage: Optional[int] = None   # stage index with RepCPE
+    se_downsamples: Sequence[bool] = (False, False, False, False)
+    lkc_use_act: bool = False
     layer_scale_init: float = 1e-5
     cls_ratio: float = 2.0
     dtype: jnp.dtype = jnp.bfloat16
@@ -161,6 +163,15 @@ class FastVit(nn.Module):
             if si > 0:
                 x = _LargeKernelConv(dim, 7, 2, name=f"pe{si}_lkc",
                                      **p)(x, det)
+                if self.lkc_use_act:
+                    x = nn.gelu(x)
+                if self.se_downsamples[si]:
+                    s = x.mean(axis=(1, 2), keepdims=True)
+                    s = nn.relu(nn.Conv(max(1, dim // 16), (1, 1),
+                                        name=f"pe{si}_se_fc1", **p)(s))
+                    s = nn.sigmoid(nn.Conv(dim, (1, 1),
+                                           name=f"pe{si}_se_fc2", **p)(s))
+                    x = x * s
                 x = MobileOneBlock(dim, 1, 1, name=f"pe{si}_pw",
                                    **p)(x, det)
             if self.pos_emb_stage == si:
@@ -254,6 +265,22 @@ _VARIANTS = {
     "fastvit_ma36": dict(layers=(6, 6, 18, 6),
                          embed_dims=(76, 152, 304, 608),
                          mlp_ratios=(4, 4, 4, 4), **_SA),
+    # MobileCLIP image towers (reference fastvit.py mci registrations)
+    "fastvit_mci0": dict(layers=(2, 6, 10, 2),
+                         embed_dims=(64, 128, 256, 512),
+                         mlp_ratios=(3, 3, 3, 3),
+                         se_downsamples=(False, False, True, True),
+                         lkc_use_act=True, **_SA),
+    "fastvit_mci1": dict(layers=(4, 12, 20, 4),
+                         embed_dims=(64, 128, 256, 512),
+                         mlp_ratios=(3, 3, 3, 3),
+                         se_downsamples=(False, False, True, True),
+                         lkc_use_act=True, **_SA),
+    "fastvit_mci2": dict(layers=(4, 12, 24, 4),
+                         embed_dims=(80, 160, 320, 640),
+                         mlp_ratios=(3, 3, 3, 3),
+                         se_downsamples=(False, False, True, True),
+                         lkc_use_act=True, **_SA),
 }
 
 import sys  # noqa: E402

@@ -194,6 +194,12 @@ _VARIANTS = {
     "ghostnetv2_100": dict(width=1.0, version="v2"),
     "ghostnetv2_130": dict(width=1.3, version="v2"),
     "ghostnetv2_160": dict(width=1.6, version="v2"),
+    # v3: reference ghostnetv3 names; train-time reparam branches fold
+    # into the v2-style trunk (registered on the v2 path here)
+    "ghostnetv3_050": dict(width=0.5, version="v2"),
+    "ghostnetv3_100": dict(width=1.0, version="v2"),
+    "ghostnetv3_130": dict(width=1.3, version="v2"),
+    "ghostnetv3_160": dict(width=1.6, version="v2"),
 }
 
 import sys  # noqa: E402

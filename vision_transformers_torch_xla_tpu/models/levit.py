@@ -121,6 +121,7 @@ class Levit(nn.Module):
     mlp_ratio: float = 2.0
     num_classes: int = 1000
     distillation: bool = False
+    stem_stride: int = 16              # 16: 4-conv stem; 8: 3-conv stem
     img_size: int = 224
     drop_path_rate: float = 0.0
     dtype: jnp.dtype = jnp.bfloat16
@@ -130,8 +131,11 @@ class Levit(nn.Module):
     def __call__(self, x, deterministic: bool = True):
         x = x.astype(self.dtype)
         c0 = self.embed_dims[0]
-        # 4-conv stride-16 stem (reference levit.py stem_b16)
-        for i, ch in enumerate((c0 // 8, c0 // 4, c0 // 2, c0)):
+        # 4-conv stride-16 stem (reference levit.py stem_b16); the _s8
+        # names use a 3-conv stride-8 stem
+        plan = ((c0 // 8, c0 // 4, c0 // 2, c0) if self.stem_stride == 16
+                else (c0 // 4, c0 // 2, c0))
+        for i, ch in enumerate(plan):
             x = nn.Conv(ch, (3, 3), strides=2, padding=1, use_bias=False,
                         dtype=self.dtype, param_dtype=self.param_dtype,
                         name=f"stem_conv{i}")(x)
@@ -139,7 +143,7 @@ class Levit(nn.Module):
                              epsilon=1e-5, dtype=self.dtype,
                              param_dtype=self.param_dtype,
                              name=f"stem_bn{i}")(x)
-            if i < 3:
+            if i < len(plan) - 1:
                 x = _hswish(x)
         b, hh, ww, _ = x.shape
         x = x.reshape(b, hh * ww, c0)
@@ -214,6 +218,11 @@ _VARIANTS = {
                       depths=(4, 4, 4)),
     "levit_512d": dict(embed_dims=(512, 768, 1024), num_heads=(8, 12, 16),
                        depths=(4, 8, 6)),
+    "levit_384_s8": dict(embed_dims=(384, 512, 768), num_heads=(6, 9, 12),
+                         depths=(4, 4, 4), stem_stride=8),
+    "levit_512_s8": dict(embed_dims=(512, 768, 1024),
+                         num_heads=(8, 12, 16), depths=(4, 4, 4),
+                         stem_stride=8),
 }
 
 import sys  # noqa: E402

@@ -29,7 +29,10 @@ class MambaOut(nn.Module):
     kernel_size: int = 7
     conv_ratio: float = 1.0
     stem_mid_norm: bool = True
-    head_fn: str = "mlp"               # 'mlp' | 'default'
+    downsample: str = "norm_conv"      # 'norm_conv' | 'conv_nf' (no norm)
+    ls_init_value: float = 0.0         # per-block LayerScale (rw variants)
+    act: str = "gelu"
+    head_fn: str = "mlp"               # 'mlp' | 'norm_mlp' | 'default'
     dtype: jnp.dtype = jnp.bfloat16
     param_dtype: jnp.dtype = jnp.float32
 
@@ -50,9 +53,11 @@ class MambaOut(nn.Module):
         x = nn.LayerNorm(**ln, name="stem_norm2")(x)
 
         ks = self.kernel_size
+        act = nn.silu if self.act == "silu" else nn.gelu
         for si, dim in enumerate(self.dims):
             if si > 0:
-                x = nn.LayerNorm(**ln, name=f"down{si}_norm")(x)
+                if self.downsample != "conv_nf":
+                    x = nn.LayerNorm(**ln, name=f"down{si}_norm")(x)
                 x = nn.Conv(dim, (3, 3), strides=(2, 2),
                             padding=((1, 1), (1, 1)),
                             name=f"down{si}", **p)(x)
@@ -69,13 +74,17 @@ class MambaOut(nn.Module):
                 c = nn.Conv(cc, (ks, ks), padding=((ks // 2,) * 2,) * 2,
                             feature_group_count=cc,
                             name=f"{nm}_conv", **p)(c)
-                y = nn.gelu(g) * jnp.concatenate([i, c], axis=-1)
+                y = act(g) * jnp.concatenate([i, c], axis=-1)
                 y = nn.Dense(dim, name=f"{nm}_fc2", **p)(y)
+                if self.ls_init_value:
+                    gam = self.param(f"{nm}_ls", nn.initializers.constant(
+                        self.ls_init_value), (dim,), self.param_dtype)
+                    y = y * gam.astype(y.dtype)
                 x = shortcut + y
 
         x = jnp.mean(x, axis=(1, 2))
         x = nn.LayerNorm(**ln, name="head_pre_norm")(x)
-        if self.head_fn == "mlp":
+        if self.head_fn in ("mlp", "norm_mlp"):
             x = nn.gelu(nn.Dense(int(4 * self.dims[-1]), name="head_fc1",
                                  **p)(x))
             x = nn.LayerNorm(**ln, name="head_norm")(x)
@@ -112,6 +121,32 @@ _VARIANTS = {
                                    expansion_ratio=3.0,
                                    stem_mid_norm=False,
                                    head_fn="default"),
+    # reference mambaout.py rw/test variants (conv_nf downsample +
+    # LayerScale + norm_mlp heads)
+    "mambaout_base_tall_rw": dict(depths=(3, 4, 30, 3),
+                                  dims=(128, 256, 512, 768),
+                                  expansion_ratio=2.5, conv_ratio=1.25,
+                                  stem_mid_norm=False,
+                                  downsample="conv_nf",
+                                  ls_init_value=1e-6, head_fn="norm_mlp"),
+    "mambaout_base_wide_rw": dict(depths=(3, 4, 27, 3),
+                                  dims=(128, 256, 512, 768),
+                                  expansion_ratio=3.0, conv_ratio=1.5,
+                                  stem_mid_norm=False,
+                                  downsample="conv_nf",
+                                  ls_init_value=1e-6, act="silu",
+                                  head_fn="norm_mlp"),
+    "mambaout_base_plus_rw": dict(depths=(3, 4, 30, 3),
+                                  dims=(128, 256, 512, 768),
+                                  expansion_ratio=3.0, conv_ratio=1.5,
+                                  stem_mid_norm=False,
+                                  downsample="conv_nf",
+                                  ls_init_value=1e-6, act="silu",
+                                  head_fn="norm_mlp"),
+    "test_mambaout": dict(depths=(1, 1, 3, 1), dims=(16, 32, 48, 64),
+                          expansion_ratio=3.0, stem_mid_norm=False,
+                          downsample="conv_nf", ls_init_value=1e-4,
+                          act="silu", head_fn="norm_mlp"),
 }
 
 import sys  # noqa: E402

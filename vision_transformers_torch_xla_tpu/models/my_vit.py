@@ -63,3 +63,11 @@ def my_vit_b(**kw):
 @register_model(default_cfg=_DEFAULT_CFG)
 def my_vit_l(**kw):
     return _my_vit(1024, 24, 16, **kw)
+
+
+@register_model(default_cfg=_DEFAULT_CFG)
+def my_vit_m(**kw):
+    """Medium alias from the reference's stale dev copy ('my_vit copy.py':
+    embed 480, depth 12, heads 8) — registered there, so kept for name
+    parity."""
+    return _my_vit(480, 12, 8, **kw)

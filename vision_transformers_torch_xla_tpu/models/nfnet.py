@@ -105,6 +105,7 @@ class NfBlock(nn.Module):
     bottle_ratio: float
     attn: str  # 'se' | 'eca' | ''
     se_ratio: float = 0.5
+    reg: bool = False  # nf_regnet: expand-from-input, mid-SE, no conv2b
     drop_path_rate: float = 0.0
     dtype: jnp.dtype = jnp.bfloat16
     param_dtype: jnp.dtype = jnp.float32
@@ -112,7 +113,8 @@ class NfBlock(nn.Module):
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
         conv = partial(WSConv, dtype=self.dtype, param_dtype=self.param_dtype)
-        mid = int(self.out_ch * self.bottle_ratio)
+        base = x.shape[-1] if self.reg else self.out_ch
+        mid = int(base * self.bottle_ratio)
         groups = 1
         if self.group_size:
             groups = max(mid // self.group_size, 1)
@@ -127,10 +129,14 @@ class NfBlock(nn.Module):
         y = _act(conv(mid, (1, 1), name="conv1")(y))
         y = _act(conv(mid, (3, 3), strides=self.stride, groups=groups,
                       name="conv2")(y))
-        if self.group_size:  # NFNet-F uses a second grouped 3x3
+        if self.group_size and not self.reg:  # NFNet-F second grouped 3x3
             y = _act(conv(mid, (3, 3), groups=groups, name="conv2b")(y))
+        if self.reg and self.attn == "se":
+            # reg variants apply SE at the expanded mid chs
+            y = _se(y, max(1, int(mid * self.se_ratio)), self.dtype,
+                    self.param_dtype, "se")
         y = conv(self.out_ch, (1, 1), name="conv3")(y)
-        if self.attn == "se":
+        if self.attn == "se" and not self.reg:
             y = _se(y, max(1, int(self.out_ch * self.se_ratio * self.bottle_ratio)),
                     self.dtype, self.param_dtype, "se")
         elif self.attn == "eca":
@@ -152,8 +158,12 @@ class NormFreeNet(nn.Module):
     bottle_ratio: float = 0.5
     attn: str = "se"
     alpha: float = 0.2
-    stem_type: str = "deep_quad"  # 'deep_quad' (nfnet) | '7x7' (nf_resnet)
+    stem_type: str = "deep_quad"  # 'deep_quad'|'7x7'|'3x3' (nf_regnet)
     final_mult: int = 2  # final conv = final_mult * last channels (0 = none)
+    num_features: int = 0  # absolute final-conv width (nf_regnet); wins
+    width_factor: float = 1.0
+    reg: bool = False
+    se_ratio: float = 0.5
     num_classes: int = 1000
     drop_path_rate: float = 0.1
     drop_rate: float = 0.0
@@ -165,11 +175,15 @@ class NormFreeNet(nn.Module):
     def __call__(self, x, deterministic: bool = True):
         conv = partial(WSConv, dtype=self.dtype, param_dtype=self.param_dtype)
         x = x.astype(self.dtype)
+        chs = [int(round(c * self.width_factor / 8) * 8) or 8
+               for c in self.channels]
         if self.stem_type == "deep_quad":
             x = _act(conv(16, (3, 3), strides=2, name="stem_conv1")(x))
             x = _act(conv(32, (3, 3), name="stem_conv2")(x))
             x = _act(conv(64, (3, 3), name="stem_conv3")(x))
             x = conv(128, (3, 3), strides=2, name="stem_conv4")(x)
+        elif self.stem_type == "3x3":
+            x = conv(chs[0], (3, 3), strides=2, name="stem_conv")(x)
         else:
             x = conv(64, (7, 7), strides=2, name="stem_conv")(x)
             x = nn.max_pool(_act(x), (3, 3), strides=(2, 2), padding="SAME")
@@ -177,19 +191,22 @@ class NormFreeNet(nn.Module):
         total = sum(self.depths)
         dpr = np.linspace(0, self.drop_path_rate, total)
         expected_var, bi = 1.0, 0
-        for si, (depth, ch) in enumerate(zip(self.depths, self.channels)):
+        for si, (depth, ch) in enumerate(zip(self.depths, chs)):
             for blk in range(depth):
                 beta = 1.0 / math.sqrt(expected_var)
                 x = NfBlock(ch, 2 if (blk == 0 and si > 0) else 1, beta,
                             self.alpha, self.group_size, self.bottle_ratio,
-                            self.attn, drop_path_rate=float(dpr[bi]),
+                            self.attn, se_ratio=self.se_ratio,
+                            reg=self.reg, drop_path_rate=float(dpr[bi]),
                             dtype=self.dtype, param_dtype=self.param_dtype,
                             name=f"stages_{si}_blocks_{blk}")(x, deterministic)
                 # variance reset after a transition block, else accumulate
                 expected_var = (1.0 if (blk == 0) else expected_var) \
                     + self.alpha ** 2
                 bi += 1
-        if self.final_mult:
+        if self.num_features:
+            x = conv(self.num_features, (1, 1), name="final_conv")(x)
+        elif self.final_mult:
             x = conv(self.final_mult * self.channels[-1], (1, 1),
                      name="final_conv")(x)
         x = _act(x)
@@ -242,6 +259,28 @@ for _d, _depths in (("26", (2, 2, 2, 2)), ("50", (3, 4, 6, 3)),
     _VARIANTS[f"nf_resnet{_d}"] = dict(_RESNET, depths=_depths)
     _VARIANTS[f"nf_seresnet{_d}"] = dict(_RESNET, depths=_depths, attn="se")
     _VARIANTS[f"nf_ecaresnet{_d}"] = dict(_RESNET, depths=_depths, attn="eca")
+
+# nf_regnet_b0-b5 (reference nfnet.py:618-643, 763-768): EfficientNet-like
+# normalizer-free RegNets — 3x3 stem, width factor 0.75, expand-from-input
+# bottle 2.25, group size 8, mid-SE rd 0.5, absolute final-conv width
+_REG = dict(stem_type="3x3", group_size=8, width_factor=0.75,
+            bottle_ratio=2.25, reg=True, attn="se", se_ratio=0.5,
+            alpha=0.2, final_mult=0)
+for _n, (_depths, _chs) in {
+        "b0": ((1, 3, 6, 6), (48, 104, 208, 440)),
+        "b1": ((2, 4, 7, 7), (48, 104, 208, 440)),
+        "b2": ((2, 4, 8, 8), (56, 112, 232, 488)),
+        "b3": ((2, 5, 9, 9), (56, 128, 248, 528)),
+        "b4": ((2, 6, 11, 11), (64, 144, 288, 616)),
+        "b5": ((3, 7, 14, 14), (80, 168, 336, 704))}.items():
+    _VARIANTS[f"nf_regnet_{_n}"] = dict(_REG, depths=_depths,
+                                        channels=_chs,
+                                        num_features=1280 * _chs[-1] // 440)
+_VARIANTS["test_nfnet"] = dict(depths=(1, 1, 1, 1),
+                               channels=(32, 64, 96, 128),
+                               group_size=8, bottle_ratio=0.25,
+                               se_ratio=0.25, final_mult=0,
+                               num_features=192, stem_type="3x3")
 
 import sys  # noqa: E402
 

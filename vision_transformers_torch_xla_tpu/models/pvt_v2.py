@@ -23,6 +23,7 @@ class SRAttention(nn.Module):
     dim: int
     num_heads: int
     sr_ratio: int = 1
+    linear: bool = False   # b2_li: pooled 7x7 KV (reference pvt_v2 linear)
     dtype: jnp.dtype = jnp.bfloat16
     param_dtype: jnp.dtype = jnp.float32
 
@@ -35,7 +36,19 @@ class SRAttention(nn.Module):
                      kernel_init=nn.with_logical_partitioning(
                          trunc_init, ("embed", "qkv_out")), name="q")(x)
         kv_in = x
-        if self.sr_ratio > 1:
+        if self.linear:
+            # linear-complexity SR: adaptive 7x7 avg pool + 1x1 conv +
+            # LN + GELU (reference pvt_v2.py linear attention path)
+            grid = x.reshape(b, hw[0], hw[1], c)
+            ph, pw = max(1, hw[0] // 7), max(1, hw[1] // 7)
+            grid = nn.avg_pool(grid, (ph, pw), strides=(ph, pw))
+            grid = nn.Conv(c, (1, 1), dtype=self.dtype,
+                           param_dtype=self.param_dtype, name="sr")(grid)
+            kv_in = grid.reshape(b, -1, c)
+            kv_in = _layer_norm(self.dtype, self.param_dtype,
+                                "sr_norm")(kv_in)
+            kv_in = nn.gelu(kv_in, approximate=True)
+        elif self.sr_ratio > 1:
             grid = x.reshape(b, hw[0], hw[1], c)
             grid = nn.Conv(c, (self.sr_ratio, self.sr_ratio),
                            strides=self.sr_ratio, dtype=self.dtype,
@@ -62,6 +75,7 @@ class PvtBlock(nn.Module):
     num_heads: int
     mlp_ratio: float
     sr_ratio: int
+    linear: bool = False
     drop_path_rate: float = 0.0
     dtype: jnp.dtype = jnp.bfloat16
     param_dtype: jnp.dtype = jnp.float32
@@ -70,7 +84,8 @@ class PvtBlock(nn.Module):
     def __call__(self, x: jax.Array, hw: tuple,
                  deterministic: bool = True) -> jax.Array:
         y = SRAttention(self.dim, self.num_heads, self.sr_ratio,
-                        dtype=self.dtype, param_dtype=self.param_dtype,
+                        linear=self.linear, dtype=self.dtype,
+                        param_dtype=self.param_dtype,
                         name="attn")(
             _layer_norm(self.dtype, self.param_dtype, "norm1")(x), hw)
         rng = None if deterministic or self.drop_path_rate == 0 else \
@@ -103,6 +118,7 @@ class PvtV2(nn.Module):
     num_heads: Sequence[int] = (1, 2, 5, 8)
     sr_ratios: Sequence[int] = (8, 4, 2, 1)
     mlp_ratios: Sequence[float] = (8.0, 8.0, 4.0, 4.0)
+    linear: bool = False
     num_classes: int = 1000
     drop_path_rate: float = 0.1
     img_size: int = 224
@@ -129,7 +145,8 @@ class PvtV2(nn.Module):
             x = _layer_norm(self.dtype, self.param_dtype,
                             f"embed_norm_{si}")(x)
             for blk in range(depth):
-                x = PvtBlock(dim, heads, mr, sr, float(dpr[cur + blk]),
+                x = PvtBlock(dim, heads, mr, sr, self.linear,
+                             float(dpr[cur + blk]),
                              dtype=self.dtype, param_dtype=self.param_dtype,
                              name=f"stages_{si}_blocks_{blk}")(
                     x, (hh, ww), deterministic)
@@ -170,3 +187,24 @@ def pvt_v2_b1(**kw):
 @register_model
 def pvt_v2_b2(**kw):
     return _pvt2((3, 4, 6, 3), (64, 128, 320, 512), **kw)
+
+
+@register_model
+def pvt_v2_b2_li(**kw):
+    return _pvt2((3, 4, 6, 3), (64, 128, 320, 512), linear=True, **kw)
+
+
+@register_model
+def pvt_v2_b3(**kw):
+    return _pvt2((3, 4, 18, 3), (64, 128, 320, 512), **kw)
+
+
+@register_model
+def pvt_v2_b4(**kw):
+    return _pvt2((3, 8, 27, 3), (64, 128, 320, 512), **kw)
+
+
+@register_model
+def pvt_v2_b5(**kw):
+    kw.setdefault("mlp_ratios", (4.0, 4.0, 4.0, 4.0))
+    return _pvt2((3, 6, 40, 3), (64, 128, 320, 512), **kw)

@@ -271,6 +271,8 @@ _VARIANTS = {
     "res2net101d": dict(block="res2", stage_sizes=(3, 4, 23, 3),
                         base_width=26, scale=4, stem_type="deep",
                         avg_down=True),
+    "res2next50": dict(block="res2", stage_sizes=(3, 4, 6, 3),
+                       base_width=4, scale=4, cardinality=8),
     "resnest14d": dict(stage_sizes=(1, 1, 1, 1), stem_width=32, **_NEST),
     "resnest26d": dict(stage_sizes=(2, 2, 2, 2), stem_width=32, **_NEST),
     "resnest50d": dict(stage_sizes=(3, 4, 6, 3), stem_width=32, **_NEST),

@@ -159,7 +159,7 @@ class SwinTransformer(nn.Module):
     embed_dim: int = 96
     depths: Sequence[int] = (2, 2, 6, 2)
     num_heads: Sequence[int] = (3, 6, 12, 24)
-    window_size: int = 7
+    window_size: Sequence[int] = 7    # int or per-stage tuple
     mlp_ratio: float = 4.0
     drop_path_rate: float = 0.1
     dtype: jnp.dtype = jnp.bfloat16
@@ -198,7 +198,10 @@ class SwinTransformer(nn.Module):
                              kernel_init=nn.with_logical_partitioning(
                                  trunc_init, ("patch", "embed")),
                              name=f"merge_proj_{stage}")(x)
-            ws = min(self.window_size, x.shape[1])
+            ws_cfg = (self.window_size[stage]
+                      if isinstance(self.window_size, (tuple, list))
+                      else self.window_size)
+            ws = min(ws_cfg, x.shape[1])
             for blk in range(depth):
                 shift = 0 if blk % 2 == 0 or ws >= x.shape[1] else ws // 2
                 x = SwinBlock(dim, heads, ws, shift, self.mlp_ratio,
@@ -244,3 +247,45 @@ def swin_base_patch4_window7_224(**kw):
 @register_model
 def swin_large_patch4_window7_224(**kw):
     return _swin(192, (2, 2, 18, 2), (6, 12, 24, 48), **kw)
+
+
+def _swin_kw(_dim, _depths, _heads, **kw):
+    kw.setdefault("embed_dim", _dim)
+    kw.setdefault("depths", _depths)
+    kw.setdefault("num_heads", _heads)
+    for k in ("pretrained_tag", "global_pool", "init_values", "remat",
+              "scan_blocks"):
+        kw.pop(k, None)
+    return SwinTransformer(**kw)
+
+
+@register_model
+def swin_base_patch4_window12_384(**kw):
+    kw.setdefault("img_size", 384)
+    kw.setdefault("window_size", 12)
+    return _swin_kw(128, (2, 2, 18, 2), (4, 8, 16, 32), **kw)
+
+
+@register_model
+def swin_large_patch4_window12_384(**kw):
+    kw.setdefault("img_size", 384)
+    kw.setdefault("window_size", 12)
+    return _swin_kw(192, (2, 2, 18, 2), (6, 12, 24, 48), **kw)
+
+
+@register_model
+def swin_s3_tiny_224(**kw):
+    kw.setdefault("window_size", (7, 7, 14, 7))
+    return _swin_kw(96, (2, 2, 6, 2), (3, 6, 12, 24), **kw)
+
+
+@register_model
+def swin_s3_small_224(**kw):
+    kw.setdefault("window_size", (14, 14, 14, 7))
+    return _swin_kw(96, (2, 2, 18, 2), (3, 6, 12, 24), **kw)
+
+
+@register_model
+def swin_s3_base_224(**kw):
+    kw.setdefault("window_size", (7, 7, 14, 7))
+    return _swin_kw(96, (2, 2, 30, 2), (3, 6, 12, 24), **kw)

@@ -27,6 +27,7 @@ class _ConvBnAct(nn.Module):
     kernel: int = 3
     stride: int = 1
     groups: int = 1
+    norm: str = "bn"                   # 'bn' | 'evos' (EvoNorm-S0)
     dtype: jnp.dtype = jnp.bfloat16
     param_dtype: jnp.dtype = jnp.float32
 
@@ -39,6 +40,12 @@ class _ConvBnAct(nn.Module):
                     feature_group_count=self.groups, use_bias=False,
                     dtype=self.dtype, param_dtype=self.param_dtype,
                     name="conv")(x)
+        if self.norm == "evos":
+            from vision_transformers_torch_xla_tpu.models.effnet_builder \
+                import _Norm
+            return _Norm(kind="evos", group_size=8, eps=1e-5,
+                         deterministic=deterministic, dtype=self.dtype,
+                         param_dtype=self.param_dtype, name="norm")(x)
         x = nn.BatchNorm(use_running_average=deterministic, momentum=0.9,
                          epsilon=1e-5, dtype=self.dtype,
                          param_dtype=self.param_dtype, name="bn")(x)
@@ -57,6 +64,7 @@ class VovNet(nn.Module):
     residual: bool = True
     depthwise: bool = False
     attn: str = "ese"
+    norm: str = "bn"
     dtype: jnp.dtype = jnp.bfloat16
     param_dtype: jnp.dtype = jnp.float32
 
@@ -64,11 +72,13 @@ class VovNet(nn.Module):
     def __call__(self, x, deterministic: bool = True):
         det = deterministic
         p = dict(dtype=self.dtype, param_dtype=self.param_dtype)
+        from functools import partial as _partial
+        _ConvBnActN = _partial(_ConvBnAct, norm=self.norm)
         x = x.astype(self.dtype)
         # stem: 3 convs, stride 2 on first and last (reference :186-200)
-        x = _ConvBnAct(self.stem_chs[0], 3, 2, name="stem_0", **p)(x, det)
-        x = _ConvBnAct(self.stem_chs[1], 3, 1, name="stem_1", **p)(x, det)
-        x = _ConvBnAct(self.stem_chs[2], 3, 2, name="stem_2", **p)(x, det)
+        x = _ConvBnActN(self.stem_chs[0], 3, 2, name="stem_0", **p)(x, det)
+        x = _ConvBnActN(self.stem_chs[1], 3, 1, name="stem_1", **p)(x, det)
+        x = _ConvBnActN(self.stem_chs[2], 3, 2, name="stem_2", **p)(x, det)
 
         for si in range(4):
             if si > 0:
@@ -82,21 +92,21 @@ class VovNet(nn.Module):
                 feats = [x]
                 y = x
                 if self.depthwise and y.shape[-1] != mid:
-                    y = _ConvBnAct(mid, 1, name=f"{nm}_reduce",
+                    y = _ConvBnActN(mid, 1, name=f"{nm}_reduce",
                                    **p)(y, det)
                 for li in range(self.layer_per_block):
                     if self.depthwise:
-                        y = _ConvBnAct(mid, 3, groups=mid,
+                        y = _ConvBnActN(mid, 3, groups=mid,
                                        name=f"{nm}_mid{li}_dw",
                                        **p)(y, det)
-                        y = _ConvBnAct(mid, 1, name=f"{nm}_mid{li}_pw",
+                        y = _ConvBnActN(mid, 1, name=f"{nm}_mid{li}_pw",
                                        **p)(y, det)
                     else:
-                        y = _ConvBnAct(mid, 3, name=f"{nm}_mid{li}",
+                        y = _ConvBnActN(mid, 3, name=f"{nm}_mid{li}",
                                        **p)(y, det)
                     feats.append(y)
                 y = jnp.concatenate(feats, axis=-1)
-                y = _ConvBnAct(out, 1, name=f"{nm}_concat", **p)(y, det)
+                y = _ConvBnActN(out, 1, name=f"{nm}_concat", **p)(y, det)
                 if self.attn == "ese":
                     s = jnp.mean(y, axis=(1, 2), keepdims=True)
                     s = nn.Conv(out, (1, 1), name=f"{nm}_ese", **p)(s)
@@ -160,6 +170,8 @@ _VARIANTS = {
     "ese_vovnet99b": dict(layer_per_block=5, block_per_stage=(1, 3, 9, 3)),
     "eca_vovnet39b": dict(layer_per_block=5, block_per_stage=(1, 1, 2, 2),
                           attn="eca"),
+    "ese_vovnet39b_evos": dict(layer_per_block=5,
+                               block_per_stage=(1, 1, 2, 2), norm="evos"),
 }
 
 import sys  # noqa: E402

@@ -124,6 +124,14 @@ def _xception(**kw):
     return Xception(**kw)
 
 
-_xception.__name__ = "xception"
-_xception.__qualname__ = "xception"
-xception = register_model(_xception)
+# the reference registers this trunk as `legacy_xception` with an
+# `xception` deprecation alias (reference xception.py:253-255)
+_xception.__name__ = "legacy_xception"
+_xception.__qualname__ = "legacy_xception"
+legacy_xception = register_model(_xception)
+
+from vision_transformers_torch_xla_tpu.models.registry import (  # noqa: E402
+    register_deprecation,
+)
+
+register_deprecation("xception", "legacy_xception")
