@@ -46,21 +46,36 @@ class StdConv(nn.Module):
             dimension_numbers=("NHWC", "HWIO", "NHWC"))
 
 
+class _FRN(nn.Module):
+    dtype: jnp.dtype = jnp.bfloat16
+    param_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        c = x.shape[-1]
+        g = self.param("scale", nn.initializers.ones, (c,),
+                       self.param_dtype)
+        b = self.param("bias", nn.initializers.zeros, (c,),
+                       self.param_dtype)
+        tau = self.param("tau", nn.initializers.zeros, (c,),
+                         self.param_dtype)
+        nu2 = jnp.mean(jnp.square(x.astype(jnp.float32)), axis=(1, 2),
+                       keepdims=True)
+        y = x.astype(jnp.float32) / jnp.sqrt(nu2 + 1e-6)
+        y = y * g.astype(jnp.float32) + b.astype(jnp.float32)
+        return jnp.maximum(y, tau.astype(jnp.float32)).astype(x.dtype)
+
+
 class _PreActBottleneck(nn.Module):
     out_chs: int
     stride: int = 1
     bottle_ratio: float = 0.25
     bit: bool = True                   # StdConv+GN vs Conv+BN
+    basic: bool = False                # 18/34: two 3x3 convs
+    norm: str = "bn"                   # non-bit norm kind
+    avg_down: bool = False
     dtype: jnp.dtype = jnp.bfloat16
     param_dtype: jnp.dtype = jnp.float32
-
-    def _norm(self, name):
-        if self.bit:
-            return nn.GroupNorm(num_groups=32, epsilon=1e-5,
-                                dtype=self.dtype,
-                                param_dtype=self.param_dtype, name=name)
-        # closure over deterministic is handled by caller passing it in
-        return None
 
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
@@ -71,6 +86,17 @@ class _PreActBottleneck(nn.Module):
             if self.bit:
                 y = nn.GroupNorm(num_groups=32, epsilon=1e-5, **p,
                                  name=name)(y)
+            elif self.norm == "gn":
+                y = nn.GroupNorm(num_groups=32, epsilon=1e-5, **p,
+                                 name=name)(y)
+            elif self.norm == "evos":
+                from vision_transformers_torch_xla_tpu.models. \
+                    effnet_builder import _Norm
+                return _Norm(kind="evos", group_size=8, eps=1e-5,
+                             deterministic=deterministic, name=name,
+                             **p)(y)
+            elif self.norm == "frn":
+                return _FRN(name=name, **p)(y)
             else:
                 y = nn.BatchNorm(use_running_average=deterministic,
                                  momentum=0.9, epsilon=1e-5, **p,
@@ -86,13 +112,22 @@ class _PreActBottleneck(nn.Module):
 
         pre = norm_act(x, "norm1")
         if x.shape[-1] != self.out_chs or self.stride > 1:
-            shortcut = conv(pre, self.out_chs, 1, self.stride,
-                            "downsample")
+            s = pre
+            if self.avg_down and self.stride > 1:
+                s = nn.avg_pool(s, (2, 2), strides=(2, 2))
+                shortcut = conv(s, self.out_chs, 1, 1, "downsample")
+            else:
+                shortcut = conv(s, self.out_chs, 1, self.stride,
+                                "downsample")
         else:
             shortcut = x
-        y = conv(pre, mid, 1, 1, "conv1")
-        y = conv(norm_act(y, "norm2"), mid, 3, self.stride, "conv2")
-        y = conv(norm_act(y, "norm3"), self.out_chs, 1, 1, "conv3")
+        if self.basic:
+            y = conv(pre, self.out_chs, 3, self.stride, "conv1")
+            y = conv(norm_act(y, "norm2"), self.out_chs, 3, 1, "conv2")
+        else:
+            y = conv(pre, mid, 1, 1, "conv1")
+            y = conv(norm_act(y, "norm2"), mid, 3, self.stride, "conv2")
+            y = conv(norm_act(y, "norm3"), self.out_chs, 1, 1, "conv3")
         return y + shortcut
 
 
@@ -103,7 +138,10 @@ class ResNetV2(nn.Module):
     layers: Sequence[int] = (3, 4, 6, 3)
     width_factor: int = 1
     bit: bool = True
-    stem_type: str = ""                # '' | 'fixed' (same compute here)
+    basic: bool = False
+    norm: str = "bn"
+    avg_down: bool = False
+    stem_type: str = ""        # ''|'fixed'|'deep'|'deep_tiered'
     dtype: jnp.dtype = jnp.bfloat16
     param_dtype: jnp.dtype = jnp.float32
 
@@ -116,26 +154,45 @@ class ResNetV2(nn.Module):
         x = x.astype(self.dtype)
         if self.bit:
             x = StdConv(stem, 7, 2, **p, name="stem_conv")(x)
+        elif self.stem_type.startswith("deep"):
+            plan = ((24, 32, 64) if self.stem_type == "deep_tiered"
+                    else (32, 32, 64))
+            for i, ch in enumerate(plan):
+                x = nn.Conv(ch, (3, 3), strides=2 if i == 0 else 1,
+                            padding=((1, 1), (1, 1)), use_bias=False,
+                            **p, name=f"stem_conv{i}")(x)
+                if i < len(plan) - 1:
+                    # pre-act net: norm+act between stem convs only
+                    x = nn.relu(nn.BatchNorm(use_running_average=det,
+                                             momentum=0.9, epsilon=1e-5,
+                                             **p,
+                                             name=f"stem_norm{i}")(x))
         else:
             x = nn.Conv(stem, (7, 7), strides=(2, 2),
                         padding=((3, 3), (3, 3)), use_bias=False, **p,
                         name="stem_conv")(x)
-            x = nn.relu(nn.BatchNorm(use_running_average=det,
-                                     momentum=0.9, epsilon=1e-5, **p,
-                                     name="stem_norm")(x))
         x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
 
         for si, depth in enumerate(self.layers):
-            out = 256 * (2 ** si) * wf
+            base = 64 if self.basic else 256
+            out = base * (2 ** si) * wf
             for bi in range(depth):
                 x = _PreActBottleneck(
                     out, stride=2 if si > 0 and bi == 0 else 1,
-                    bit=self.bit, **p,
+                    bit=self.bit, basic=self.basic, norm=self.norm,
+                    avg_down=self.avg_down, **p,
                     name=f"stages_{si}_blocks_{bi}")(x, det)
 
-        if self.bit:
+        if self.bit or self.norm == "gn":
             x = nn.relu(nn.GroupNorm(num_groups=32, epsilon=1e-5, **p,
                                      name="norm")(x))
+        elif self.norm == "frn":
+            x = _FRN(name="norm", **p)(x)
+        elif self.norm == "evos":
+            from vision_transformers_torch_xla_tpu.models. \
+                effnet_builder import _Norm
+            x = _Norm(kind="evos", group_size=8, eps=1e-5,
+                      deterministic=det, name="norm", **p)(x)
         else:
             x = nn.relu(nn.BatchNorm(use_running_average=det,
                                      momentum=0.9, epsilon=1e-5, **p,
@@ -169,6 +226,28 @@ _VARIANTS = {
     "resnetv2_50": dict(layers=(3, 4, 6, 3), bit=False),
     "resnetv2_101": dict(layers=(3, 4, 23, 3), bit=False),
     "resnetv2_152": dict(layers=(3, 8, 36, 3), bit=False),
+    # reference resnetv2.py non-BiT additions
+    "resnetv2_18": dict(layers=(2, 2, 2, 2), bit=False, basic=True),
+    "resnetv2_18d": dict(layers=(2, 2, 2, 2), bit=False, basic=True,
+                         stem_type="deep", avg_down=True),
+    "resnetv2_34": dict(layers=(3, 4, 6, 3), bit=False, basic=True),
+    "resnetv2_34d": dict(layers=(3, 4, 6, 3), bit=False, basic=True,
+                         stem_type="deep", avg_down=True),
+    "resnetv2_50d": dict(layers=(3, 4, 6, 3), bit=False,
+                         stem_type="deep", avg_down=True),
+    "resnetv2_50t": dict(layers=(3, 4, 6, 3), bit=False,
+                         stem_type="deep_tiered", avg_down=True),
+    "resnetv2_101d": dict(layers=(3, 4, 23, 3), bit=False,
+                          stem_type="deep", avg_down=True),
+    "resnetv2_152d": dict(layers=(3, 8, 36, 3), bit=False,
+                          stem_type="deep", avg_down=True),
+    "resnetv2_50d_gn": dict(layers=(3, 4, 6, 3), bit=False, norm="gn",
+                            stem_type="deep", avg_down=True),
+    "resnetv2_50d_evos": dict(layers=(3, 4, 6, 3), bit=False,
+                              norm="evos", stem_type="deep",
+                              avg_down=True),
+    "resnetv2_50d_frn": dict(layers=(3, 4, 6, 3), bit=False, norm="frn",
+                             stem_type="deep", avg_down=True),
 }
 
 import sys  # noqa: E402

@@ -315,3 +315,74 @@ _mod = sys.modules[__name__]
 for _name, (_wk, _patch, _img, _extra) in VARIANTS.items():
     _fn = _make_entrypoint(_name, _wk, _patch, _img, _extra)
     setattr(_mod, _name, register_model(_fn))
+
+
+# ---------------------------------------------------------------------------
+# remaining reference vision_transformer.py names: FlexiViT, AIMv2, BEiT-3
+# remaps, EVA-large fine-tune resolutions, test_vit1-4
+# ---------------------------------------------------------------------------
+
+def _vit_extra(name, **cfg):
+    def build(**kw):
+        for k in ("pretrained_tag",):
+            kw.pop(k, None)
+        kw = {k: v for k, v in kw.items() if v is not None}
+        merged = dict(cfg)
+        merged.update(kw)
+        return VisionTransformer(**merged)
+
+    build.__name__ = name
+    build.__qualname__ = name
+    build.__doc__ = (f"ViT variant {name!r} (reference "
+                     f"vision_transformer.py registry surface).")
+    setattr(_mod, name, register_model(build))
+
+
+for _n, _d, _h in (("flexivit_small", 384, 6), ("flexivit_base", 768, 12),
+                   ("flexivit_large", 1024, 16)):
+    _vit_extra(_n, patch_size=16, img_size=240, embed_dim=_d,
+               depth=24 if _d == 1024 else 12, num_heads=_h,
+               no_embed_class=True, global_pool="token", fc_norm=False)
+
+# AIMv2 (reference :4138-4199): no class token, avg pool, SwiGLU MLP
+# (ratio 2.75), RMSNorm, silu, no qkv bias
+_AIMV2 = dict(patch_size=14, class_token=False, fc_norm=False,
+              mlp_ratio=2.75, global_pool="avg", qkv_bias=False,
+              act_layer="silu", norm_type="rmsnorm", swiglu_mlp=True)
+for _sz, (_d, _dep, _h) in {"large": (1024, 24, 8),
+                            "huge": (1536, 24, 12),
+                            "1b": (2048, 24, 16),
+                            "3b": (3072, 24, 24)}.items():
+    for _res in (224, 336, 448):
+        _vit_extra(f"aimv2_{_sz}_patch14_{_res}", img_size=_res,
+                   embed_dim=_d, depth=_dep, num_heads=_h, **_AIMV2)
+
+# BEiT-3 remaps (reference :4202-4250): plain ViT trunk + cls token +
+# avg pool (the reference's scale_attn/mlp sub-norms are folded; weights
+# load through the pretrained filter fns)
+for _n, (_p, _d, _dep, _h, _res) in {
+        "beit3_base_patch16_224": (16, 768, 12, 12, 224),
+        "beit3_large_patch16_224": (16, 1024, 24, 16, 224),
+        "beit3_giant_patch14_224": (14, 1408, 40, 16, 224),
+        "beit3_giant_patch14_336": (14, 1408, 40, 16, 336)}.items():
+    _vit_extra(_n, patch_size=_p, img_size=_res, embed_dim=_d, depth=_dep,
+               num_heads=_h, global_pool="avg", mlp_ratio=4.0
+               if "giant" not in _n else 6144 / 1408)
+
+for _res in (196, 336):
+    _vit_extra(f"eva_large_patch14_{_res}", patch_size=14, img_size=_res,
+               embed_dim=1024, depth=24, num_heads=16, global_pool="avg")
+
+_vit_extra("test_vit", patch_size=16, img_size=160, embed_dim=64, depth=6,
+           num_heads=2, mlp_ratio=3.0, dynamic_img_size=True)
+_vit_extra("test_vit2", patch_size=16, img_size=160, embed_dim=64,
+           depth=8, num_heads=2, mlp_ratio=3.0, class_token=False,
+           reg_tokens=1, global_pool="avg", init_values=1e-5,
+           dynamic_img_size=True)
+_vit_extra("test_vit3", patch_size=16, img_size=160, embed_dim=96,
+           depth=9, num_heads=3, mlp_ratio=2.0, class_token=False,
+           reg_tokens=1, global_pool="map", init_values=1e-5)
+_vit_extra("test_vit4", patch_size=16, img_size=160, embed_dim=96,
+           depth=9, num_heads=3, mlp_ratio=3.0, class_token=False,
+           reg_tokens=1, global_pool="avg", init_values=1e-5,
+           dynamic_img_size=True, norm_type="rmsnorm")
