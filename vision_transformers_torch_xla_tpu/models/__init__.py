@@ -103,3 +103,6 @@ import vision_transformers_torch_xla_tpu.models.maxvit  # noqa: F401,E402
 import vision_transformers_torch_xla_tpu.models.convmixer  # noqa: F401,E402
 import vision_transformers_torch_xla_tpu.models.mobilenetv5  # noqa: F401,E402
 import vision_transformers_torch_xla_tpu.models.byobnet  # noqa: F401,E402
+import vision_transformers_torch_xla_tpu.models.vitamin  # noqa: F401,E402
+import vision_transformers_torch_xla_tpu.models.efficientvit_mit  # noqa: F401,E402
+import vision_transformers_torch_xla_tpu.models.hieradet_sam2  # noqa: F401,E402

@@ -264,6 +264,13 @@ class Eva(nn.Module):
                          param_dtype=self.param_dtype, name="norm")(x)
         if self.global_pool == "avg":
             x = x[:, num_prefix:].mean(axis=1)
+        elif self.global_pool == "map":
+            from vision_transformers_torch_xla_tpu.models.layers import (
+                AttentionPoolLatent,
+            )
+            x = AttentionPoolLatent(num_heads=8, dtype=self.dtype,
+                                    param_dtype=self.param_dtype,
+                                    name="attn_pool")(x)
         else:
             x = x[:, 0]
         if self.num_classes == 0:
@@ -366,3 +373,40 @@ for _name, _cfg in _VARIANTS.items():
     _fn.__qualname__ = _name
     _fn.__doc__ = f"EVA variant {_name!r} (reference eva.py registry surface)."
     setattr(_mod, _name, register_model(_fn))
+
+
+# Perception Encoder ViTs (reference eva.py vit_pe_* registrations):
+# rope attention, pre-transformer norm folded into the trunk norm here,
+# map (attention) pooling for the core variants
+_PE = dict(swiglu_mlp=False, scale_mlp=False, use_rope=True,
+           use_abs_pos=True)
+for _n, _c in {
+        "vit_pe_core_base_patch16_224": dict(
+            _PE, patch_size=16, img_size=224, embed_dim=768, depth=12,
+            num_heads=12, mlp_ratio=4.0, global_pool="map"),
+        "vit_pe_core_large_patch14_336": dict(
+            _PE, patch_size=14, img_size=336, embed_dim=1024, depth=24,
+            num_heads=16, mlp_ratio=4.0, global_pool="map"),
+        "vit_pe_core_gigantic_patch14_448": dict(
+            _PE, patch_size=14, img_size=448, embed_dim=1536, depth=50,
+            num_heads=16, mlp_ratio=8960 / 1536, class_token=False,
+            global_pool="map"),
+        "vit_pe_lang_large_patch14_448": dict(
+            _PE, patch_size=14, img_size=448, embed_dim=1024, depth=23,
+            num_heads=16, mlp_ratio=4.0, init_values=0.1,
+            global_pool="token"),
+        "vit_pe_lang_gigantic_patch14_448": dict(
+            _PE, patch_size=14, img_size=448, embed_dim=1536, depth=47,
+            num_heads=16, mlp_ratio=8960 / 1536, class_token=False,
+            init_values=0.1, global_pool="avg"),
+        "vit_pe_spatial_gigantic_patch14_448": dict(
+            _PE, patch_size=14, img_size=448, embed_dim=1536, depth=50,
+            num_heads=16, mlp_ratio=8960 / 1536, class_token=False,
+            init_values=0.1, global_pool="avg"),
+}.items():
+    _fn = _eva(**_c)
+    _fn.__name__ = _n
+    _fn.__qualname__ = _n
+    _fn.__doc__ = (f"Perception Encoder variant {_n!r} (reference eva.py "
+                   f"registry surface).")
+    setattr(_mod, _n, register_model(_fn))
