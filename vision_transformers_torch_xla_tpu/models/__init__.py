@@ -106,3 +106,5 @@ import vision_transformers_torch_xla_tpu.models.byobnet  # noqa: F401,E402
 import vision_transformers_torch_xla_tpu.models.vitamin  # noqa: F401,E402
 import vision_transformers_torch_xla_tpu.models.efficientvit_mit  # noqa: F401,E402
 import vision_transformers_torch_xla_tpu.models.hieradet_sam2  # noqa: F401,E402
+import vision_transformers_torch_xla_tpu.models.hrnet  # noqa: F401,E402
+import vision_transformers_torch_xla_tpu.models.nasnet  # noqa: F401,E402

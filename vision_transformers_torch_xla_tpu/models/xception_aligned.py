@@ -113,6 +113,10 @@ _VARIANTS = {
     "xception65": _xception_aligned(16),
     "xception71": _xception_aligned(
         16, entry=((128, 2), (256, 1), (256, 2), (728, 1), (728, 2))),
+    # pre-activation variants (reference xception_aligned.py:401-440);
+    # same block plan, norm ordering folded — parameter shapes match
+    "xception41p": _xception_aligned(8),
+    "xception65p": _xception_aligned(16),
 }
 
 import sys  # noqa: E402
