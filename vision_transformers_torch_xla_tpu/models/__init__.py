@@ -108,3 +108,14 @@ import vision_transformers_torch_xla_tpu.models.efficientvit_mit  # noqa: F401,E
 import vision_transformers_torch_xla_tpu.models.hieradet_sam2  # noqa: F401,E402
 import vision_transformers_torch_xla_tpu.models.hrnet  # noqa: F401,E402
 import vision_transformers_torch_xla_tpu.models.nasnet  # noqa: F401,E402
+
+# pretrained-tag cfgs + deprecation aliases (reference generate_default_cfgs
+# and register_model_deprecations data, extracted to JSON by
+# tools/gen_pretrained_cfgs.py)
+import os as _os  # noqa: E402
+
+from vision_transformers_torch_xla_tpu.models.registry import (  # noqa: E402
+    load_pretrained_cfg_db as _load_db,
+)
+
+_load_db(_os.path.join(_os.path.dirname(__file__), "pretrained_cfgs.json"))

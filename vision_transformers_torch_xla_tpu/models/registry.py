@@ -65,12 +65,57 @@ def model_entrypoint(name: str) -> Callable:
     if name in _deprecated_models:
         new = _deprecated_models[name]
         warnings.warn(f"model {name!r} is deprecated; use {new!r}", stacklevel=2)
-        name = new
+        # deprecation targets may carry a pretrained tag (reference
+        # register_model_deprecations data, e.g. 'inception_v3.tf_adv_in1k')
+        name = split_model_name_tag(new)[0]
     try:
         return _model_entrypoints[name]
     except KeyError:
         raise RuntimeError(f"unknown model {name!r}; known: {list_models()[:20]}...")
 
 
+_pretrained_tag_cfgs: Dict[str, Dict[str, dict]] = {}
+
+
+def load_pretrained_cfg_db(path: str) -> None:
+    """Load the extracted pretrained-cfg/deprecation database (see
+    tools/gen_pretrained_cfgs.py; data mirrors the reference's
+    generate_default_cfgs tables + register_model_deprecations calls)."""
+    import json
+
+    with open(path) as f:
+        db = json.load(f)
+    for name, tags in db.get("cfgs", {}).items():
+        _pretrained_tag_cfgs.setdefault(name, {}).update(tags)
+    for old, new in db.get("deprecations", {}).items():
+        _deprecated_models.setdefault(old, new)
+
+
+def list_pretrained_tags(name: str) -> List[str]:
+    name = split_model_name_tag(name)[0]
+    return sorted(t for t in _pretrained_tag_cfgs.get(name, {}) if t)
+
+
 def get_default_cfg(name: str) -> dict:
-    return dict(_model_default_cfgs.get(split_model_name_tag(name)[0], {}))
+    """Resolved default/pretrained cfg for 'name' or 'name.tag'.
+
+    Priority: tag-specific cfg from the reference's generate_default_cfgs
+    data (input size, crop, mean/std, classifier, ...), then the first
+    tag's cfg when no tag is given, then any cfg attached at
+    register_model time.
+    """
+    base, tag = split_model_name_tag(name)
+    out = dict(_model_default_cfgs.get(base, {}))
+    tags = _pretrained_tag_cfgs.get(base, {})
+    if tags:
+        if tag and tag in tags:
+            out.update(tags[tag])
+        elif not tag:
+            # first registered tag is the default (reference DefaultCfg)
+            first = next(iter(tags.values()))
+            out.update(first)
+        elif tag:
+            raise RuntimeError(
+                f"unknown pretrained tag {tag!r} for {base!r}; known: "
+                f"{list_pretrained_tags(base)}")
+    return out
