@@ -182,6 +182,44 @@ def _lookup(opt_name: str) -> Callable:
         raise ValueError(f"unsupported optimizer {opt_name!r}; supported: {sorted(table)}")
 
 
+def maybe_fused_optimizer(
+    opt: str,
+    learning_rate: ScalarOrSchedule,
+    params: Any,
+    weight_decay: float = 0.0,
+    weight_decay_schedule: Optional[Callable] = None,
+    opt_eps: float = 1e-8,
+    opt_betas: Optional[tuple] = None,
+    clip_grad: Optional[float] = None,
+    layer_decay: float = 1.0,
+    update_freq: int = 1,
+    ema_decay: Optional[float] = None,
+    extra_no_decay: Sequence[str] = (),
+):
+    """Single-HBM-pass AdamW(+EMA) when the recipe allows it, else None.
+
+    Eligible: plain adamw (incl. the apex-compat 'fusedadamw' spelling),
+    scalar/cosine wd (no schedule), no layer decay, no lookahead, no
+    accumulation — i.e. the flagship ViT recipe. Callers fall back to
+    `create_optimizer` on None. Measured ~0.4 ms/step on ViT-B/16 b128 v5e
+    (tools/bench_breakdown.py A/B) — XLA already fuses most of the optax
+    chain; this guarantees it regardless of recipe shape.
+    """
+    name = opt.lower()
+    if name.startswith("fused"):
+        name = name[len("fused"):]
+    if name != "adamw" or weight_decay_schedule is not None \
+            or layer_decay < 1.0 or update_freq > 1:
+        return None
+    from vision_transformers_torch_xla_tpu.train.fused import make_fused_adamw
+
+    b1, b2 = opt_betas if opt_betas is not None else (0.9, 0.999)
+    return make_fused_adamw(
+        learning_rate, weight_decay=weight_decay, b1=b1, b2=b2, eps=opt_eps,
+        ema_decay=ema_decay, clip_grad=clip_grad,
+        mask=wd_mask(params, extra_no_decay))
+
+
 def create_optimizer(
     opt: str,
     learning_rate: ScalarOrSchedule,

@@ -96,12 +96,20 @@ def make_train_step(model_apply: Callable, tx: optax.GradientTransformation,
 
         (loss, new_mstate), grads = jax.value_and_grad(
             loss_fn, has_aux=True)(state.params)
-        updates, new_opt_state = tx.update(grads, state.opt_state, state.params)
-        new_params = optax.apply_updates(state.params, updates)
-
-        new_ema = state.ema_params
-        if cfg.ema_decay is not None and state.ema_params is not None:
-            new_ema = ema_update(state.ema_params, new_params, cfg.ema_decay)
+        if hasattr(tx, "fused_update"):
+            # single-HBM-pass AdamW+EMA+grad-norm (train/fused.py); replaces
+            # the three passes below when the recipe is plain adamw
+            new_params, new_opt_state, new_ema, grad_norm = tx.fused_update(
+                grads, state.opt_state, state.params, state.ema_params)
+        else:
+            updates, new_opt_state = tx.update(grads, state.opt_state,
+                                               state.params)
+            new_params = optax.apply_updates(state.params, updates)
+            grad_norm = optax.global_norm(grads)
+            new_ema = state.ema_params
+            if cfg.ema_decay is not None and state.ema_params is not None:
+                new_ema = ema_update(state.ema_params, new_params,
+                                     cfg.ema_decay)
 
         new_state = state.replace(
             step=state.step + 1, params=new_params,
@@ -110,7 +118,7 @@ def make_train_step(model_apply: Callable, tx: optax.GradientTransformation,
 
         metrics = {
             "loss": loss,
-            "grad_norm": optax.global_norm(grads),
+            "grad_norm": grad_norm,
         }
         if cfg.lr_schedule is not None:
             metrics["lr"] = cfg.lr_schedule(state.step)
