@@ -26,6 +26,15 @@ from vision_transformers_torch_xla_tpu.models import factory, registry  # noqa: 
 
 
 def infer_hw(name, module):
+    # the pretrained-cfg database records each model's default input size
+    # (mirrors reference generate_default_cfgs data) — prefer it; fall back
+    # to name tokens / the module's own img_size
+    try:
+        cfg = registry.get_default_cfg(name)
+        if cfg and cfg.get("input_size"):
+            return int(cfg["input_size"][-1])
+    except Exception:  # noqa: BLE001
+        pass
     for tok in reversed(name.split("_")):
         if tok.isdigit() and int(tok) in (196, 224, 240, 256, 288, 299,
                                           331, 336, 384, 448, 512):

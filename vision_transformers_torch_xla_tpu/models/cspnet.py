@@ -158,7 +158,9 @@ class CspNet(nn.Module):
 
         block_cls = (_Bottleneck if self.block_type == "bottleneck"
                      else _DarkBlock)
-        groups = tuple(self.groups) if len(self.groups) > 1 else             tuple(self.groups) * len(self.depths)
+        g_cfg = ((self.groups,) if isinstance(self.groups, int)
+                 else tuple(self.groups))
+        groups = g_cfg if len(g_cfg) > 1 else g_cfg * len(self.depths)
         for si, depth in enumerate(self.depths):
             out = self.out_chs[si]
             g = groups[si]
@@ -166,13 +168,15 @@ class CspNet(nn.Module):
             nm = f"s{si}"
             if stride > 1:
                 down = out if self.down_growth else x.shape[-1]
+                # reference cspnet.py:295-304: the downsample conv is GROUPED
+                # (groups=stage groups) — matters for cspresnext50 (g=32)
                 if self.avg_down:
                     x = nn.avg_pool(x, (2, 2), strides=(2, 2))
-                    x = _ConvBnAct(down, 1, 1, name=f"{nm}_down",
+                    x = _ConvBnAct(down, 1, 1, groups=g, name=f"{nm}_down",
                                    **p)(x, det)
                 else:
-                    x = _ConvBnAct(down, 3, stride, name=f"{nm}_down",
-                                   **p)(x, det)
+                    x = _ConvBnAct(down, 3, stride, groups=g,
+                                   name=f"{nm}_down", **p)(x, det)
             if self.stage_type == "cs3":
                 # CrossStage3 (reference cspnet.py cs3 stages): one 1x1
                 # expand, split, blocks on half, concat, one transition

@@ -118,6 +118,10 @@ class PatchEmbed(nn.Module):
         # cast BEFORE the patchify transpose: the transpose is HBM-bound and
         # bf16 halves its traffic (the matmul casts anyway)
         x = x.astype(self.dtype)
+        if h != gh * p or w != gw * p:
+            # non-divisible input (e.g. so400m patch14 at 384): match torch's
+            # VALID strided conv, which floors — trailing rows/cols drop
+            x = x[:, :gh * p, :gw * p]
         x = x.reshape(b, gh, p, gw, p, c)
         x = x.transpose(0, 1, 3, 2, 4, 5).reshape(b, gh * gw, p * p * c)
         x = _dense(self.embed_dim, ("patch", "embed"), self.use_bias,
