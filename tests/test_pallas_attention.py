@@ -116,6 +116,51 @@ def test_fused_attention_qkv_cols_rejects_odd_heads():
         fused_attention_qkv_cols(_rand((1, 16, 3 * 3 * 64)), 3)
 
 
+def _ref_proj_attention(x, w, b, h):
+    qkv = x @ w
+    if b is not None:
+        qkv = qkv + b
+    return _ref_from_cols(qkv, h)
+
+
+@pytest.mark.parametrize("has_bias", [True, False])
+def test_qkv_proj_attention_grads(has_bias):
+    # projection + attention under one custom VJP: x/W/b cotangents must
+    # match autodiff through the reference composite (incl. the
+    # pair-interleaved dqkv column permutation folded into W)
+    from vision_transformers_torch_xla_tpu.ops.flash_attention import (
+        qkv_proj_attention,
+    )
+    B, H, S, D = 2, 2, 197, 64
+    x = _rand((B, S, H * D), 11)
+    w = _rand((H * D, 3 * H * D), 12) * 0.1
+    b = _rand((3 * H * D,), 13) * 0.1 if has_bias else None
+    cot = jnp.sin(jnp.arange(H * D, dtype=jnp.float32))
+
+    argnums = (0, 1, 2) if has_bias else (0, 1)
+    args = (x, w, b) if has_bias else (x, w)
+
+    def loss_ref(*a):
+        xx, ww = a[0], a[1]
+        bb = a[2] if has_bias else None
+        return jnp.sum(_ref_proj_attention(xx, ww, bb, H) * cot)
+
+    def loss_pal(*a):
+        xx, ww = a[0], a[1]
+        bb = a[2] if has_bias else None
+        return jnp.sum(qkv_proj_attention(xx, ww, bb, H) * cot)
+
+    out_ref = _ref_proj_attention(x, w, b, H)
+    out_pal = qkv_proj_attention(x, w, b, H)
+    np.testing.assert_allclose(np.asarray(out_pal), np.asarray(out_ref),
+                               atol=2e-3, rtol=1e-3)
+    g_ref = jax.grad(loss_ref, argnums=argnums)(*args)
+    g_pal = jax.grad(loss_pal, argnums=argnums)(*args)
+    for a, bq in zip(g_ref, g_pal):
+        np.testing.assert_allclose(np.asarray(bq), np.asarray(a),
+                                   atol=1e-2, rtol=5e-3)
+
+
 def test_fused_attention_qkv_cols_long_seq_fallback():
     # S > _MAX_VMEM_SEQ routes through the blocked flash kernel
     from vision_transformers_torch_xla_tpu.ops.flash_attention import (

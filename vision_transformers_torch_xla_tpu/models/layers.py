@@ -163,6 +163,31 @@ class Mlp(nn.Module):
         return x
 
 
+class _QkvParams(nn.Module):
+    """Declares the fused-qkv projection params WITHOUT computing: the
+    fused projection+attention custom VJP (ops/flash_attention.py::
+    qkv_proj_attention) needs the raw W/b. Param names, shapes, inits and
+    logical axes match nn.Dense exactly, so the param tree is
+    checkpoint-compatible with the plain Dense path."""
+
+    features: int
+    use_bias: bool
+    param_dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, d_in: int):
+        w = self.param(
+            "kernel",
+            nn.with_logical_partitioning(trunc_init, ("embed", "qkv_out")),
+            (d_in, self.features), self.param_dtype)
+        b = self.param(
+            "bias",
+            nn.with_logical_partitioning(nn.initializers.zeros_init(),
+                                         ("qkv_out",)),
+            (self.features,), self.param_dtype) if self.use_bias else None
+        return w, b
+
+
 class Attention(nn.Module):
     """Multi-head self-attention.
 
@@ -186,22 +211,42 @@ class Attention(nn.Module):
         b, s, d = x.shape
         h = self.num_heads
         hd = d // h
-        qkv = _dense(3 * d, ("embed", "qkv_out"), self.qkv_bias,
-                     self.dtype, self.param_dtype, "qkv")(x)
         # the Pallas kernel has no dropout inside the softmax; an active
         # attn_drop routes through the jnp path (timm drops on the probs)
         attn_dropping = self.attn_drop > 0.0 and not deterministic
-        if (self.use_pallas and not self.qk_norm and not attn_dropping
-                and hd % 64 == 0 and h % 2 == 0):
-            # head-pair Pallas kernel reads the fused qkv projection output
-            # in place — no reshape, no head transposes (ops/flash_attention
-            # .py::fused_attention_qkv_cols)
+        pallas_ok = (self.use_pallas and not self.qk_norm
+                     and not attn_dropping and hd % 64 == 0 and h % 2 == 0)
+        from vision_transformers_torch_xla_tpu.ops.flash_attention import (
+            _MAX_VMEM_SEQ,
+        )
+
+        if pallas_ok and s <= _MAX_VMEM_SEQ:
+            # projection + head-pair attention under ONE custom VJP: the
+            # backward kernel writes the whole dqkv cotangent as a single
+            # pair-interleaved buffer (no per-block concatenate), and the
+            # projection backward folds the column permutation into W
+            # (ops/flash_attention.py::qkv_proj_attention). Param tree is
+            # identical to the Dense path (qkv/kernel, qkv/bias).
+            from vision_transformers_torch_xla_tpu.ops.flash_attention import (
+                qkv_proj_attention,
+            )
+
+            w, b_ = _QkvParams(3 * d, self.qkv_bias, self.param_dtype,
+                               name="qkv")(d)
+            o = qkv_proj_attention(x, w, b_, h, scale=hd ** -0.5)
+        elif pallas_ok:
+            qkv = _dense(3 * d, ("embed", "qkv_out"), self.qkv_bias,
+                         self.dtype, self.param_dtype, "qkv")(x)
+            # long-sequence route: blocked flash kernel via the qkv-cols
+            # entry point (ops/flash_attention.py::fused_attention_qkv_cols)
             from vision_transformers_torch_xla_tpu.ops.flash_attention import (
                 fused_attention_qkv_cols,
             )
 
             o = fused_attention_qkv_cols(qkv, h, scale=hd ** -0.5)
         else:
+            qkv = _dense(3 * d, ("embed", "qkv_out"), self.qkv_bias,
+                         self.dtype, self.param_dtype, "qkv")(x)
             # head-major (B,H,S,hd) layout: the explicit transpose shows up
             # as copy ops (~11% of step) but XLA's batched dots are fastest
             # in this layout — measured 154 ms/step vs 170 ms for the

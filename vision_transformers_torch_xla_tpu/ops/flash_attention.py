@@ -174,23 +174,38 @@ def _hp_fwd_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float,
     straight from the fused qkv matmul output (B, Sp, 3·H·D) via three
     BlockSpec index maps — the DMA engine does the head gather, so there
     are NO transposes anywhere (HBM or VMEM). Two D=64 heads share a
-    128-lane block; each is a lane-slice fed to G-batched dots."""
+    128-lane block; each is a lane-slice fed to G-batched dots.
+
+    The kernel is VPU-bound, not MXU-bound (fp32 elementwise over the
+    (Sq, Sk) score matrix dominates), so every full-size pass counts:
+    scale is folded into q (Sq×D, 4x smaller), the ragged-lane mask
+    compare is hoisted out of the half loop, and the softmax division
+    moves AFTER the P·V dot onto (Sq, D) data."""
+    g, sq = q_ref.shape[0], q_ref.shape[1]
+    # boolean keep-mask, built ONCE per program: True on real columns,
+    # False on Mosaic's internal lane padding (k rows are zero-filled
+    # there, which would otherwise contribute exp(0-m) to the row sums).
+    # Must stay a bool + per-half select: an additive -inf bias tensor
+    # derived from the iota keeps a lane-replicated layout that Mosaic's
+    # vector layout pass cannot relayout for the add (`Check failed:
+    # limits[i] <= dim(i)` in vector_extract_slice_impl).
+    col = jax.lax.broadcasted_iota(jnp.int32, (g, sq, sq), 2)
+    keep = col < seq_len
     for half in range(2):
         sl = slice(half * d, (half + 1) * d)
-        q = q_ref[:, :, sl]                                   # (G, Sp, D)
+        q = (q_ref[:, :, sl] * scale).astype(q_ref.dtype)     # (G, Sp, D)
         k = k_ref[:, :, sl]
         v = v_ref[:, :, sl]
         s = jax.lax.dot_general(q, k, (((2,), (2,)), ((0,), (0,))),
                                 preferred_element_type=jnp.float32)
-        s = s * scale
-        col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 2)
-        s = jnp.where(col < seq_len, s, _NEG_INF)
+        s = jnp.where(keep, s, _NEG_INF)
         m = jnp.max(s, axis=-1, keepdims=True)
-        p = jnp.exp(s - m)
-        p = p / jnp.sum(p, axis=-1, keepdims=True)
+        p = jnp.exp(s - m)                                    # unnormalized
+        r = jnp.sum(p, axis=-1, keepdims=True)                # (G, Sq, 1)
         o = jax.lax.dot_general(p.astype(v.dtype), v,
                                 (((2,), (1,)), ((0,), (0,))),
                                 preferred_element_type=jnp.float32)
+        o = o * (1.0 / r)                 # normalize on (Sq, D), not (Sq, Sk)
         o_ref[:, :, sl] = o.astype(o_ref.dtype)
 
 
@@ -397,6 +412,189 @@ def fused_attention_qkv_cols(qkv: jax.Array, num_heads: int,
     # masks the partial-block store. Saved ~6 ms/step of pad ops at S=197.
     o = _hp_partitioned(scale, s, h, d)(qkv)
     return o
+
+
+def _hp_bwd_pi_kernel(q_ref, k_ref, v_ref, do_ref, o_ref, dpi_ref, *,
+                      scale: float, seq_len: int, d: int):
+    """Backward head-pair program writing ONE pair-interleaved output block.
+
+    dpi block = (G, Sp, 6D) columns [dq_pair | dk_pair | dv_pair] (2D lanes
+    each): the whole dqkv cotangent lands in a single (B, Sp, 3·H·D) buffer
+    with NO downstream concatenate (the old 3-output form cost ~3.6 ms/step
+    of dynamic-update-slice copies re-assembling dqkv for the projection
+    backward). The column order differs from the fused qkv layout by a
+    static permutation that the caller folds into the weight matrix.
+
+    VPU-pass economy (the kernel is fp32-elementwise-bound, not MXU-bound):
+    the softmax recompute keeps p UNNORMALIZED and folds 1/rowsum into the
+    small (Sq, D) operands of each gradient dot instead of dividing the
+    (Sq, Sk) matrix; the softmax-jacobian row term uses the flash identity
+    rowsum(dP ⊙ P) = rowsum(dO ⊙ O) on (Sq, D) data (requires the fwd
+    output O, which autodiff already keeps alive as the input of the
+    output projection — zero extra residual memory)."""
+    g, sq = q_ref.shape[0], q_ref.shape[1]
+    # bool keep-mask + select (NOT an additive bias — see _hp_fwd_kernel)
+    col = jax.lax.broadcasted_iota(jnp.int32, (g, sq, sq), 2)
+    keep = col < seq_len
+    for half in range(2):
+        sl = slice(half * d, (half + 1) * d)
+        q = (q_ref[:, :, sl] * scale).astype(q_ref.dtype)   # pre-scaled q̂
+        k = k_ref[:, :, sl]
+        v = v_ref[:, :, sl]
+        do = do_ref[:, :, sl]
+        s = jax.lax.dot_general(q, k, (((2,), (2,)), ((0,), (0,))),
+                                preferred_element_type=jnp.float32)
+        s = jnp.where(keep, s, _NEG_INF)
+        m = jnp.max(s, axis=-1, keepdims=True)
+        pu = jnp.exp(s - m)                                  # unnormalized
+        rinv = 1.0 / jnp.sum(pu, axis=-1, keepdims=True)     # (G, Sq, 1)
+        pub = pu.astype(do.dtype)
+
+        do32 = do.astype(jnp.float32)
+        # dv = Pᵀ·dO = puᵀ·(dO ⊙ 1/r)  — fold the normalizer into dO
+        do_n = (do32 * rinv).astype(do.dtype)
+        dv = jax.lax.dot_general(pub, do_n, (((1,), (1,)), ((0,), (0,))),
+                                 preferred_element_type=jnp.float32)
+        # delta = rowsum(dP ⊙ P) = rowsum(dO ⊙ O): (Sq, D) not (Sq, Sk)
+        delta = jnp.sum(do32 * o_ref[:, :, sl].astype(jnp.float32),
+                        axis=-1, keepdims=True)              # (G, Sq, 1)
+        dp = jax.lax.dot_general(do, v, (((2,), (2,)), ((0,), (0,))),
+                                 preferred_element_type=jnp.float32)
+        t = ((dp - delta) * pu).astype(q.dtype)   # ds = t ⊙ 1/r (folded out)
+        # dq = dS·K·scale = diag(1/r)·(t·K)·scale — fold scale·1/r post-dot
+        dq = jax.lax.dot_general(t, k, (((2,), (1,)), ((0,), (0,))),
+                                 preferred_element_type=jnp.float32)
+        dq = dq * (rinv * scale)
+        # dk = dSᵀ·Q·scale = tᵀ·(q̂ ⊙ 1/r)  (q̂ already carries scale)
+        qn = (q.astype(jnp.float32) * rinv).astype(q.dtype)
+        dk = jax.lax.dot_general(t, qn, (((1,), (1,)), ((0,), (0,))),
+                                 preferred_element_type=jnp.float32)
+        dt_ = dpi_ref.dtype
+        dpi_ref[:, :, half * d:(half + 1) * d] = dq.astype(dt_)
+        dpi_ref[:, :, 2 * d + half * d:2 * d + (half + 1) * d] = \
+            dk.astype(dt_)
+        dpi_ref[:, :, 4 * d + half * d:4 * d + (half + 1) * d] = \
+            dv.astype(dt_)
+
+
+def _hp_bwd_pi_call(qkv, do, o, scale, seq_len, h, d):
+    b, sp, _ = qkv.shape
+    g = _pick_hp_g(b, cap=8)
+    qs, ks, vs = _hp_in_specs(g, sp, d, h)
+    dos = pl.BlockSpec((g, sp, 2 * d), lambda i, j: (i, 0, j),
+                       memory_space=pltpu.VMEM)
+    dpis = pl.BlockSpec((g, sp, 6 * d), lambda i, j: (i, 0, j),
+                        memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        functools.partial(_hp_bwd_pi_kernel, scale=scale, seq_len=seq_len,
+                          d=d),
+        grid=(b // g, h // 2),
+        in_specs=[qs, ks, vs, dos, dos],
+        out_specs=dpis,
+        out_shape=jax.ShapeDtypeStruct((b, sp, 3 * h * d), qkv.dtype),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        cost_estimate=pl.CostEstimate(
+            flops=10 * b * h * sp * sp * d,
+            bytes_accessed=9 * b * h * sp * d * qkv.dtype.itemsize,
+            transcendentals=b * h * sp * sp),
+    )(qkv, qkv, qkv, do, o)
+
+
+def _pi_perm(h: int, d: int):
+    """Pair-interleaved column c -> standard fused-qkv column.
+
+    Standard layout (B, S, 3·H·D): [q_heads | k_heads | v_heads], head pairs
+    of 2D lanes. Pair-interleaved (what _hp_bwd_pi_kernel writes): for each
+    head pair j, 6D columns [dq_j | dk_j | dv_j]."""
+    import numpy as np
+
+    c = np.arange(3 * h * d)
+    j, r = c // (6 * d), c % (6 * d)
+    kind, lane = r // (2 * d), r % (2 * d)
+    perm = kind * h * d + j * 2 * d + lane
+    inv = np.empty_like(perm)
+    inv[perm] = c
+    return perm, inv
+
+
+@functools.lru_cache(maxsize=None)
+def _qkv_proj_attention(scale: float, seq_len: int, h: int, d: int,
+                        has_bias: bool):
+    """custom_vjp spanning the fused qkv projection AND the attention core.
+
+    Forward: qkv = x·W (+bias) in compute dtype, then the head-pair Pallas
+    kernel. Backward: the Pallas kernel emits the full dqkv cotangent as ONE
+    pair-interleaved buffer; the projection backward contracts it against a
+    column-permuted copy of W (static gather, ~7 MB — vs ~230 MB/block of
+    concatenate traffic in the 3-output formulation). Weight/bias grads are
+    fp32 via preferred_element_type, matching the autodiff path exactly
+    (tests/test_pallas_attention.py::test_qkv_proj_attention_grads)."""
+    fwd_p = _batch_partitioned(
+        lambda qkv: _hp_fwd_call(qkv, scale, seq_len, h, d), out_rank=3)
+    bwd_p = _batch_partitioned(
+        lambda qkv, do, o: _hp_bwd_pi_call(qkv, do, o, scale, seq_len, h, d),
+        out_rank=3, rule="b s c, b s o, b s o -> b s c",
+        repl=("s", "c", "o"))
+    perm, inv = _pi_perm(h, d)
+
+    def project(x, w, b):
+        qkv = jnp.einsum("bsd,dc->bsc", x, w.astype(x.dtype))
+        if b is not None:
+            qkv = qkv + b.astype(x.dtype)
+        return qkv
+
+    def call(x, w, b):
+        return fwd_p(project(x, w, b))
+
+    def call_fwd(x, w, b):
+        qkv = project(x, w, b)
+        o = fwd_p(qkv)
+        # o rides along for the flash rowsum(dO⊙O) identity; autodiff keeps
+        # it alive anyway as the input of the output projection
+        return o, (x, qkv, o, w)
+
+    def call_bwd(res, do):
+        x, qkv, o, w = res
+        dpi = bwd_p(qkv, do, o)                    # (B, S, 3HD) pair-interl.
+        wp = w[:, perm].astype(dpi.dtype)
+        dx = jnp.einsum("bsc,dc->bsd", dpi, wp)
+        dw_pi = jnp.einsum("bsd,bsc->dc", x, dpi,
+                           preferred_element_type=jnp.float32)
+        dw = dw_pi[:, inv].astype(w.dtype)
+        if not has_bias:
+            return dx, dw
+        db = jnp.sum(dpi, axis=(0, 1), dtype=jnp.float32)[inv]
+        return dx, dw, db
+
+    if has_bias:
+        f = jax.custom_vjp(call)
+        f.defvjp(call_fwd, call_bwd)
+        return f
+
+    f = jax.custom_vjp(lambda x, w: call(x, w, None))
+    f.defvjp(lambda x, w: call_fwd(x, w, None), call_bwd)
+    return f
+
+
+def qkv_proj_attention(x: jax.Array, w: jax.Array, b: Optional[jax.Array],
+                       num_heads: int,
+                       scale: Optional[float] = None) -> jax.Array:
+    """Fused qkv projection + head-pair attention with a concat-free VJP.
+
+    x: (B, S, D); w: (D, 3·H·hd) standard fused-qkv layout (same param as
+    the plain Dense path — checkpoints interchange freely); b: (3·H·hd,) or
+    None. Returns (B, S, H·hd). Short-seq VMEM-resident regime only — the
+    caller routes long sequences through the blocked flash kernel."""
+    _, s, _ = x.shape
+    h = num_heads
+    d = w.shape[1] // (3 * h)
+    if d % 64 or h % 2:
+        raise ValueError(f"head_dim {d} must be a multiple of 64 and "
+                         f"num_heads {h} even for the head-pair kernel")
+    scale = float(scale if scale is not None else d ** -0.5)
+    fn = _qkv_proj_attention(scale, s, h, d, b is not None)
+    return fn(x, w, b) if b is not None else fn(x, w)
 
 
 def _softmax_p(q, k, scale, seq_len):
