@@ -28,6 +28,29 @@ jax.config.update("jax_default_device", jax.devices("cpu")[0])
 import pytest  # noqa: E402
 
 
+def pytest_addoption(parser):
+    parser.addoption(
+        "--full-zoo", action="store_true", default=False,
+        help="run the exhaustive model-zoo sweeps (all 1248 registry names; "
+             "~30 min on this 1-core box). Default runs published anchors + "
+             "a deterministic sample.")
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers",
+        "full_zoo: exhaustive zoo sweep, needs --full-zoo (or VTX_FULL_ZOO=1)")
+
+
+def pytest_collection_modifyitems(config, items):
+    if config.getoption("--full-zoo") or os.environ.get("VTX_FULL_ZOO"):
+        return
+    skip = pytest.mark.skip(reason="needs --full-zoo (or VTX_FULL_ZOO=1)")
+    for item in items:
+        if "full_zoo" in item.keywords:
+            item.add_marker(skip)
+
+
 @pytest.fixture(scope="session")
 def cpu_devices():
     devs = jax.devices("cpu")

@@ -26,20 +26,24 @@ from vision_transformers_torch_xla_tpu.models import factory, registry  # noqa: 
 
 
 def infer_hw(name, module):
-    # the pretrained-cfg database records each model's default input size
-    # (mirrors reference generate_default_cfgs data) — prefer it; fall back
-    # to name tokens / the module's own img_size
+    # the trunk's own configured img_size is what the audit is checking, so
+    # it wins (some reference default-cfg tags are empty _cfg() rows whose
+    # 224 default contradicts the trunk, e.g. vit_base_patch16_384.augreg2);
+    # fall back to the pretrained-cfg database, then name tokens
+    hw = getattr(module, "img_size", None)
+    if hw:
+        return int(hw if isinstance(hw, int) else hw[-1])
     try:
         cfg = registry.get_default_cfg(name)
         if cfg and cfg.get("input_size"):
-            return int(cfg["input_size"][-1])
+            return int(max(cfg["input_size"]))  # robust to CHW/HWC order
     except Exception:  # noqa: BLE001
         pass
     for tok in reversed(name.split("_")):
         if tok.isdigit() and int(tok) in (196, 224, 240, 256, 288, 299,
                                           331, 336, 384, 448, 512):
             return int(tok)
-    return int(getattr(module, "img_size", 224) or 224)
+    return 224
 
 
 def main():

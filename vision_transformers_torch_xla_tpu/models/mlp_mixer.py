@@ -33,10 +33,13 @@ class MixerBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x: jax.Array, deterministic: bool = True) -> jax.Array:
-        # token mixing: transpose -> MLP over seq -> transpose back
+        # token mixing: transpose -> MLP over seq -> transpose back.
+        # Hidden width scales with DIM, not seq_len (timm MixerBlock:
+        # tokens_dim = mlp_ratio[0]·dim — e.g. 384 for Mixer-B, caught by
+        # the published-params anchor in tests/test_param_audit.py)
         y = _layer_norm(self.dtype, self.param_dtype, "norm1")(x)
         y = y.transpose(0, 2, 1)
-        y = Mlp(int(self.seq_len * self.tokens_ratio), self.seq_len,
+        y = Mlp(int(self.dim * self.tokens_ratio), self.seq_len,
                 dtype=self.dtype, param_dtype=self.param_dtype,
                 name="mlp_tokens")(y, deterministic)
         y = y.transpose(0, 2, 1)
@@ -140,7 +143,8 @@ class GluMixerBlock(nn.Module):
     def __call__(self, x, deterministic: bool = True):
         y = _layer_norm(self.dtype, self.param_dtype, "norm1")(x)
         y = y.transpose(0, 2, 1)
-        y = self._glu(y, int(self.seq_len * self.tokens_ratio),
+        # gate hidden scales with DIM (timm: tokens_dim = mlp_ratio[0]·dim)
+        y = self._glu(y, int(self.dim * self.tokens_ratio),
                       self.seq_len, "mlp_tokens")
         y = y.transpose(0, 2, 1)
         rng = None if deterministic or self.drop_path_rate == 0 else \

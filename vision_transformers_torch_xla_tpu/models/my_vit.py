@@ -20,7 +20,7 @@ __all__ = []
 
 # default-cfg parity with reference models/my_vit.py:11-55 (aliases the timm
 # tiny/small/base/large cfgs: 224px, 0.9 crop, bicubic, ImageNet norm)
-_DEFAULT_CFG = dict(input_size=(224, 224, 3), crop_pct=0.9,
+_DEFAULT_CFG = dict(input_size=(3, 224, 224), crop_pct=0.9,
                     interpolation="bicubic", num_classes=1000,
                     mean=(0.485, 0.456, 0.406), std=(0.229, 0.224, 0.225),
                     pool="avg")

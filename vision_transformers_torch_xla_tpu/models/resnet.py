@@ -117,7 +117,9 @@ class BasicBlock(nn.Module):
         shortcut = x
         if x.shape[-1] != out or self.stride > 1:
             if self.avg_down and self.stride > 1:
-                shortcut = nn.avg_pool(shortcut, (2, 2), strides=(2, 2))
+                shortcut = nn.avg_pool(shortcut, (2, 2), strides=(2, 2),
+                                       padding="SAME",
+                                       count_include_pad=False)  # ceil_mode parity (odd grids, e.g. 176px)
                 shortcut = conv(out, (1, 1),
                                 name="downsample_conv")(shortcut)
             else:
@@ -162,7 +164,9 @@ class Bottleneck(nn.Module):
         shortcut = x
         if x.shape[-1] != out_features or self.stride > 1:
             if self.avg_down and self.stride > 1:
-                shortcut = nn.avg_pool(shortcut, (2, 2), strides=(2, 2))
+                shortcut = nn.avg_pool(shortcut, (2, 2), strides=(2, 2),
+                                       padding="SAME",
+                                       count_include_pad=False)  # ceil_mode parity (odd grids, e.g. 176px)
                 shortcut = conv(out_features, (1, 1),
                                 name="downsample_conv")(shortcut)
             else:
