@@ -288,6 +288,65 @@ def _hp_fwd_call(qkv, scale, seq_len, h, d):
     )(qkv, qkv, qkv)
 
 
+def _hp_fwd_stats_kernel(q_ref, k_ref, v_ref, o_ref, st_ref, *, scale: float,
+                         seq_len: int, d: int):
+    """_hp_fwd_kernel that ALSO saves the softmax row stats for the
+    backward: per head pair the st block's 4 lanes are
+    [m_half0, m_half1, rinv_half0, rinv_half1]. The backward recompute
+    then skips the row-max and row-sum reduction passes over the (Sq, Sk)
+    score matrix — the two most expensive VPU passes it had — at the cost
+    of a (B, Sq, 2H) f32 residual (~1.2 MB for ViT-B/128, vs the ~230 MB
+    it would take to save P itself)."""
+    g, sq = q_ref.shape[0], q_ref.shape[1]
+    col = jax.lax.broadcasted_iota(jnp.int32, (g, sq, sq), 2)
+    keep = col < seq_len
+    for half in range(2):
+        sl = slice(half * d, (half + 1) * d)
+        q = (q_ref[:, :, sl] * scale).astype(q_ref.dtype)
+        k = k_ref[:, :, sl]
+        v = v_ref[:, :, sl]
+        s = jax.lax.dot_general(q, k, (((2,), (2,)), ((0,), (0,))),
+                                preferred_element_type=jnp.float32)
+        s = jnp.where(keep, s, _NEG_INF)
+        m = jnp.max(s, axis=-1, keepdims=True)
+        p = jnp.exp(s - m)
+        rinv = 1.0 / jnp.sum(p, axis=-1, keepdims=True)       # (G, Sq, 1)
+        o = jax.lax.dot_general(p.astype(v.dtype), v,
+                                (((2,), (1,)), ((0,), (0,))),
+                                preferred_element_type=jnp.float32)
+        o_ref[:, :, sl] = (o * rinv).astype(o_ref.dtype)
+        st_ref[0, :, :, half:half + 1] = m
+        st_ref[0, :, :, 2 + half:3 + half] = rinv
+
+
+def _hp_fwd_stats_call(qkv, scale, seq_len, h, d):
+    b, sp, _ = qkv.shape
+    g = _pick_hp_g(b)
+    qs, ks, vs = _hp_in_specs(g, sp, d, h)
+    os_ = pl.BlockSpec((g, sp, 2 * d), lambda i, j: (i, 0, j),
+                       memory_space=pltpu.VMEM)
+    # stats live head-pair-major, (H/2, B, Sp, 4): the (Sp, 4) block tail
+    # matches the array tail exactly (Mosaic's block-shape rule), and the
+    # batch dim stays shardable at position 1
+    sts = pl.BlockSpec((1, g, sp, 4), lambda i, j: (j, i, 0, 0),
+                       memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        functools.partial(_hp_fwd_stats_kernel, scale=scale,
+                          seq_len=seq_len, d=d),
+        grid=(b // g, h // 2),
+        in_specs=[qs, ks, vs],
+        out_specs=(os_, sts),
+        out_shape=(jax.ShapeDtypeStruct((b, sp, h * d), qkv.dtype),
+                   jax.ShapeDtypeStruct((h // 2, b, sp, 4), jnp.float32)),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * b * h * sp * sp * d,
+            bytes_accessed=4 * b * h * sp * d * qkv.dtype.itemsize,
+            transcendentals=b * h * sp * sp),
+    )(qkv, qkv, qkv)
+
+
 def _hp_bwd_call(qkv, do, scale, seq_len, h, d):
     b, sp, _ = qkv.shape
     g = _pick_hp_g(b, cap=8)  # bwd holds p, dp, ds concurrently in VMEM
@@ -312,7 +371,9 @@ def _hp_bwd_call(qkv, do, scale, seq_len, h, d):
 
 
 def _batch_partitioned(raw_fn, out_rank: int, rule: str = "b s c -> b s o",
-                       repl: tuple = ("s", "c", "o")):
+                       repl: tuple = ("s", "c", "o"),
+                       out_batch_dims: tuple = None,
+                       arg_batch_dims: tuple = None):
     """Wrap a batch-parallel kernel call in jax custom_partitioning so GSPMD
     runs it per-shard along the leading (batch) dim instead of replicating
     the Mosaic custom call (which would all-gather the global batch on a
@@ -327,25 +388,35 @@ def _batch_partitioned(raw_fn, out_rank: int, rule: str = "b s c -> b s o",
         spec = getattr(sh, "spec", None)
         return spec[0] if spec else None
 
+    def _lead_batch(mesh, batch, rank, bdim=0):
+        spec = [None] * rank
+        spec[bdim] = batch
+        return NamedSharding(mesh, PartitionSpec(*spec))
+
+    def _out_shardings(mesh, batch, result_shape):
+        if isinstance(result_shape, (list, tuple)):
+            bds = out_batch_dims or (0,) * len(result_shape)
+            return tuple(_lead_batch(mesh, batch, len(r.shape), bd)
+                         for r, bd in zip(result_shape, bds))
+        return _lead_batch(mesh, batch, out_rank)
+
     def infer(mesh, arg_shapes, result_shape):
-        spec = PartitionSpec(_batch_axes(arg_shapes[0]),
-                             *([None] * (out_rank - 1)))
-        return NamedSharding(mesh, spec)
+        return _out_shardings(mesh, _batch_axes(arg_shapes[0]), result_shape)
 
     def prop(mesh, user_shape):
-        spec = PartitionSpec(_batch_axes(user_shape),
-                             *([None] * (out_rank - 1)))
+        u = user_shape[0] if isinstance(user_shape, (list, tuple)) \
+            else user_shape
+        spec = PartitionSpec(_batch_axes(u), *([None] * (out_rank - 1)))
         return NamedSharding(mesh, spec)
 
     def part(mesh, arg_shapes, result_shape):
         batch = _batch_axes(arg_shapes[0])
+        abds = arg_batch_dims or (0,) * len(arg_shapes)
         arg_shardings = tuple(
-            NamedSharding(mesh, PartitionSpec(batch,
-                                              *([None] * (len(a.shape) - 1))))
-            for a in arg_shapes)
-        out_sharding = NamedSharding(
-            mesh, PartitionSpec(batch, *([None] * (out_rank - 1))))
-        return mesh, raw_fn, out_sharding, arg_shardings
+            _lead_batch(mesh, batch, len(a.shape), bd)
+            for a, bd in zip(arg_shapes, abds))
+        return mesh, raw_fn, _out_shardings(mesh, batch, result_shape), \
+            arg_shardings
 
     cp.def_partition(partition=part, infer_sharding_from_operands=infer,
                      propagate_user_sharding=prop,
@@ -414,7 +485,7 @@ def fused_attention_qkv_cols(qkv: jax.Array, num_heads: int,
     return o
 
 
-def _hp_bwd_pi_kernel(q_ref, k_ref, v_ref, do_ref, o_ref, dpi_ref, *,
+def _hp_bwd_pi_kernel(q_ref, k_ref, v_ref, do_ref, o_ref, st_ref, dpi_ref, *,
                       scale: float, seq_len: int, d: int):
     """Backward head-pair program writing ONE pair-interleaved output block.
 
@@ -445,9 +516,13 @@ def _hp_bwd_pi_kernel(q_ref, k_ref, v_ref, do_ref, o_ref, dpi_ref, *,
         s = jax.lax.dot_general(q, k, (((2,), (2,)), ((0,), (0,))),
                                 preferred_element_type=jnp.float32)
         s = jnp.where(keep, s, _NEG_INF)
-        m = jnp.max(s, axis=-1, keepdims=True)
+        # row stats come from the forward kernel (st: [m0, m1, r⁻¹0, r⁻¹1])
+        # — skips the two reduction passes over the (Sq, Sk) matrix. The
+        # recomputed s is bitwise-identical to the forward's (same MXU dot
+        # on the same operands), so the saved stats are exact.
+        m = st_ref[0, :, :, half:half + 1]                   # (G, Sq, 1)
+        rinv = st_ref[0, :, :, 2 + half:3 + half]
         pu = jnp.exp(s - m)                                  # unnormalized
-        rinv = 1.0 / jnp.sum(pu, axis=-1, keepdims=True)     # (G, Sq, 1)
         pub = pu.astype(do.dtype)
 
         do32 = do.astype(jnp.float32)
@@ -477,11 +552,13 @@ def _hp_bwd_pi_kernel(q_ref, k_ref, v_ref, do_ref, o_ref, dpi_ref, *,
             dv.astype(dt_)
 
 
-def _hp_bwd_pi_call(qkv, do, o, scale, seq_len, h, d):
+def _hp_bwd_pi_call(qkv, do, o, st, scale, seq_len, h, d):
     b, sp, _ = qkv.shape
     g = _pick_hp_g(b, cap=8)
     qs, ks, vs = _hp_in_specs(g, sp, d, h)
     dos = pl.BlockSpec((g, sp, 2 * d), lambda i, j: (i, 0, j),
+                       memory_space=pltpu.VMEM)
+    sts = pl.BlockSpec((1, g, sp, 4), lambda i, j: (j, i, 0, 0),
                        memory_space=pltpu.VMEM)
     dpis = pl.BlockSpec((g, sp, 6 * d), lambda i, j: (i, 0, j),
                         memory_space=pltpu.VMEM)
@@ -489,7 +566,7 @@ def _hp_bwd_pi_call(qkv, do, o, scale, seq_len, h, d):
         functools.partial(_hp_bwd_pi_kernel, scale=scale, seq_len=seq_len,
                           d=d),
         grid=(b // g, h // 2),
-        in_specs=[qs, ks, vs, dos, dos],
+        in_specs=[qs, ks, vs, dos, dos, sts],
         out_specs=dpis,
         out_shape=jax.ShapeDtypeStruct((b, sp, 3 * h * d), qkv.dtype),
         compiler_params=pltpu.CompilerParams(
@@ -498,7 +575,7 @@ def _hp_bwd_pi_call(qkv, do, o, scale, seq_len, h, d):
             flops=10 * b * h * sp * sp * d,
             bytes_accessed=9 * b * h * sp * d * qkv.dtype.itemsize,
             transcendentals=b * h * sp * sp),
-    )(qkv, qkv, qkv, do, o)
+    )(qkv, qkv, qkv, do, o, st)
 
 
 def _pi_perm(h: int, d: int):
@@ -531,11 +608,14 @@ def _qkv_proj_attention(scale: float, seq_len: int, h: int, d: int,
     fp32 via preferred_element_type, matching the autodiff path exactly
     (tests/test_pallas_attention.py::test_qkv_proj_attention_grads)."""
     fwd_p = _batch_partitioned(
-        lambda qkv: _hp_fwd_call(qkv, scale, seq_len, h, d), out_rank=3)
+        lambda qkv: _hp_fwd_stats_call(qkv, scale, seq_len, h, d),
+        out_rank=3, rule="b s c -> b s o, p b s t",
+        repl=("s", "c", "o", "t", "p"), out_batch_dims=(0, 1))
     bwd_p = _batch_partitioned(
-        lambda qkv, do, o: _hp_bwd_pi_call(qkv, do, o, scale, seq_len, h, d),
-        out_rank=3, rule="b s c, b s o, b s o -> b s c",
-        repl=("s", "c", "o"))
+        lambda qkv, do, o, st: _hp_bwd_pi_call(qkv, do, o, st, scale,
+                                               seq_len, h, d),
+        out_rank=3, rule="b s c, b s o, b s o, p b s t -> b s c",
+        repl=("s", "c", "o", "t", "p"), arg_batch_dims=(0, 0, 0, 1))
     perm, inv = _pi_perm(h, d)
 
     def project(x, w, b):
@@ -545,18 +625,20 @@ def _qkv_proj_attention(scale: float, seq_len: int, h: int, d: int,
         return qkv
 
     def call(x, w, b):
-        return fwd_p(project(x, w, b))
+        return fwd_p(project(x, w, b))[0]
 
     def call_fwd(x, w, b):
         qkv = project(x, w, b)
-        o = fwd_p(qkv)
-        # o rides along for the flash rowsum(dO⊙O) identity; autodiff keeps
-        # it alive anyway as the input of the output projection
-        return o, (x, qkv, o, w)
+        # o rides along for the flash rowsum(dO⊙O) identity (autodiff keeps
+        # it alive anyway as the input of the output projection); st holds
+        # the softmax row max + 1/rowsum so the bwd recompute skips both
+        # (Sq, Sk) reduction passes
+        o, st = fwd_p(qkv)
+        return o, (x, qkv, o, st, w)
 
     def call_bwd(res, do):
-        x, qkv, o, w = res
-        dpi = bwd_p(qkv, do, o)                    # (B, S, 3HD) pair-interl.
+        x, qkv, o, st, w = res
+        dpi = bwd_p(qkv, do, o, st)                # (B, S, 3HD) pair-interl.
         wp = w[:, perm].astype(dpi.dtype)
         dx = jnp.einsum("bsc,dc->bsd", dpi, wp)
         dw_pi = jnp.einsum("bsd,bsc->dc", x, dpi,
