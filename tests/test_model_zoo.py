@@ -147,7 +147,28 @@ FAMILIES = [
 ]
 
 
-@pytest.mark.parametrize("name,kwargs,hw", FAMILIES,
+# Default-suite subset: one representative per broad architecture class
+# (plain ViT, windowed, conv-stage, hybrid, NF, token-mix, BN-heavy,
+# attention-conv). The rest compile only under --full-zoo — structural
+# breadth is covered by the eval_shape audit over ALL registered names in
+# tests/test_param_audit.py, which needs no compiles.
+CORE = {
+    "my_vit_ti", "convnext_atto", "mixer_s32_224", "efficientnet_b0",
+    "cait_xxs24_224", "xcit_nano_12_p16_224", "maxvit_tiny_rw_224",
+    "swinv2_tiny_window8_256", "eva02_tiny_patch14_224", "nfnet_f0",
+    "levit_128s", "hiera_tiny_224", "volo_d1_224", "mobilevit_xxs",
+    "resnet18d", "cspresnet50", "sequencer2d_s", "tresnet_m",
+    "hgnetv2_b0", "repvgg_a0", "halonet26t", "tf_efficientnetv2_b0",
+    "vit_medium_patch16_rope_reg1_gap_256", "mobilenetv4_hybrid_medium",
+}
+
+_PARAMS = [
+    f if f[0] in CORE else pytest.param(*f, marks=pytest.mark.full_zoo)
+    for f in FAMILIES
+]
+
+
+@pytest.mark.parametrize("name,kwargs,hw", _PARAMS,
                          ids=[f[0] for f in FAMILIES])
 def test_family_forward(name, kwargs, hw):
     m = create_model(name, num_classes=10, dtype=jnp.float32, **kwargs)

@@ -1,10 +1,9 @@
 """CaiT: Class-Attention in Image Transformers.
 
-Parity with the reference's dormant cait.py (594 LoC): self-attention
-layers over patch tokens only (with LayerScale, mandatory), followed by
-class-attention layers where a cls token attends over the frozen patch
-tokens. Talking-heads attention is approximated by standard MHA (the pre/
-post-softmax head-mixing projections are a later-round refinement).
+Parity with the reference's dormant cait.py (594 LoC): talking-heads
+self-attention layers over patch tokens only (with LayerScale, mandatory),
+followed by class-attention layers where a cls token attends over the
+frozen patch tokens.
 """
 from __future__ import annotations
 
@@ -13,17 +12,110 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from vision_transformers_torch_xla_tpu.models.layers import (
-    Block,
+    LayerScale,
     Mlp,
     PatchEmbed,
     _dense,
     _layer_norm,
+    drop_path,
     trunc_init,
 )
 from vision_transformers_torch_xla_tpu.models.registry import register_model
 from vision_transformers_torch_xla_tpu.ops.attention import multi_head_attention
 
 __all__ = []
+
+
+class TalkingHeadAttention(nn.Module):
+    """Talking-heads self-attention (Shazeer et al., arXiv:2003.02436).
+
+    Learned head-mixing projections straddle the softmax: proj_l mixes the
+    raw scores across heads, proj_w mixes the probabilities. Parity:
+    reference models/cait.py:117-157 (TalkingHeadAttn). The torch code
+    permutes the (B, H, S, S) score tensor head-last, applies a Linear(H, H)
+    and permutes back; here both mixes are single einsum contractions over
+    the head axis — XLA folds the implied transposes into the dot's
+    input/output layouts, so no (B, H, S, S) copy is materialized.
+    """
+
+    num_heads: int
+    qkv_bias: bool = True
+    dtype: jnp.dtype = jnp.bfloat16
+    param_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array, deterministic: bool = True) -> jax.Array:
+        b, s, d = x.shape
+        h = self.num_heads
+        hd = d // h
+
+        def head_mix(name):
+            w = self.param(f"{name}_kernel",
+                           nn.with_logical_partitioning(trunc_init,
+                                                        (None, None)),
+                           (h, h), self.param_dtype)
+            bia = self.param(f"{name}_bias",
+                             nn.with_logical_partitioning(
+                                 nn.initializers.zeros_init(), (None,)),
+                             (h,), self.param_dtype)
+            return lambda t: (jnp.einsum("bhqk,hg->bgqk", t,
+                                         w.astype(t.dtype))
+                              + bia.astype(t.dtype)[None, :, None, None])
+
+        qkv = _dense(3 * d, ("embed", "qkv_out"), self.qkv_bias,
+                     self.dtype, self.param_dtype, "qkv")(x)
+        qkv = qkv.reshape(b, s, 3, h, hd).transpose(2, 0, 3, 1, 4)
+        q, k, v = qkv[0], qkv[1], qkv[2]
+        scores = jnp.einsum("bhqd,bhkd->bhqk", q, k,
+                            preferred_element_type=jnp.float32) * hd ** -0.5
+        scores = head_mix("proj_l")(scores)
+        probs = jax.nn.softmax(scores, axis=-1)
+        probs = head_mix("proj_w")(probs)
+        o = jnp.einsum("bhqk,bhkd->bhqd", probs.astype(v.dtype), v,
+                       preferred_element_type=jnp.float32).astype(x.dtype)
+        o = o.transpose(0, 2, 1, 3).reshape(b, s, d)
+        return _dense(d, ("qkv_out", "embed"), True, self.dtype,
+                      self.param_dtype, "proj")(o)
+
+
+class TalkingHeadBlock(nn.Module):
+    """Pre-norm block with talking-heads attention + mandatory LayerScale.
+
+    Parity: reference models/cait.py:160-215 (LayerScaleBlock with
+    attn_block=TalkingHeadAttn).
+    """
+
+    num_heads: int
+    mlp_ratio: float = 4.0
+    init_values: float = 1e-5
+    drop_path_rate: float = 0.0
+    dtype: jnp.dtype = jnp.bfloat16
+    param_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array, deterministic: bool = True) -> jax.Array:
+        d = x.shape[-1]
+        rate = self.drop_path_rate
+        attn_out = TalkingHeadAttention(
+            num_heads=self.num_heads, dtype=self.dtype,
+            param_dtype=self.param_dtype, name="attn",
+        )(_layer_norm(self.dtype, self.param_dtype, "norm1")(x),
+          deterministic)
+        attn_out = LayerScale(d, self.init_values, self.param_dtype,
+                              name="ls1")(attn_out)
+        rng = None if deterministic or rate == 0.0 \
+            else self.make_rng("droppath")
+        x = x + drop_path(attn_out, rate, deterministic, rng)
+
+        mlp_out = Mlp(int(d * self.mlp_ratio), d, dtype=self.dtype,
+                      param_dtype=self.param_dtype, name="mlp")(
+            _layer_norm(self.dtype, self.param_dtype, "norm2")(x),
+            deterministic)
+        mlp_out = LayerScale(d, self.init_values, self.param_dtype,
+                             name="ls2")(mlp_out)
+        rng = None if deterministic or rate == 0.0 \
+            else self.make_rng("droppath")
+        return x + drop_path(mlp_out, rate, deterministic, rng)
 
 
 class ClassAttentionBlock(nn.Module):
@@ -100,10 +192,11 @@ class Cait(nn.Module):
         x = x + pos.astype(x.dtype)
         for i in range(self.depth):
             dpr = self.drop_path_rate * i / max(self.depth - 1, 1)
-            x = Block(num_heads=self.num_heads, mlp_ratio=self.mlp_ratio,
-                      init_values=self.init_values, drop_path_rate=dpr,
-                      dtype=self.dtype, param_dtype=self.param_dtype,
-                      name=f"blocks_{i}")(x, deterministic)
+            x = TalkingHeadBlock(
+                num_heads=self.num_heads, mlp_ratio=self.mlp_ratio,
+                init_values=self.init_values, drop_path_rate=dpr,
+                dtype=self.dtype, param_dtype=self.param_dtype,
+                name=f"blocks_{i}")(x, deterministic)
         cls = self.param("cls_token",
                          nn.with_logical_partitioning(trunc_init, (None, None, "embed")),
                          (1, 1, self.embed_dim), self.param_dtype)
