@@ -306,8 +306,11 @@ def setup(cfg: TrainConfig) -> TrainerContext:
         ema_decay=cfg.model_ema_decay if cfg.model_ema else None,
         kd_alpha=cfg.kd_alpha, kd_temperature=cfg.kd_temperature,
         lr_schedule=lr_fn)
+    from vision_transformers_torch_xla_tpu.train.optim import is_second_order
+
     train_step = jax.jit(make_train_step(model.apply, tx, step_cfg, teacher_apply,
-                                         mutable_collections=mutable_cols),
+                                         mutable_collections=mutable_cols,
+                                         second_order=is_second_order(cfg.opt)),
                          donate_argnums=(0,))
     eval_step = jax.jit(make_eval_step(model.apply,
                                        mutable_collections=mutable_cols))

@@ -5,7 +5,10 @@ Surface parity with the reference's `create_optimizer` /
 
   * name-dispatched optimizers (sgd/momentum/adam/adamw/nadam/nadamw/radam/
     adadelta/adagrad/adamax/adafactor/rmsprop/rmsproptf/novograd/lamb/lars/
-    lion) with a `lookahead_` prefix wrapper;
+    lion/adamp/sgdp/adahessian) with a `lookahead_` prefix wrapper;
+    adahessian is second-order — `is_second_order` tells the train step to
+    feed a Hutchinson Hessian-diagonal estimate (train/adahessian.py, the
+    JAX answer to reference engine.py:247-250's create_graph backward);
   * weight-decay masking: 1-D params, biases, and the model's
     `no_weight_decay` names are excluded (optim_factory.py:104-113 — the
     reference's TPU branch groups by *name only*, :85-149; here the mask is a
@@ -101,13 +104,15 @@ def lookahead(tx: optax.GradientTransformation, sync_period: int = 5,
     """
     import jax.numpy as jnp
 
+    tx = optax.with_extra_args_support(tx)
+
     def init(params):
         return (tx.init(params), jax.tree.map(lambda p: p + 0, params),
                 jnp.zeros((), jnp.int32))
 
-    def update(grads, state, params):
+    def update(grads, state, params, **extra):
         inner_state, slow, count = state
-        updates, inner_state = tx.update(grads, inner_state, params)
+        updates, inner_state = tx.update(grads, inner_state, params, **extra)
         count = count + 1
         sync = (count % sync_period == 0).astype(jnp.float32)
 
@@ -122,13 +127,30 @@ def lookahead(tx: optax.GradientTransformation, sync_period: int = 5,
             slow, params, new_updates)
         return new_updates, (inner_state, new_slow, count)
 
-    return optax.GradientTransformation(init, update)
+    return optax.GradientTransformationExtraArgs(init, update)
 
 
 def _adamp():
     from vision_transformers_torch_xla_tpu.train import adamp as mod
 
     return mod
+
+
+def _adahessian():
+    from vision_transformers_torch_xla_tpu.train import adahessian as mod
+
+    return mod
+
+
+def is_second_order(opt: str) -> bool:
+    """True when the optimizer needs a per-step Hessian-diagonal estimate.
+
+    The moral twin of the reference's ``is_second_order`` probe on the built
+    optimizer object (reference engine.py:247-250); here it is a pure
+    function of the recipe name so the train step can be staged before the
+    optimizer exists.
+    """
+    return opt.lower().removeprefix("lookahead_") == "adahessian"
 
 
 def _lookup(opt_name: str) -> Callable:
@@ -174,6 +196,10 @@ def _lookup(opt_name: str) -> Callable:
         "sgdp": lambda lr, cfg, mask: optax.inject_hyperparams(
             _adamp().sgdp, static_args=("mask",))(
             lr, momentum=cfg.get("momentum", 0.9),
+            weight_decay=cfg.get("weight_decay", 0.0), mask=mask),
+        "adahessian": lambda lr, cfg, mask: optax.inject_hyperparams(
+            _adahessian().adahessian, static_args=("mask",))(
+            lr, *cfg.get("betas", (0.9, 0.999)), eps=cfg.get("eps", 1e-8),
             weight_decay=cfg.get("weight_decay", 0.0), mask=mask),
     }
     try:
@@ -255,7 +281,7 @@ def create_optimizer(
     # reference writes wd into ANY optimizer's param groups each iteration
     # (engine.py:98-103), so no optimizer may silently drop it.
     decoupled = {"adamw", "nadamw", "novograd", "lamb", "lars", "lion",
-                 "adamp", "sgdp"}
+                 "adamp", "sgdp", "adahessian"}
     l2_tx = None
     if opt in decoupled:
         if weight_decay_schedule is not None:

@@ -47,7 +47,8 @@ class StepConfig:
 def make_train_step(model_apply: Callable, tx: optax.GradientTransformation,
                     cfg: StepConfig,
                     teacher_apply: Optional[Callable] = None,
-                    mutable_collections: tuple = ()) -> Callable:
+                    mutable_collections: tuple = (),
+                    second_order: bool = False) -> Callable:
     """Returns train_step(state, images, labels, rng, [teacher_params]).
 
     model_apply(params_dict, images, deterministic, rngs) -> logits.
@@ -55,13 +56,17 @@ def make_train_step(model_apply: Callable, tx: optax.GradientTransformation,
     (StudentWithDistillation: teacher frozen, eval mode, no grad) + :939-970.
     `mutable_collections` (e.g. ("batch_stats",)) are threaded through
     TrainState.model_state for BatchNorm-style models.
+    `second_order` (reference engine.py:247-250's is_second_order /
+    create_graph path) adds a Hutchinson Hessian-diagonal estimate via
+    forward-over-reverse jvp and feeds it to the optimizer as the
+    `hessian_diag` extra arg (AdaHessian).
     """
 
     def train_step(state: TrainState, images: jax.Array, labels: jax.Array,
                    rng: jax.Array, teacher_params: Any = None):
         step_rng = jax.random.fold_in(rng, state.step)
-        mix_rng, dropout_rng, droppath_rng, aug_rng = \
-            jax.random.split(step_rng, 4)
+        mix_rng, dropout_rng, droppath_rng, aug_rng, hess_rng = \
+            jax.random.split(step_rng, 5)
 
         if cfg.device_aug is not None:
             from vision_transformers_torch_xla_tpu.data.device_aug import augment_batch
@@ -96,6 +101,13 @@ def make_train_step(model_apply: Callable, tx: optax.GradientTransformation,
 
         (loss, new_mstate), grads = jax.value_and_grad(
             loss_fn, has_aux=True)(state.params)
+        extra_args = {}
+        if second_order:
+            from vision_transformers_torch_xla_tpu.train.adahessian import hutchinson_diag
+
+            grad_fn = lambda p: jax.grad(loss_fn, has_aux=True)(p)[0]
+            extra_args["hessian_diag"] = hutchinson_diag(
+                grad_fn, state.params, hess_rng)
         if hasattr(tx, "fused_update"):
             # single-HBM-pass AdamW+EMA+grad-norm (train/fused.py); replaces
             # the three passes below when the recipe is plain adamw
@@ -103,7 +115,7 @@ def make_train_step(model_apply: Callable, tx: optax.GradientTransformation,
                 grads, state.opt_state, state.params, state.ema_params)
         else:
             updates, new_opt_state = tx.update(grads, state.opt_state,
-                                               state.params)
+                                               state.params, **extra_args)
             new_params = optax.apply_updates(state.params, updates)
             grad_norm = optax.global_norm(grads)
             new_ema = state.ema_params
