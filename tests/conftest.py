@@ -14,8 +14,24 @@ import os
 os.environ.setdefault("XLA_FLAGS", "")
 if "--xla_force_host_platform_device_count" not in os.environ["XLA_FLAGS"]:
     os.environ["XLA_FLAGS"] += " --xla_force_host_platform_device_count=8"
+# The suite runs entirely on the host CPU backend (no test uses the TPU
+# platform). Pinning jax_platforms keeps jax from *initializing* the remote
+# 'axon' TPU backend at all — initialization blocks indefinitely (retry
+# sleep loop) when the TPU tunnel is down, which would otherwise hang
+# collection of every test. Two subtleties: (1) the driver exports
+# JAX_PLATFORMS=axon globally, so this must override, not setdefault;
+# (2) this image's sitecustomize imports jax at interpreter start to
+# register the axon PJRT plugin, so jax has ALREADY read JAX_PLATFORMS
+# from the env by the time conftest runs — the pin must go through
+# jax.config.update, which works any time before backend initialization.
+# Set VTX_TEST_TPU=1 to lift the pin for ad-hoc on-chip runs.
+if not os.environ.get("VTX_TEST_TPU"):
+    os.environ["JAX_PLATFORMS"] = "cpu"  # for subprocesses the tests spawn
 
 import jax  # noqa: E402
+
+if not os.environ.get("VTX_TEST_TPU"):
+    jax.config.update("jax_platforms", "cpu")
 
 jax.config.update("jax_compilation_cache_dir",
                   os.path.join(os.path.dirname(__file__), "..", ".jax_cache"))

@@ -141,6 +141,7 @@ def setup(cfg: TrainConfig) -> TrainerContext:
     from vision_transformers_torch_xla_tpu.core.cache import enable_persistent_cache
 
     enable_persistent_cache()
+    _pin_platform(cfg)
     init_distributed()
     if cfg.device:
         jax.config.update("jax_default_device", jax.devices(cfg.device)[0])
@@ -418,8 +419,27 @@ def evaluate(ctx: TrainerContext, use_ema: bool = False,
             f"{prefix}count": n}
 
 
+def _pin_platform(cfg: TrainConfig) -> None:
+    """Keep --device cpu runs fully off the tunneled TPU backend.
+
+    Must precede ANY backend lookup (jax.devices / process_index / ...):
+    some images register a remote TPU PJRT plugin via sitecustomize and wrap
+    jax's backend resolution so even jax.devices("cpu") initializes the
+    remote plugin first — which blocks in a retry loop when the tunnel is
+    down. The explicit config pin is the one knob that wins (same hazard
+    class as tests/conftest.py and __graft_entry__._pin_cpu_platform).
+    Best-effort: a no-op when backends are already up (library callers).
+    """
+    if cfg.device == "cpu":
+        try:
+            jax.config.update("jax_platforms", "cpu")
+        except Exception:
+            pass
+
+
 def main(cfg: TrainConfig, max_steps_per_epoch: Optional[int] = None,
          max_eval_batches: Optional[int] = None) -> dict:
+    _pin_platform(cfg)
     if max_steps_per_epoch is None and cfg.limit_steps_per_epoch:
         max_steps_per_epoch = cfg.limit_steps_per_epoch
     if max_eval_batches is None and cfg.limit_eval_batches:
