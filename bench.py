@@ -48,6 +48,33 @@ def vit_train_flops_per_image(img: int = 224, patch: int = 16,
     return 3.0 * fwd
 
 
+def _init_devices_bounded(timeout_s: float = 180.0):
+    """Backend init with a hard deadline.
+
+    On this image the TPU is reached through a tunneled PJRT plugin whose
+    initialization blocks in a retry sleep loop while the tunnel is down —
+    an unattended bench run would hang forever. Init happens in a daemon
+    thread; if it misses the deadline the process exits 1 with a clear
+    message (exiting is the only reliable cancel — the blocked init holds
+    a C-level call that Python can't interrupt). Normal init is <5 s; the
+    deadline only trips when the chip is unreachable."""
+    import os
+    import sys
+    import threading
+
+    out: list = []
+    t = threading.Thread(target=lambda: out.append(jax.devices()),
+                         daemon=True)
+    t.start()
+    t.join(timeout_s)
+    if not out:
+        print(f"bench: TPU backend init did not complete in {timeout_s:.0f}s "
+              "(tunnel down?) — aborting instead of hanging", file=sys.stderr)
+        sys.stderr.flush()
+        os._exit(1)
+    return out[0]
+
+
 def main():
     from flax import linen as nn
 
@@ -62,7 +89,7 @@ def main():
     from vision_transformers_torch_xla_tpu.train.state import create_train_state
     from vision_transformers_torch_xla_tpu.train.steps import StepConfig, make_train_step
 
-    device = jax.devices()[0]
+    device = _init_devices_bounded()[0]
     batch = 128
     # head-pair Pallas attention kernel: reads the fused qkv projection
     # output in place (no head transposes); +28% step throughput on v5e

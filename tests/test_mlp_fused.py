@@ -1,0 +1,167 @@
+"""Fused MLP backward (ops/mlp_fused.py) correctness, interpreter mode.
+
+The op replaces autodiff of fc1 -> tanh-gelu -> fc2 (reference
+models/vision_transformer.py Mlp via timm) with a Pallas backward that
+fuses dy@W2ᵀ, dgelu, gelu-regeneration, and the fc1-bias reduction into one
+pass. These tests pin the custom VJP to the jnp reference for the value and
+ALL five cotangents, plus the Mlp-module routing (identical param tree).
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.experimental.pallas import tpu as pltpu
+
+from vision_transformers_torch_xla_tpu.ops.mlp_fused import mlp_gelu
+
+
+@pytest.fixture(autouse=True)
+def interpret_mode():
+    with pltpu.force_tpu_interpret_mode():
+        yield
+
+
+def _rand(shape, seed=0):
+    return jnp.asarray(np.random.default_rng(seed).normal(size=shape) * 0.5,
+                       jnp.float32)
+
+
+def _ref(x, w1, b1, w2, b2):
+    h = jnp.einsum("bsd,dk->bsk", x, w1.astype(x.dtype))
+    if b1 is not None:
+        h = h + b1.astype(x.dtype)
+    a = jax.nn.gelu(h, approximate=True)
+    y = jnp.einsum("bsk,ko->bso", a, w2.astype(x.dtype))
+    if b2 is not None:
+        y = y + b2.astype(x.dtype)
+    return y
+
+
+def _inputs(b=2, s=197, d=128, hidden=256, bias=True, seed=0):
+    x = _rand((b, s, d), seed)
+    w1 = _rand((d, hidden), seed + 1) * 0.2
+    w2 = _rand((hidden, d), seed + 2) * 0.2
+    b1 = _rand((hidden,), seed + 3) * 0.1 if bias else None
+    b2 = _rand((d,), seed + 4) * 0.1 if bias else None
+    return x, w1, b1, w2, b2
+
+
+def test_forward_matches_reference():
+    x, w1, b1, w2, b2 = _inputs()
+    got = mlp_gelu(x, w1, b1, w2, b2)
+    ref = _ref(x, w1, b1, w2, b2)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=1e-5, rtol=1e-5)
+
+
+@pytest.mark.parametrize("bias", [True, False])
+def test_grads_match_autodiff(bias):
+    x, w1, b1, w2, b2 = _inputs(bias=bias, seed=7)
+    args = (x, w1, b1, w2, b2)
+    nz = tuple(i for i, a in enumerate(args) if a is not None)
+
+    def loss_ref(*a):
+        full = list(args)
+        for i, v in zip(nz, a):
+            full[i] = v
+        return (_ref(*full) ** 2).sum()
+
+    def loss_fused(*a):
+        full = list(args)
+        for i, v in zip(nz, a):
+            full[i] = v
+        return (mlp_gelu(*full) ** 2).sum()
+
+    live = tuple(args[i] for i in nz)
+    g_ref = jax.grad(loss_ref, argnums=range(len(live)))(*live)
+    g_fus = jax.grad(loss_fused, argnums=range(len(live)))(*live)
+    for i, (r, f) in enumerate(zip(g_ref, g_fus)):
+        np.testing.assert_allclose(
+            np.asarray(f), np.asarray(r), atol=2e-3, rtol=2e-3,
+            err_msg=f"cotangent {i} (of live args {nz}) mismatch")
+
+
+def test_odd_batch_and_seq():
+    # B=3 forces the g=1 grid; S=130 exercises sublane padding
+    x, w1, b1, w2, b2 = _inputs(b=3, s=130, seed=11)
+    got = mlp_gelu(x, w1, b1, w2, b2)
+    ref = _ref(x, w1, b1, w2, b2)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=1e-5, rtol=1e-5)
+    g_ref = jax.grad(lambda x: (_ref(x, w1, b1, w2, b2) ** 2).sum())(x)
+    g_fus = jax.grad(lambda x: (mlp_gelu(x, w1, b1, w2, b2) ** 2).sum())(x)
+    np.testing.assert_allclose(np.asarray(g_fus), np.asarray(g_ref),
+                               atol=2e-3, rtol=2e-3)
+
+
+def test_bf16_path():
+    x, w1, b1, w2, b2 = _inputs(seed=3)
+    xb = x.astype(jnp.bfloat16)
+    got = mlp_gelu(xb, w1, b1, w2, b2)
+    assert got.dtype == jnp.bfloat16
+    ref = _ref(xb, w1, b1, w2, b2)
+    np.testing.assert_allclose(np.asarray(got, np.float32),
+                               np.asarray(ref, np.float32),
+                               atol=3e-2, rtol=3e-2)
+    g_ref = jax.grad(lambda w: (_ref(xb, w, b1, w2, b2)
+                                .astype(jnp.float32) ** 2).sum())(w1)
+    g_fus = jax.grad(lambda w: (mlp_gelu(xb, w, b1, w2, b2)
+                                .astype(jnp.float32) ** 2).sum())(w1)
+    np.testing.assert_allclose(np.asarray(g_fus), np.asarray(g_ref),
+                               atol=0.5, rtol=6e-2)
+
+
+def test_lane_alignment_guard():
+    x, w1, b1, w2, b2 = _inputs(d=128, hidden=256)
+    with pytest.raises(ValueError, match="128-lane"):
+        mlp_gelu(x[..., :96], w1[:96], b1, w2, b2)
+
+
+def test_mlp_module_routing_and_param_tree():
+    """use_pallas=True must keep the exact Dense param tree and match the
+    Dense-path output; unqualifying shapes (hidden % 128 != 0) fall back."""
+    from vision_transformers_torch_xla_tpu.models.layers import Mlp
+
+    x = _rand((2, 9, 128), 5)
+    kw = dict(hidden_dim=256, out_dim=128, dtype=jnp.float32)
+    m_ref = Mlp(**kw)
+    m_pal = Mlp(use_pallas=True, **kw)
+    v_ref = m_ref.init(jax.random.PRNGKey(0), x)
+    v_pal = m_pal.init(jax.random.PRNGKey(0), x)
+    assert jax.tree.structure(v_ref) == jax.tree.structure(v_pal)
+    for p_r, p_p in zip(jax.tree.leaves(v_ref), jax.tree.leaves(v_pal)):
+        assert p_r.shape == p_p.shape
+        np.testing.assert_allclose(np.asarray(p_r), np.asarray(p_p))
+    y_ref = m_ref.apply(v_ref, x)
+    y_pal = m_pal.apply(v_ref, x)
+    np.testing.assert_allclose(np.asarray(y_pal), np.asarray(y_ref),
+                               atol=1e-5, rtol=1e-5)
+    # fallback path: hidden not lane-aligned routes through plain Dense
+    m_odd = Mlp(hidden_dim=200, out_dim=128, use_pallas=True,
+                dtype=jnp.float32)
+    v_odd = m_odd.init(jax.random.PRNGKey(0), x)
+    assert m_odd.apply(v_odd, x).shape == (2, 9, 128)
+
+
+def test_vit_block_end_to_end_grads():
+    """Block-level: pallas-MLP vs Dense-MLP gradients on shared params."""
+    from vision_transformers_torch_xla_tpu.models.layers import Block
+
+    x = _rand((2, 17, 128), 9)
+    kw = dict(num_heads=2, dtype=jnp.float32)
+    blk_ref = Block(**kw)
+    blk_pal = Block(use_pallas_mlp=True, **kw)
+    v = blk_ref.init(jax.random.PRNGKey(0), x)
+
+    def loss(params, blk):
+        return (blk.apply(params, x) ** 2).sum()
+
+    g_ref = jax.grad(loss)(v, blk_ref)
+    g_pal = jax.grad(loss)(v, blk_pal)
+    flat_r = jax.tree_util.tree_leaves_with_path(g_ref)
+    flat_p = jax.tree.leaves(g_pal)
+    assert len(flat_r) == len(flat_p)
+    for (path, r), p in zip(flat_r, flat_p):
+        np.testing.assert_allclose(
+            np.asarray(p), np.asarray(r), atol=5e-3, rtol=5e-3,
+            err_msg=f"grad mismatch at {jax.tree_util.keystr(path)}")

@@ -129,11 +129,41 @@ class PatchEmbed(nn.Module):
         return x
 
 
+class _DenseParams(nn.Module):
+    """Declares nn.Dense-compatible params WITHOUT computing, for custom-VJP
+    paths that need the raw W/b (same contract as _QkvParams, with
+    configurable logical axes). Param names/shapes/inits match nn.Dense, so
+    the tree is checkpoint-compatible with the plain Dense path."""
+
+    features: int
+    use_bias: bool
+    axes: Tuple[Optional[str], Optional[str]]
+    param_dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, d_in: int):
+        w = self.param(
+            "kernel",
+            nn.with_logical_partitioning(trunc_init, self.axes),
+            (d_in, self.features), self.param_dtype)
+        b = self.param(
+            "bias",
+            nn.with_logical_partitioning(nn.initializers.zeros_init(),
+                                         (self.axes[1],)),
+            (self.features,), self.param_dtype) if self.use_bias else None
+        return w, b
+
+
 class Mlp(nn.Module):
     """Transformer MLP: fc1 -> act -> fc2 (col-/row-parallel over 'model').
 
     glu=True is timm's SwiGLUPacked (reference vision_transformer.py dinov2
     giant): fc1's output splits in two, silu(a) * b feeds fc2.
+
+    use_pallas routes the plain tanh-gelu recipe through the fused-backward
+    custom VJP (ops/mlp_fused.py::mlp_gelu: da never hits HBM, dgelu and the
+    fc1-bias reduction fuse into the dy@W2ᵀ matmul pass); the param tree is
+    identical so checkpoints interchange with the Dense path.
     """
 
     hidden_dim: int
@@ -142,6 +172,7 @@ class Mlp(nn.Module):
     use_bias: bool = True
     act: str = "gelu"
     glu: bool = False
+    use_pallas: bool = False
     dtype: Dtype = jnp.bfloat16
     param_dtype: Dtype = jnp.float32
 
@@ -149,6 +180,19 @@ class Mlp(nn.Module):
     def __call__(self, x: jax.Array, deterministic: bool = True) -> jax.Array:
         # glu needs an even fc1 width to split into two gates
         hidden = self.hidden_dim // 2 * 2 if self.glu else self.hidden_dim
+        if (self.use_pallas and not self.glu
+                and self.act in ("gelu", "gelu_tanh")
+                and self.dropout == 0.0 and x.ndim == 3
+                and x.shape[-1] % 128 == 0 and hidden % 128 == 0
+                and self.out_dim % 128 == 0):
+            from vision_transformers_torch_xla_tpu.ops.mlp_fused import mlp_gelu
+
+            w1, b1 = _DenseParams(hidden, self.use_bias, ("embed", "mlp"),
+                                  self.param_dtype, name="fc1")(x.shape[-1])
+            w2, b2 = _DenseParams(self.out_dim, self.use_bias,
+                                  ("mlp", "embed"), self.param_dtype,
+                                  name="fc2")(hidden)
+            return mlp_gelu(x.astype(self.dtype), w1, b1, w2, b2)
         x = _dense(hidden, ("embed", "mlp"), self.use_bias,
                    self.dtype, self.param_dtype, "fc1")(x)
         if self.glu:
@@ -312,6 +356,7 @@ class Block(nn.Module):
     proj_drop: float = 0.0
     attn_drop: float = 0.0
     use_pallas: bool = False
+    use_pallas_mlp: bool = False
     act: str = "gelu"
     glu: bool = False
     norm_type: str = "layernorm"
@@ -346,6 +391,7 @@ class Block(nn.Module):
         mlp_out = Mlp(
             hidden_dim=self.mlp_hidden or int(d * self.mlp_ratio), out_dim=d,
             dropout=self.proj_drop, act=self.act, glu=self.glu,
+            use_pallas=self.use_pallas_mlp,
             dtype=self.dtype,
             param_dtype=self.param_dtype, name="mlp",
         )(_layer_norm(self.dtype, self.param_dtype, "norm2",
@@ -413,6 +459,7 @@ class ResPostBlock(nn.Module):
     proj_drop: float = 0.0
     attn_drop: float = 0.0
     use_pallas: bool = False
+    use_pallas_mlp: bool = False
     act: str = "gelu"
     glu: bool = False
     norm_type: str = "layernorm"
@@ -447,7 +494,7 @@ class ResPostBlock(nn.Module):
 
         y = Mlp(hidden_dim=int(d * self.mlp_ratio), out_dim=d,
                 dropout=self.proj_drop, act=self.act, glu=self.glu,
-                dtype=self.dtype,
+                use_pallas=self.use_pallas_mlp, dtype=self.dtype,
                 param_dtype=self.param_dtype, name="mlp")(x, deterministic)
         y = self._norm("norm2")(y)
         rng = None if deterministic or rate_off else self.make_rng("droppath")
@@ -469,6 +516,8 @@ class ParallelScalingBlock(nn.Module):
     proj_drop: float = 0.0
     attn_drop: float = 0.0
     use_pallas: bool = False
+    use_pallas_mlp: bool = False  # accepted for block_kwargs parity; the
+    # fused in-projection precludes the standalone MLP custom VJP
     act: str = "gelu"
     glu: bool = False             # accepted for block_kwargs parity; unused
     norm_type: str = "layernorm"
@@ -531,6 +580,7 @@ class ParallelThingsBlock(nn.Module):
     proj_drop: float = 0.0
     attn_drop: float = 0.0
     use_pallas: bool = False
+    use_pallas_mlp: bool = False
     act: str = "gelu"
     glu: bool = False
     norm_type: str = "layernorm"
@@ -569,7 +619,7 @@ class ParallelThingsBlock(nn.Module):
         for i in range(self.num_parallel):
             y = Mlp(hidden_dim=int(d * self.mlp_ratio), out_dim=d,
                     dropout=self.proj_drop, act=self.act, glu=self.glu,
-                    dtype=self.dtype,
+                    use_pallas=self.use_pallas_mlp, dtype=self.dtype,
                     param_dtype=self.param_dtype, name=f"mlps_{i}")(
                 _layer_norm(self.dtype, self.param_dtype,
                             f"mlp_norms_{i}")(x), deterministic)

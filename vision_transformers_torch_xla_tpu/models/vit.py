@@ -113,6 +113,8 @@ class VisionTransformer(nn.Module):
     # channel pruning (models/prune.py; reference models/_prune.py:116).
     # Loop mode only — scan stacks layers and needs uniform shapes.
     use_pallas_attn: bool = False
+    use_pallas_mlp: bool = False               # fused-backward MLP custom
+    # VJP (ops/mlp_fused.py) — same param tree as the Dense path
     remat: bool = False                        # gradient checkpointing
     remat_policy: str = "nothing"              # 'nothing' | 'dots' — what the
     # checkpointed blocks may keep ('dots' saves matmul outputs, recomputing
@@ -222,7 +224,8 @@ class VisionTransformer(nn.Module):
             qkv_bias=self.qkv_bias, qk_norm=self.qk_norm,
             init_values=self.init_values,
             proj_drop=self.proj_drop_rate, attn_drop=self.attn_drop_rate,
-            use_pallas=self.use_pallas_attn, act=self.act_layer,
+            use_pallas=self.use_pallas_attn,
+            use_pallas_mlp=self.use_pallas_mlp, act=self.act_layer,
             glu=self.swiglu_mlp, norm_type=self.norm_type, dtype=self.dtype,
             param_dtype=self.param_dtype)  # shared by loop + scan paths
         if self.mlp_hidden is not None and (self.scan_blocks or

@@ -390,7 +390,8 @@ def _batch_partitioned(raw_fn, out_rank: int, rule: str = "b s c -> b s o",
 
     def _lead_batch(mesh, batch, rank, bdim=0):
         spec = [None] * rank
-        spec[bdim] = batch
+        if bdim is not None:  # bdim None = no batch dim (e.g. weights)
+            spec[bdim] = batch
         return NamedSharding(mesh, PartitionSpec(*spec))
 
     def _out_shardings(mesh, batch, result_shape):
