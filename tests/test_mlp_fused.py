@@ -143,6 +143,38 @@ def test_mlp_module_routing_and_param_tree():
     assert m_odd.apply(v_odd, x).shape == (2, 9, 128)
 
 
+def test_partitioning_wiring():
+    """The backward rides jax custom_partitioning (batch over 'data'/'fsdp',
+    w2 replicated via the arg_batch_dims=None slot). Its per-shard SEMANTICS
+    can't be exercised hermetically: jit + interpret-mode Pallas trips a JAX
+    lowering bug (OrderedIOEffect KeyError in custom_partitioning's
+    lower_fun — identical for the established attention ops), so sharded
+    execution is validated on real TPU like those. Here we pin the wiring:
+    the partitioned bwd builds, is a custom_partitioning, and its raw call
+    produces the same values the op's grads rely on."""
+    from jax.experimental.custom_partitioning import custom_partitioning
+
+    from vision_transformers_torch_xla_tpu.ops import mlp_fused
+    from vision_transformers_torch_xla_tpu.ops.flash_attention import (
+        _batch_partitioned,
+    )
+
+    bwd_p = _batch_partitioned(
+        mlp_fused._fc2_bwd_call, out_rank=3,
+        rule="b s o, k o, b s k -> b s k, b s k, b k",
+        repl=("s", "o", "k"), arg_batch_dims=(0, None, 0),
+        out_batch_dims=(0, 0, 0))
+    assert isinstance(bwd_p, custom_partitioning)
+    x, w1, b1, w2, b2 = _inputs(b=2, s=9, seed=17)
+    h = jnp.einsum("bsd,dk->bsk", x, w1) + b1
+    dy = jnp.ones_like(x)
+    dh_p, a_p, db1_p = bwd_p(dy, w2, h)
+    dh_r, a_r, db1_r = mlp_fused._fc2_bwd_call(dy, w2, h)
+    np.testing.assert_allclose(np.asarray(dh_p), np.asarray(dh_r))
+    np.testing.assert_allclose(np.asarray(a_p), np.asarray(a_r))
+    np.testing.assert_allclose(np.asarray(db1_p), np.asarray(db1_r))
+
+
 def test_vit_block_end_to_end_grads():
     """Block-level: pallas-MLP vs Dense-MLP gradients on shared params."""
     from vision_transformers_torch_xla_tpu.models.layers import Block

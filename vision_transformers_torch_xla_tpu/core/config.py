@@ -47,6 +47,9 @@ class TrainConfig:
     pallas_attn: str = "auto"            # 'auto' | 'on' | 'off': head-pair
     # Pallas attention kernel (ops/flash_attention.py). auto = on for TPU
     # backends on models that support it, off on CPU (Mosaic needs a TPU)
+    pallas_mlp: str = "off"              # 'on' | 'off': fused-backward MLP
+    # custom VJP (ops/mlp_fused.py). Off by default pending on-chip A/B;
+    # same param tree either way, so the flag flips freely across resumes
 
     # --- EMA (main.py:161-167) ---
     model_ema: bool = False

@@ -186,6 +186,9 @@ def setup(cfg: TrainConfig) -> TrainerContext:
         and jax.default_backend() not in ("cpu",))
     if want_pallas and hasattr(model, "use_pallas_attn"):
         model = model.clone(use_pallas_attn=True)
+    if cfg.pallas_mlp == "on" and hasattr(model, "use_pallas_mlp"):
+        # fused-backward MLP custom VJP (ops/mlp_fused.py); explicit opt-in
+        model = model.clone(use_pallas_mlp=True)
 
     sample = jnp.zeros((cfg.batch_size, cfg.input_size, cfg.input_size, 3),
                        jnp.float32)
