@@ -174,3 +174,244 @@ def test_load_orbax_dir_as_teacher(tmp_path, tiny_model_kwargs):
     np.testing.assert_allclose(
         np.asarray(loaded["head"]["kernel"]),
         np.asarray(params["head"]["kernel"]))
+
+
+# --- ResNet / Swin family converters ---------------------------------------
+
+def _flat(tree):
+    return {jax.tree_util.keystr(p): np.asarray(l) for p, l in
+            jax.tree_util.tree_flatten_with_path(tree)[0]}
+
+
+def _resnet_sd_from_flax(variables, seed=0):
+    """Inverse-map our flax ResNet tree to a timm-named torch state dict.
+
+    Exercises every name class the converter must handle; values are the
+    flax leaves (torch-transposed) so a converted roundtrip is exact.
+    """
+    import re as _re
+
+    sd = {}
+
+    def put(name, arr):
+        sd[name] = torch.from_numpy(np.ascontiguousarray(arr))
+
+    deep = "stem_conv1" in variables["params"]
+    for coll, kinds in (("params", ("scale", "bias")),
+                        ("batch_stats", ("mean", "var"))):
+        for key, leaf in _flat(variables.get(coll, {})).items():
+            parts = [p.strip("'[]") for p in
+                     _re.findall(r"\['[^']+'\]", key)]
+            tname = {"scale": "weight", "bias": "bias",
+                     "mean": "running_mean", "var": "running_var"}
+            if parts[0].startswith("stages_"):
+                m = _re.match(r"stages_(\d+)_blocks_(\d+)", parts[0])
+                pre = f"layer{int(m.group(1)) + 1}.{m.group(2)}."
+                mod, rest = parts[1], parts[2:]
+                if mod.startswith("conv"):
+                    put(pre + f"{mod}.weight", leaf.transpose(3, 2, 0, 1))
+                elif mod == "downsample_conv":
+                    put(pre + "downsample.0.weight",
+                        leaf.transpose(3, 2, 0, 1))
+                elif mod == "downsample_bn":
+                    put(pre + f"downsample.1.{tname[rest[1]]}", leaf)
+                elif mod.startswith("bn"):
+                    put(pre + f"{mod}.{tname[rest[1]]}", leaf)
+                elif mod == "attn_se_reduce":
+                    k = "se.fc1.weight" if rest[0] == "kernel" else "se.fc1.bias"
+                    put(pre + k, leaf.transpose(3, 2, 0, 1)
+                        if rest[0] == "kernel" else leaf)
+                elif mod == "attn_se_expand":
+                    k = "se.fc2.weight" if rest[0] == "kernel" else "se.fc2.bias"
+                    put(pre + k, leaf.transpose(3, 2, 0, 1)
+                        if rest[0] == "kernel" else leaf)
+                elif mod == "attn_eca_conv":
+                    put(pre + "se.conv.weight", leaf.transpose(2, 1, 0))
+                else:
+                    raise AssertionError(f"test inverse-map misses {key}")
+            elif parts[0] == "head":
+                put("fc.weight" if parts[1] == "kernel" else "fc.bias",
+                    leaf.T if parts[1] == "kernel" else leaf)
+            elif parts[0] == "stem_conv":
+                put("conv1.weight", leaf.transpose(3, 2, 0, 1))
+            elif m := _re.match(r"stem_conv(\d)", parts[0]):
+                idx = {"1": "0", "2": "3", "3": "6"}[m.group(1)]
+                put(f"conv1.{idx}.weight", leaf.transpose(3, 2, 0, 1))
+            elif parts[0] == "stem_bn" or (parts[0] == "stem_bn3" and deep):
+                put(f"bn1.{tname[parts[2]]}", leaf)
+            elif m := _re.match(r"stem_bn(\d)", parts[0]):
+                idx = {"1": "1", "2": "4"}[m.group(1)]
+                put(f"conv1.{idx}.{tname[parts[2]]}", leaf)
+            elif parts[0] == "stem_pool_conv":
+                put("maxpool.0.weight", leaf.transpose(3, 2, 0, 1))
+            elif parts[0] == "stem_pool_bn":
+                put(f"maxpool.1.{tname[parts[2]]}", leaf)
+            else:
+                raise AssertionError(f"test inverse-map misses {key}")
+    return sd
+
+
+def _assert_same_tree(converted, target, msg):
+    flat_c, flat_t = _flat(converted), _flat(target)
+    assert set(flat_c) == set(flat_t), (
+        f"{msg}: extra={sorted(set(flat_c) - set(flat_t))[:5]} "
+        f"missing={sorted(set(flat_t) - set(flat_c))[:5]}")
+    for k in flat_t:
+        assert tuple(flat_c[k].shape) == tuple(flat_t[k].shape), (msg, k)
+        np.testing.assert_allclose(flat_c[k], flat_t[k], err_msg=(msg, k))
+
+
+@pytest.mark.parametrize("name", ["resnet18", "resnet50d", "seresnet50",
+                                  "ecaresnet50d"])
+def test_resnet_converter_roundtrip_structure(name):
+    """Every flax leaf (params AND batch_stats) is produced by converting a
+    timm-named state dict, with exact values (transposes are involutions)."""
+    from vision_transformers_torch_xla_tpu.ckpt.torch_compat import (
+        convert_resnet_state_dict,
+        detect_architecture,
+    )
+    from vision_transformers_torch_xla_tpu.models.factory import create_model
+
+    m = create_model(name, num_classes=10, dtype=jnp.float32)
+    variables = jax.eval_shape(
+        lambda k: m.init(k, jnp.zeros((1, 64, 64, 3)), True),
+        {"params": jax.random.key(0)})
+    variables = jax.tree.map(
+        lambda s: np.random.default_rng(0).normal(size=s.shape)
+        .astype(np.float32), nn.meta.unbox(variables))
+    sd = _resnet_sd_from_flax(variables)
+    assert detect_architecture(sd) == "resnet"
+    out = convert_resnet_state_dict(sd)
+    _assert_same_tree(out["params"], variables["params"], f"{name} params")
+    _assert_same_tree(out["batch_stats"], variables["batch_stats"],
+                      f"{name} batch_stats")
+
+
+def test_resnet_converted_forward():
+    """Converted params + batch_stats drive a real eval-mode forward."""
+    from vision_transformers_torch_xla_tpu.ckpt.torch_compat import (
+        convert_resnet_state_dict,
+    )
+    from vision_transformers_torch_xla_tpu.models.factory import create_model
+
+    m = create_model("resnet18", num_classes=10, dtype=jnp.float32)
+    x = jnp.zeros((1, 64, 64, 3), jnp.float32)
+    init = nn.meta.unbox(m.init({"params": jax.random.key(0)}, x, True))
+    sd = _resnet_sd_from_flax(jax.tree.map(np.asarray, init))
+    out = convert_resnet_state_dict(sd)
+    y = m.apply({"params": jax.tree.map(jnp.asarray, out["params"]),
+                 "batch_stats": jax.tree.map(jnp.asarray, out["batch_stats"])},
+                x, True)
+    ref = m.apply(init, x, True)
+    np.testing.assert_allclose(np.asarray(y), np.asarray(ref),
+                               atol=1e-5, rtol=1e-5)
+
+
+def test_swin_converter_roundtrip_structure():
+    from vision_transformers_torch_xla_tpu.ckpt.torch_compat import (
+        _swin_merge_perm,
+        convert_swin_state_dict,
+        detect_architecture,
+    )
+    from vision_transformers_torch_xla_tpu.models.factory import create_model
+    import re as _re
+
+    m = create_model("swin_tiny_patch4_window7_224", num_classes=10,
+                     dtype=jnp.float32)
+    variables = jax.eval_shape(
+        lambda k: m.init(k, jnp.zeros((1, 224, 224, 3)), True),
+        {"params": jax.random.key(0)})
+    params = jax.tree.map(
+        lambda s: np.random.default_rng(1).normal(size=s.shape)
+        .astype(np.float32), nn.meta.unbox(variables))["params"]
+
+    sd = {}
+
+    def put(tname, arr):
+        sd[tname] = torch.from_numpy(np.ascontiguousarray(arr))
+
+    for key, leaf in _flat(params).items():
+        parts = [p.strip("'[]") for p in _re.findall(r"\['[^']+'\]", key)]
+        if parts[0] == "patch_embed":
+            if parts[1] == "kernel":
+                kk, d = leaf.shape
+                p4 = int(round((kk // 3) ** 0.5))
+                put("patch_embed.proj.weight",
+                    leaf.reshape(p4, p4, 3, d).transpose(3, 2, 0, 1))
+            else:
+                put("patch_embed.proj.bias", leaf)
+        elif parts[0] == "patch_norm":
+            put("patch_embed.norm."
+                + ("weight" if parts[1] == "scale" else "bias"), leaf)
+        elif m2 := _re.match(r"merge_norm_(\d+)", parts[0]):
+            inv = np.argsort(_swin_merge_perm(leaf.shape[0]))
+            put(f"layers.{m2.group(1)}.downsample.norm."
+                + ("weight" if parts[1] == "scale" else "bias"), leaf[inv])
+        elif m2 := _re.match(r"merge_proj_(\d+)", parts[0]):
+            inv = np.argsort(_swin_merge_perm(leaf.shape[0]))
+            put(f"layers.{m2.group(1)}.downsample.reduction.weight",
+                leaf.T[:, inv])
+        elif m2 := _re.match(r"stages_(\d+)_blocks_(\d+)", parts[0]):
+            pre = f"layers.{m2.group(1)}.blocks.{m2.group(2)}."
+            if parts[1] in ("norm1", "norm2"):
+                put(pre + f"{parts[1]}."
+                    + ("weight" if parts[2] == "scale" else "bias"), leaf)
+            elif parts[1] == "attn" and parts[2] == "rel_pos_bias_table":
+                put(pre + "attn.relative_position_bias_table", leaf)
+            elif parts[1] == "attn":
+                put(pre + f"attn.{parts[2]}."
+                    + ("weight" if parts[3] == "kernel" else "bias"),
+                    leaf.T if parts[3] == "kernel" else leaf)
+            elif parts[1] == "mlp":
+                put(pre + f"mlp.{parts[2]}."
+                    + ("weight" if parts[3] == "kernel" else "bias"),
+                    leaf.T if parts[3] == "kernel" else leaf)
+            else:
+                raise AssertionError(f"swin inverse-map misses {key}")
+        elif parts[0] == "norm":
+            put("norm." + ("weight" if parts[1] == "scale" else "bias"), leaf)
+        elif parts[0] == "head":
+            put("head.fc." + ("weight" if parts[1] == "kernel" else "bias"),
+                leaf.T if parts[1] == "kernel" else leaf)
+        else:
+            raise AssertionError(f"swin inverse-map misses {key}")
+    # buffers the converter must skip
+    sd["layers.0.blocks.0.attn.relative_position_index"] = torch.zeros(
+        49, 49, dtype=torch.long)
+
+    assert detect_architecture(sd) == "swin"
+    out = convert_swin_state_dict(sd)
+    _assert_same_tree(out, params, "swin params")
+
+
+def test_swin_merge_permutation_numerics():
+    """The reference PatchMerging flattens (w_sub, h_sub, c); ours flattens
+    (h_sub, w_sub, c). With permuted norm/reduction weights the two paths
+    must agree numerically (reference swin_transformer.py:476)."""
+    from vision_transformers_torch_xla_tpu.ckpt.torch_compat import (
+        _swin_merge_perm,
+    )
+
+    rng = np.random.default_rng(2)
+    c, out_dim = 6, 5
+    x = rng.normal(size=(1, 4, 4, c)).astype(np.float32)
+    g = rng.normal(size=(4 * c,)).astype(np.float32)
+    b = rng.normal(size=(4 * c,)).astype(np.float32)
+    w = rng.normal(size=(out_dim, 4 * c)).astype(np.float32)
+
+    def ln(v, g, b):
+        mu = v.mean(-1, keepdims=True)
+        var = v.var(-1, keepdims=True)
+        return (v - mu) / np.sqrt(var + 1e-5) * g + b
+
+    # reference: permute(0,1,3,4,2,5) == (B, H2, W2, w_sub, h_sub, C)
+    xt = x.reshape(1, 2, 2, 2, 2, c).transpose(0, 1, 3, 4, 2, 5) \
+        .reshape(1, 2, 2, 4 * c)
+    y_ref = ln(xt, g, b) @ w.T
+    # ours: transpose(0,1,3,2,4,5) == (B, H2, W2, h_sub, w_sub, C)
+    xo = x.reshape(1, 2, 2, 2, 2, c).transpose(0, 1, 3, 2, 4, 5) \
+        .reshape(1, 2, 2, 4 * c)
+    perm = _swin_merge_perm(4 * c)
+    kernel_ours = w[:, perm].T          # what the converter produces (4C, out)
+    y_ours = ln(xo, g[perm], b[perm]) @ kernel_ours
+    np.testing.assert_allclose(y_ours, y_ref, atol=1e-5, rtol=1e-5)

@@ -19,13 +19,16 @@ ap.add_argument("--scan", action="store_true")
 ap.add_argument("--remat", action="store_true")
 ap.add_argument("--remat_policy", default="nothing")
 ap.add_argument("--pallas", action="store_true")
+ap.add_argument("--pallas_mlp", action="store_true",
+                help="fused-backward MLP custom VJP (ops/mlp_fused.py)")
 args = ap.parse_args()
 
 t_start = time.time()
 model = create_model(args.model, drop_path_rate=0.1,
                      scan_blocks=args.scan or None, remat=args.remat or None,
                      remat_policy=args.remat_policy if args.remat else None,
-                     use_pallas_attn=args.pallas or None)
+                     use_pallas_attn=args.pallas or None,
+                     use_pallas_mlp=args.pallas_mlp or None)
 x = jnp.zeros((args.batch, 224, 224, 3), jnp.float32)
 init_fn = jax.jit(lambda k: nn.meta.unbox(model.init(k, x, True))["params"])
 params = init_fn({"params": jax.random.key(0)})
@@ -48,7 +51,8 @@ for _ in range(args.iters):
     state, m = step(state, images, labels, key)
 float(m["loss"])
 dt = (time.perf_counter()-t0)/args.iters
-print(f"{args.model} b{args.batch} scan={args.scan} remat={args.remat} pallas={args.pallas}: "
+print(f"{args.model} b{args.batch} scan={args.scan} remat={args.remat} "
+      f"pallas={args.pallas} pallas_mlp={args.pallas_mlp}: "
       f"setup+compile {t_compile:.0f}s, {dt*1e3:.1f} ms/step, {args.batch/dt:.0f} img/s", flush=True)
 
 # note: --device-aug variant lives in tools/bench_device_aug.py

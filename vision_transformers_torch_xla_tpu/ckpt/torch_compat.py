@@ -1,10 +1,14 @@
-"""Load reference torch checkpoints into the Flax ViT.
+"""Load reference torch checkpoints into the Flax models.
 
 The reference fine-tunes from `.pth` pickles with timm state_dict naming
 (reference main.py:232-238 --finetune, utils/__init__.py:550-596
 load_state_dict; checkpoint dict keys model/optimizer/epoch per
-utils/__init__.py:710-722). This converter maps that naming onto our
-param tree so users can migrate checkpoints without retraining.
+utils/__init__.py:710-722). These converters map that naming onto our
+param trees so users can migrate checkpoints without retraining.
+Families: ViT/DeiT (incl. dist token), ConvNeXt, ResNet (+SE/ECA/deep-stem
+variants, BatchNorm running stats -> the flax 'batch_stats' collection),
+Swin (incl. the PatchMerging channel-order permutation). Architecture is
+auto-detected from the state-dict key shapes.
 
 torch is used only here (CPU wheel, read-only unpickling).
 """
@@ -161,8 +165,190 @@ def convert_convnext_state_dict(sd: Dict[str, Any]) -> Dict[str, Any]:
     return params
 
 
+def _put_in(tree: Dict[str, Any], path, value):
+    node = tree
+    for k in path[:-1]:
+        node = node.setdefault(k, {})
+    node[path[-1]] = value
+
+
+def _conv_hwio(w: np.ndarray) -> np.ndarray:
+    """torch OIHW conv weight -> flax HWIO."""
+    return w.transpose(2, 3, 1, 0)
+
+
+def convert_resnet_state_dict(sd: Dict[str, Any]) -> Dict[str, Any]:
+    """timm ResNet state_dict -> {'params', 'batch_stats'} (models/resnet.py).
+
+    Covers the whole registered surface's naming: plain 7x7 stem (conv1/bn1,
+    reference models/resnet.py:506-507), deep 3-conv stems (conv1.{0,3,6}
+    convs + conv1.{1,4} norms, :495-502), replace_stem_pool (maxpool.0 conv +
+    maxpool.1 norm, :512-519), layer{1-4}.{B} blocks (conv1-3/bn1-3,
+    downsample.{conv,bn} at any Sequential index — avg-pool 'd' variants
+    shift them), SE (se.fc1/fc2) and ECA (se.conv) attention, fc head.
+    BatchNorm running stats land in 'batch_stats' (flax collection);
+    GroupNorm variants simply have none.
+    """
+    params: Dict[str, Any] = {}
+    stats: Dict[str, Any] = {}
+    deep_stem = "conv1.0.weight" in sd
+
+    def put_norm(dst, kind, w):
+        if kind == "weight":
+            _put_in(params, (*dst, "norm", "scale"), w)
+        elif kind == "bias":
+            _put_in(params, (*dst, "norm", "bias"), w)
+        elif kind == "running_mean":
+            _put_in(stats, (*dst, "norm", "mean"), w)
+        elif kind == "running_var":
+            _put_in(stats, (*dst, "norm", "var"), w)
+
+    deep_conv = {"0": "stem_conv1", "3": "stem_conv2", "6": "stem_conv3"}
+    deep_bn = {"1": "stem_bn1", "4": "stem_bn2"}
+    for name, w in sd.items():
+        if name.endswith("num_batches_tracked"):
+            continue
+        w = _t(w)
+        if (m := re.match(r"conv1\.(\d)\.weight", name)) \
+                and m.group(1) in deep_conv:  # conv1.{1,4}.weight is a norm's
+            _put_in(params, (deep_conv[m.group(1)], "kernel"), _conv_hwio(w))
+        elif m := re.match(r"conv1\.(\d)\.(weight|bias|running_mean|running_var)", name):
+            put_norm((deep_bn[m.group(1)],), m.group(2), w)
+        elif name == "conv1.weight":
+            _put_in(params, ("stem_conv", "kernel"), _conv_hwio(w))
+        elif m := re.match(r"bn1\.(weight|bias|running_mean|running_var)", name):
+            put_norm(("stem_bn3" if deep_stem else "stem_bn",), m.group(1), w)
+        elif m := re.match(r"maxpool\.\d\.(.+)", name):
+            rest = m.group(1)
+            if rest == "weight" and w.ndim == 4:
+                _put_in(params, ("stem_pool_conv", "kernel"), _conv_hwio(w))
+            else:
+                put_norm(("stem_pool_bn",), rest, w)
+        elif m := re.match(r"layer(\d+)\.(\d+)\.(.+)", name):
+            blk = f"stages_{int(m.group(1)) - 1}_blocks_{m.group(2)}"
+            rest = m.group(3)
+            if m2 := re.match(r"conv(\d)\.weight", rest):
+                _put_in(params, (blk, f"conv{m2.group(1)}", "kernel"),
+                        _conv_hwio(w))
+            elif m2 := re.match(r"bn(\d)\.(weight|bias|running_mean|running_var)", rest):
+                put_norm((blk, f"bn{m2.group(1)}"), m2.group(2), w)
+            elif m2 := re.match(r"downsample\.\d\.(.+)", rest):
+                kind = m2.group(1)
+                if kind == "weight" and w.ndim == 4:
+                    _put_in(params, (blk, "downsample_conv", "kernel"),
+                            _conv_hwio(w))
+                else:
+                    put_norm((blk, "downsample_bn"), kind, w)
+            elif m2 := re.match(r"se\.fc1\.(weight|bias)", rest):
+                _put_in(params, (blk, "attn_se_reduce",
+                                 "kernel" if m2.group(1) == "weight" else "bias"),
+                        _conv_hwio(w) if m2.group(1) == "weight" else w)
+            elif m2 := re.match(r"se\.fc2\.(weight|bias)", rest):
+                _put_in(params, (blk, "attn_se_expand",
+                                 "kernel" if m2.group(1) == "weight" else "bias"),
+                        _conv_hwio(w) if m2.group(1) == "weight" else w)
+            elif rest == "se.conv.weight":
+                # ECA Conv1d (1, 1, k) -> flax Conv kernel (k, 1, 1)
+                _put_in(params, (blk, "attn_eca_conv", "kernel"),
+                        w.transpose(2, 1, 0))
+            else:
+                log.warning("unmapped resnet block param %s", name)
+        elif m := re.match(r"fc\.(weight|bias)", name):
+            _put_in(params, ("head", "kernel" if m.group(1) == "weight" else "bias"),
+                    w.T if m.group(1) == "weight" else w)
+        else:
+            log.warning("unmapped resnet param %s (shape %s)", name, w.shape)
+    return {"params": params, "batch_stats": stats}
+
+
+def _swin_merge_perm(four_c: int) -> np.ndarray:
+    """Channel permutation for PatchMerging weights.
+
+    The reference flattens the 2x2 neighborhood as (w_sub, h_sub, c)
+    (reference swin_transformer.py:476 permute(0,1,3,4,2,5)); our merge
+    flattens (h_sub, w_sub, c) (models/swin.py). perm[j] gives the timm
+    channel feeding OUR channel j, applied to merge_norm params and the
+    reduction kernel's input dim.
+    """
+    c = four_c // 4
+    j = np.arange(four_c)
+    h, rem = j // (2 * c), j % (2 * c)
+    w_sub, ch = rem // c, rem % c
+    return w_sub * 2 * c + h * c + ch
+
+
+def convert_swin_state_dict(sd: Dict[str, Any]) -> Dict[str, Any]:
+    """timm SwinTransformer state_dict -> our flax params (models/swin.py).
+
+    Naming (the reference vendors timm's swin_transformer.py):
+    patch_embed.proj/norm, layers.L.blocks.B.{norm1,attn.qkv,attn.proj,
+    attn.relative_position_bias_table,norm2,mlp.fc1,mlp.fc2},
+    layers.L.downsample.{norm,reduction} (at the START of layers 1+,
+    reference :706), norm, head.fc. Buffers (relative_position_index,
+    attn_mask) are recomputed here, not loaded. PatchMerging channels are
+    permuted to our (h_sub, w_sub, c) flatten order (see _swin_merge_perm).
+    """
+    params: Dict[str, Any] = {}
+
+    for name, w in sd.items():
+        if ("relative_position_index" in name or name.endswith("attn_mask")
+                or name.endswith("num_batches_tracked")):
+            continue
+        w = _t(w)
+        if name == "patch_embed.proj.weight":
+            d, c, kh, kw = w.shape
+            _put_in(params, ("patch_embed", "kernel"),
+                    w.transpose(2, 3, 1, 0).reshape(kh * kw * c, d))
+        elif name == "patch_embed.proj.bias":
+            _put_in(params, ("patch_embed", "bias"), w)
+        elif m := re.match(r"patch_embed\.norm\.(weight|bias)", name):
+            _put_in(params, ("patch_norm",
+                             "scale" if m.group(1) == "weight" else "bias"), w)
+        elif m := re.match(r"layers\.(\d+)\.downsample\.norm\.(weight|bias)", name):
+            perm = _swin_merge_perm(w.shape[0])
+            _put_in(params, (f"merge_norm_{m.group(1)}",
+                             "scale" if m.group(2) == "weight" else "bias"),
+                    w[perm])
+        elif m := re.match(r"layers\.(\d+)\.downsample\.reduction\.weight", name):
+            perm = _swin_merge_perm(w.shape[1])
+            _put_in(params, (f"merge_proj_{m.group(1)}", "kernel"),
+                    w[:, perm].T)
+        elif m := re.match(r"layers\.(\d+)\.blocks\.(\d+)\.(.+)", name):
+            blk = f"stages_{m.group(1)}_blocks_{m.group(2)}"
+            rest = m.group(3)
+            if m2 := re.match(r"(norm1|norm2)\.(weight|bias)", rest):
+                _put_in(params, (blk, m2.group(1),
+                                 "scale" if m2.group(2) == "weight" else "bias"), w)
+            elif m2 := re.match(r"attn\.(qkv|proj)\.(weight|bias)", rest):
+                _put_in(params, (blk, "attn", m2.group(1),
+                                 "kernel" if m2.group(2) == "weight" else "bias"),
+                        w.T if m2.group(2) == "weight" else w)
+            elif rest == "attn.relative_position_bias_table":
+                _put_in(params, (blk, "attn", "rel_pos_bias_table"), w)
+            elif m2 := re.match(r"mlp\.fc(\d)\.(weight|bias)", rest):
+                _put_in(params, (blk, "mlp", f"fc{m2.group(1)}",
+                                 "kernel" if m2.group(2) == "weight" else "bias"),
+                        w.T if m2.group(2) == "weight" else w)
+            else:
+                log.warning("unmapped swin block param %s", name)
+        elif m := re.match(r"norm\.(weight|bias)", name):
+            _put_in(params, ("norm",
+                             "scale" if m.group(1) == "weight" else "bias"), w)
+        elif m := re.match(r"head\.(?:fc\.)?(weight|bias)", name):
+            _put_in(params, ("head",
+                             "kernel" if m.group(1) == "weight" else "bias"),
+                    w.T if m.group(1) == "weight" else w)
+        else:
+            log.warning("unmapped swin param %s (shape %s)", name, w.shape)
+    return params
+
+
 def detect_architecture(sd: Dict[str, Any]) -> str:
     keys = list(sd)
+    if any("relative_position_bias_table" in k for k in keys):
+        return "swin"
+    if any(re.match(r"layer\d+\.\d+\.conv\d\.weight", k) for k in keys):
+        return "resnet"
     if any(".conv_dw." in k or k.startswith("stem.0") for k in keys):
         return "convnext"
     return "vit"
@@ -209,6 +395,12 @@ def load_reference_checkpoint(path: str, model_key: str = "model|module",
     if model_prefix:
         sd = {k[len(model_prefix):] if k.startswith(model_prefix) else k: v
               for k, v in sd.items()}
-    if detect_architecture(sd) == "convnext":
+    arch = detect_architecture(sd)
+    if arch == "swin":
+        return convert_swin_state_dict(sd)
+    if arch == "resnet":
+        # {'params', 'batch_stats'}: callers merge stats into model_state
+        return convert_resnet_state_dict(sd)
+    if arch == "convnext":
         return convert_convnext_state_dict(sd)
     return convert_vit_state_dict(sd)

@@ -87,16 +87,35 @@ def _put_batch(batch, mesh):
             _to_global(np.asarray(labels), mesh, P("data")))
 
 
-def _load_params_into(params, loaded):
+def _split_variables(loaded):
+    """BN-family converters return {'params', 'batch_stats'} (flax
+    collections); the rest return a bare params tree. Normalize to
+    (params, batch_stats_or_None)."""
+    if isinstance(loaded, dict) and "params" in loaded and \
+            set(loaded) <= {"params", "batch_stats"}:
+        return loaded["params"], loaded.get("batch_stats")
+    return loaded, None
+
+
+def _load_params_into(params, loaded, model_state=None):
     """Graft loaded leaves onto params; keep originals on shape mismatch
     except pos_embed, which is grid-resampled (reference
-    utils/__init__.py:550-596 lenient load + resize_pos_embed)."""
+    utils/__init__.py:550-596 lenient load + resize_pos_embed). BatchNorm
+    running stats (BN-family torch checkpoints) merge into model_state's
+    batch_stats collection when given."""
     from vision_transformers_torch_xla_tpu.models.pretrained import (
         merge_into_params,
     )
 
+    loaded, loaded_stats = _split_variables(loaded)
     out, n_loaded = merge_into_params(params, loaded)
     log.info("loaded %d params from checkpoint", n_loaded)
+    if loaded_stats and model_state is not None \
+            and "batch_stats" in model_state:
+        merged, n_stats = merge_into_params(model_state["batch_stats"],
+                                            loaded_stats, resample=False)
+        model_state["batch_stats"] = merged
+        log.info("loaded %d batch_stats leaves from checkpoint", n_stats)
     return out
 
 
@@ -115,7 +134,10 @@ def _explicit_resume(cfg: TrainConfig, state, start_epoch: int):
 
         loaded = load_reference_checkpoint(path, cfg.model_key,
                                            cfg.model_prefix)
-        state = state.replace(params=_load_params_into(state.params, loaded))
+        mstate = dict(state.model_state) if state.model_state else None
+        new_params = _load_params_into(state.params, loaded, mstate)
+        state = state.replace(params=new_params,
+                              **({"model_state": mstate} if mstate else {}))
         log.info("resumed model weights from %s", path)
         return state, start_epoch
     if not os.path.isdir(path):
@@ -235,7 +257,7 @@ def setup(cfg: TrainConfig) -> TrainerContext:
             )
 
             loaded = load_state_dict(cfg.finetune, model_name=cfg.model)
-        params = _load_params_into(params, loaded)
+        params = _load_params_into(params, loaded, model_state)
 
     lr_fn = cosine_schedule_fn(cfg.lr, cfg.min_lr, cfg.epochs, steps_per_epoch,
                                warmup_epochs=cfg.warmup_epochs,

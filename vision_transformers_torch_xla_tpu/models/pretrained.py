@@ -139,11 +139,18 @@ def load_state_dict(path: str, model_name: str = "") -> Dict[str, Any]:
         return fn(sd)
     from vision_transformers_torch_xla_tpu.ckpt.torch_compat import (
         convert_convnext_state_dict,
+        convert_resnet_state_dict,
+        convert_swin_state_dict,
         convert_vit_state_dict,
         detect_architecture,
     )
 
-    if detect_architecture(sd) == "convnext":
+    arch = detect_architecture(sd)
+    if arch == "swin":
+        return convert_swin_state_dict(sd)
+    if arch == "resnet":
+        return convert_resnet_state_dict(sd)  # {'params', 'batch_stats'}
+    if arch == "convnext":
         return convert_convnext_state_dict(sd)
     return convert_vit_state_dict(sd)
 
@@ -288,6 +295,11 @@ def merge_into_params(params: Any, loaded: Dict[str, Any],
     from flax import linen as nn
 
     params = nn.meta.unbox(params)  # strip Partitioned boxes if present
+    if isinstance(loaded, dict) and "params" in loaded and \
+            set(loaded) <= {"params", "batch_stats"}:
+        # BN-family converters return flax collections; merge the params
+        # here — callers that track model_state merge batch_stats themselves
+        loaded = loaded["params"]
     flat_l = flatten_tree(loaded)
     n_loaded = 0
 
