@@ -415,3 +415,210 @@ def test_swin_merge_permutation_numerics():
     kernel_ours = w[:, perm].T          # what the converter produces (4C, out)
     y_ours = ln(xo, g[perm], b[perm]) @ kernel_ours
     np.testing.assert_allclose(y_ours, y_ref, atol=1e-5, rtol=1e-5)
+
+
+def _effnet_sd_from_flax(variables):
+    """Inverse-map our flax effnet tree to timm names (per-block type from
+    the flax key set, mirroring how the converter infers it from timm's)."""
+    import re as _re
+    from collections import defaultdict
+
+    sd = {}
+
+    def put(name, arr):
+        sd[name] = torch.from_numpy(np.ascontiguousarray(arr))
+
+    tname = {"scale": "weight", "bias": "bias",
+             "mean": "running_mean", "var": "running_var"}
+    # group flax modules per block to decide type
+    block_mods = defaultdict(set)
+    for key in _flat(variables["params"]):
+        if m := _re.match(r"\['s(\d+)_b(\d+)_([a-z_]+)'\]", key):
+            block_mods[(m.group(1), m.group(2))].add(m.group(3))
+
+    def block_table(mods):
+        if "pw_exp" in mods:   # InvertedResidual
+            return {"pw_exp": "conv_pw", "pw_exp_norm": "bn1",
+                    "dw": "conv_dw", "dw_norm": "bn2",
+                    "pw_proj": "conv_pwl", "pw_proj_norm": "bn3"}
+        if "conv_exp" in mods:  # EdgeResidual
+            return {"conv_exp": "conv_exp", "conv_exp_norm": "bn1",
+                    "pw_proj": "conv_pwl", "pw_proj_norm": "bn2"}
+        if "dw" in mods:        # DepthwiseSeparable
+            return {"dw": "conv_dw", "dw_norm": "bn1",
+                    "pw_proj": "conv_pw", "pw_proj_norm": "bn2"}
+        return {"conv": "conv", "norm": "bn1"}  # ConvBnAct
+
+    for coll in ("params", "batch_stats"):
+        for key, leaf in _flat(variables.get(coll, {})).items():
+            parts = [p.strip("'[]") for p in _re.findall(r"\['[^']+'\]", key)]
+            top = parts[0]
+            if m := _re.match(r"s(\d+)_b(\d+)_([a-z_]+)", top):
+                s, b, mod = m.group(1), m.group(2), m.group(3)
+                pre = f"blocks.{s}.{b}."
+                if mod.startswith("se_"):
+                    t = f"se.conv_{mod[3:]}"
+                    put(pre + f"{t}." + ("weight" if parts[1] == "kernel"
+                                         else "bias"),
+                        leaf.transpose(3, 2, 0, 1)
+                        if parts[1] == "kernel" else leaf)
+                    continue
+                t = block_table(block_mods[(s, b)])[mod]
+                if parts[1] == "conv":
+                    put(pre + f"{t}.weight", leaf.transpose(3, 2, 0, 1))
+                else:
+                    put(pre + f"{t}.{tname[parts[2]]}", leaf)
+            elif top == "stem_conv":
+                put("conv_stem.weight", leaf.transpose(3, 2, 0, 1))
+            elif top == "stem_norm":
+                put(f"bn1.{tname[parts[2]]}", leaf)
+            elif top == "head_conv":
+                put("conv_head." + ("weight" if parts[2] == "kernel"
+                                    else "bias"),
+                    leaf.transpose(3, 2, 0, 1)
+                    if parts[2] == "kernel" else leaf)
+            elif top == "head_norm":
+                put(f"bn2.{tname[parts[2]]}", leaf)
+            elif top == "classifier":
+                put("classifier." + ("weight" if parts[1] == "kernel"
+                                     else "bias"),
+                    leaf.T if parts[1] == "kernel" else leaf)
+            else:
+                raise AssertionError(f"effnet inverse-map misses {key}")
+    return sd
+
+
+@pytest.mark.parametrize("name", ["efficientnet_b0", "mobilenetv2_100",
+                                  "efficientnetv2_rw_t", "tinynet_a"])
+def test_efficientnet_converter_roundtrip_structure(name):
+    from vision_transformers_torch_xla_tpu.ckpt.torch_compat import (
+        convert_efficientnet_state_dict,
+        detect_architecture,
+    )
+    from vision_transformers_torch_xla_tpu.models.factory import create_model
+
+    m = create_model(name, num_classes=10, dtype=jnp.float32)
+    variables = jax.eval_shape(
+        lambda k: m.init(k, jnp.zeros((1, 64, 64, 3)), True),
+        {"params": jax.random.key(0)})
+    variables = jax.tree.map(
+        lambda s: np.random.default_rng(0).normal(size=s.shape)
+        .astype(np.float32), nn.meta.unbox(variables))
+    sd = _effnet_sd_from_flax(variables)
+    assert detect_architecture(sd) == "efficientnet"
+    out = convert_efficientnet_state_dict(sd)
+    _assert_same_tree(out["params"], variables["params"], f"{name} params")
+    _assert_same_tree(out["batch_stats"], variables["batch_stats"],
+                      f"{name} batch_stats")
+
+
+def test_mobilenetv3_converted_forward():
+    from vision_transformers_torch_xla_tpu.ckpt.torch_compat import (
+        convert_mobilenetv3_state_dict,
+    )
+    from vision_transformers_torch_xla_tpu.models.factory import create_model
+
+    m = create_model("lcnet_050", num_classes=10, dtype=jnp.float32)
+    x = jnp.zeros((1, 64, 64, 3), jnp.float32)
+    init = nn.meta.unbox(m.init({"params": jax.random.key(0)}, x, True))
+    sd = _mnv3_sd_from_flax(jax.tree.map(np.asarray, init))
+    out = convert_mobilenetv3_state_dict(sd)
+    y = m.apply({"params": jax.tree.map(jnp.asarray, out["params"]),
+                 "batch_stats": jax.tree.map(jnp.asarray, out["batch_stats"])},
+                x, True)
+    ref = m.apply(init, x, True)
+    np.testing.assert_allclose(np.asarray(y), np.asarray(ref),
+                               atol=1e-5, rtol=1e-5)
+
+
+def _mnv3_sd_from_flax(variables):
+    """Inverse-map our flat-numbered MobileNetV3/LCNet tree to timm names:
+    blocks_N -> blocks.N.0, head_conv/head_bn -> a trailing ConvBnAct block,
+    head_fc -> conv_head (with bias)."""
+    import re as _re
+    from collections import defaultdict
+
+    sd = {}
+
+    def put(name, arr):
+        sd[name] = torch.from_numpy(np.ascontiguousarray(arr))
+
+    tname = {"scale": "weight", "bias": "bias",
+             "mean": "running_mean", "var": "running_var"}
+    block_mods = defaultdict(set)
+    n_blocks = -1
+    for key in _flat(variables["params"]):
+        if m := _re.match(r"\['blocks_(\d+)_([a-z_]+)'\]", key):
+            block_mods[m.group(1)].add(m.group(2))
+            n_blocks = max(n_blocks, int(m.group(1)))
+    has_head_conv = any(k.startswith("['head_conv']")
+                        for k in _flat(variables["params"]))
+
+    for coll in ("params", "batch_stats"):
+        for key, leaf in _flat(variables.get(coll, {})).items():
+            parts = [p.strip("'[]") for p in _re.findall(r"\['[^']+'\]", key)]
+            top = parts[0]
+            if m := _re.match(r"blocks_(\d+)_([a-z_]+)", top):
+                n, mod = m.group(1), m.group(2)
+                pre = f"blocks.{n}.0."
+                ir = "pw_exp" in block_mods[n]
+                table = ({"pw_exp": "conv_pw", "bn_exp": "bn1",
+                          "dw": "conv_dw", "bn_dw": "bn2",
+                          "pw": "conv_pwl", "bn_pw": "bn3"} if ir else
+                         {"dw": "conv_dw", "bn_dw": "bn1",
+                          "pw": "conv_pw", "bn_pw": "bn2"})
+                if mod.startswith("se_"):
+                    put(pre + f"se.conv_{mod[3:]}."
+                        + ("weight" if parts[1] == "kernel" else "bias"),
+                        leaf.transpose(3, 2, 0, 1)
+                        if parts[1] == "kernel" else leaf)
+                elif parts[1] == "kernel":
+                    put(pre + f"{table[mod]}.weight",
+                        leaf.transpose(3, 2, 0, 1))
+                else:
+                    put(pre + f"{table[mod]}.{tname[parts[1]]}", leaf)
+            elif top == "stem_conv":
+                put("conv_stem.weight", leaf.transpose(3, 2, 0, 1))
+            elif top == "stem_bn":
+                put(f"bn1.{tname[parts[1]]}", leaf)
+            elif top == "head_conv":
+                put(f"blocks.{n_blocks + 1}.0.conv.weight",
+                    leaf.transpose(3, 2, 0, 1))
+            elif top == "head_bn":
+                put(f"blocks.{n_blocks + 1}.0.bn1.{tname[parts[1]]}", leaf)
+            elif top == "head_fc":
+                put("conv_head." + ("weight" if parts[1] == "kernel"
+                                    else "bias"),
+                    leaf.transpose(3, 2, 0, 1)
+                    if parts[1] == "kernel" else leaf)
+            elif top == "classifier":
+                put("classifier." + ("weight" if parts[1] == "kernel"
+                                     else "bias"),
+                    leaf.T if parts[1] == "kernel" else leaf)
+            else:
+                raise AssertionError(f"mnv3 inverse-map misses {key}")
+    del has_head_conv
+    return sd
+
+
+@pytest.mark.parametrize("name", ["mobilenetv3_large_100", "lcnet_100"])
+def test_mobilenetv3_converter_roundtrip_structure(name):
+    from vision_transformers_torch_xla_tpu.ckpt.torch_compat import (
+        convert_mobilenetv3_state_dict,
+        detect_architecture,
+    )
+    from vision_transformers_torch_xla_tpu.models.factory import create_model
+
+    m = create_model(name, num_classes=10, dtype=jnp.float32)
+    variables = jax.eval_shape(
+        lambda k: m.init(k, jnp.zeros((1, 64, 64, 3)), True),
+        {"params": jax.random.key(0)})
+    variables = jax.tree.map(
+        lambda s: np.random.default_rng(0).normal(size=s.shape)
+        .astype(np.float32), nn.meta.unbox(variables))
+    sd = _mnv3_sd_from_flax(variables)
+    assert detect_architecture(sd) == "mobilenetv3"
+    out = convert_mobilenetv3_state_dict(sd)
+    _assert_same_tree(out["params"], variables["params"], f"{name} params")
+    _assert_same_tree(out["batch_stats"], variables["batch_stats"],
+                      f"{name} batch_stats")

@@ -261,6 +261,176 @@ def convert_resnet_state_dict(sd: Dict[str, Any]) -> Dict[str, Any]:
     return {"params": params, "batch_stats": stats}
 
 
+def convert_efficientnet_state_dict(sd: Dict[str, Any]) -> Dict[str, Any]:
+    """timm EfficientNet-superfamily state_dict -> {'params', 'batch_stats'}.
+
+    Covers the arch-string builder surface (models/effnet_builder.py;
+    reference _efficientnet_builder.py + efficientnet_blocks.py naming):
+    conv_stem/bn1, blocks.S.B with DepthwiseSeparable (conv_dw/bn1/conv_pw/
+    bn2), InvertedResidual (conv_pw/bn1/conv_dw/bn2/conv_pwl/bn3),
+    EdgeResidual (conv_exp/bn1/conv_pwl/bn2), ConvBnAct (conv/bn1), SE
+    (se.conv_reduce/se.conv_expand), conv_head/bn2, classifier. The timm
+    bnN indices are block-type relative, so the type is inferred per block
+    from its key set before mapping. Applies to efficientnet b0-b8/v2/lite,
+    mnasnet, mobilenetv2, tinynet, lcnet, tf_ variants — all share this
+    builder naming on both sides.
+    """
+    from collections import defaultdict
+
+    params: Dict[str, Any] = {}
+    stats: Dict[str, Any] = {}
+
+    def put_norm(dst, kind, w):
+        if kind == "weight":
+            _put_in(params, (*dst, "norm", "scale"), w)
+        elif kind == "bias":
+            _put_in(params, (*dst, "norm", "bias"), w)
+        elif kind == "running_mean":
+            _put_in(stats, (*dst, "norm", "mean"), w)
+        elif kind == "running_var":
+            _put_in(stats, (*dst, "norm", "var"), w)
+
+    blocks: Dict[tuple, Dict[str, Any]] = defaultdict(dict)
+    for name, w in sd.items():
+        if name.endswith("num_batches_tracked"):
+            continue
+        w = _t(w)
+        if name == "conv_stem.weight":
+            _put_in(params, ("stem_conv", "conv", "kernel"), _conv_hwio(w))
+        elif m := re.match(r"bn1\.(weight|bias|running_mean|running_var)", name):
+            put_norm(("stem_norm",), m.group(1), w)
+        elif name == "conv_head.weight":
+            _put_in(params, ("head_conv", "conv", "kernel"), _conv_hwio(w))
+        elif name == "conv_head.bias":  # mobilenetv3-style norm-free head
+            _put_in(params, ("head_conv", "conv", "bias"), w)
+        elif m := re.match(r"bn2\.(weight|bias|running_mean|running_var)", name):
+            put_norm(("head_norm",), m.group(1), w)
+        elif m := re.match(r"classifier\.(weight|bias)", name):
+            _put_in(params, ("classifier",
+                             "kernel" if m.group(1) == "weight" else "bias"),
+                    w.T if m.group(1) == "weight" else w)
+        elif m := re.match(r"blocks\.(\d+)\.(\d+)\.(.+)", name):
+            blocks[(int(m.group(1)), int(m.group(2)))][m.group(3)] = w
+        else:
+            log.warning("unmapped efficientnet param %s (shape %s)",
+                        name, w.shape)
+
+    for (s, b), names in blocks.items():
+        pre = f"s{s}_b{b}"
+        if any(k.startswith("conv_pwl.") for k in names):
+            if any(k.startswith("conv_dw.") for k in names):  # InvertedResidual
+                table = {"conv_pw": "pw_exp", "bn1": "pw_exp_norm",
+                         "conv_dw": "dw", "bn2": "dw_norm",
+                         "conv_pwl": "pw_proj", "bn3": "pw_proj_norm"}
+            else:                                             # EdgeResidual
+                table = {"conv_exp": "conv_exp", "bn1": "conv_exp_norm",
+                         "conv_pwl": "pw_proj", "bn2": "pw_proj_norm"}
+        elif any(k.startswith("conv_dw.") for k in names):    # DepthwiseSep
+            table = {"conv_dw": "dw", "bn1": "dw_norm",
+                     "conv_pw": "pw_proj", "bn2": "pw_proj_norm"}
+        else:                                                 # ConvBnAct
+            table = {"conv": "conv", "bn1": "norm"}
+        for rest, w in names.items():
+            if m := re.match(r"(conv(?:_pw|_pwl|_dw|_exp)?)\.weight", rest):
+                _put_in(params, (f"{pre}_{table[m.group(1)]}",
+                                 "conv", "kernel"), _conv_hwio(w))
+            elif m := re.match(r"(bn\d)\.(weight|bias|running_mean|running_var)", rest):
+                put_norm((f"{pre}_{table[m.group(1)]}",), m.group(2), w)
+            elif m := re.match(r"se\.conv_(reduce|expand)\.(weight|bias)", rest):
+                _put_in(params, (f"{pre}_se_{m.group(1)}",
+                                 "kernel" if m.group(2) == "weight" else "bias"),
+                        _conv_hwio(w) if m.group(2) == "weight" else w)
+            else:
+                log.warning("unmapped efficientnet block param blocks.%d.%d.%s",
+                            s, b, rest)
+    return {"params": params, "batch_stats": stats}
+
+
+def convert_mobilenetv3_state_dict(sd: Dict[str, Any]) -> Dict[str, Any]:
+    """timm MobileNetV3/LCNet state_dict -> {'params', 'batch_stats'}
+    (models/mobilenetv3.py).
+
+    Same builder naming as efficientnet on the torch side, but our module
+    uses a flat block index and a dedicated head: timm's trailing ConvBnAct
+    block (the 960-ch cn stage) maps to head_conv/head_bn, the post-pool
+    conv_head (with bias) to head_fc, and blocks.S.B renumber to blocks_N
+    in (S, B) order. Block-type tables follow convert_efficientnet's
+    inference (conv_pwl present => InvertedResidual).
+    """
+    from collections import defaultdict
+
+    params: Dict[str, Any] = {}
+    stats: Dict[str, Any] = {}
+
+    def put_norm(dst, kind, w):
+        # this module's BatchNorms are named directly (no .norm wrapper)
+        if kind == "weight":
+            _put_in(params, (dst[0], "scale"), w)
+        elif kind == "bias":
+            _put_in(params, (dst[0], "bias"), w)
+        elif kind == "running_mean":
+            _put_in(stats, (dst[0], "mean"), w)
+        elif kind == "running_var":
+            _put_in(stats, (dst[0], "var"), w)
+
+    blocks: Dict[tuple, Dict[str, Any]] = defaultdict(dict)
+    for name, w in sd.items():
+        if name.endswith("num_batches_tracked"):
+            continue
+        w = _t(w)
+        if name == "conv_stem.weight":
+            _put_in(params, ("stem_conv", "kernel"), _conv_hwio(w))
+        elif m := re.match(r"bn1\.(weight|bias|running_mean|running_var)", name):
+            put_norm(("stem_bn",), m.group(1), w)
+        elif m := re.match(r"conv_head\.(weight|bias)", name):
+            _put_in(params, ("head_fc",
+                             "kernel" if m.group(1) == "weight" else "bias"),
+                    _conv_hwio(w) if m.group(1) == "weight" else w)
+        elif m := re.match(r"classifier\.(weight|bias)", name):
+            _put_in(params, ("classifier",
+                             "kernel" if m.group(1) == "weight" else "bias"),
+                    w.T if m.group(1) == "weight" else w)
+        elif m := re.match(r"blocks\.(\d+)\.(\d+)\.(.+)", name):
+            blocks[(int(m.group(1)), int(m.group(2)))][m.group(3)] = w
+        else:
+            log.warning("unmapped mobilenetv3 param %s (shape %s)",
+                        name, w.shape)
+
+    flat = 0
+    for (s, b) in sorted(blocks):
+        names = blocks[(s, b)]
+        if any(k.startswith("conv.") for k in names):  # trailing cn = head
+            for rest, w in names.items():
+                if rest == "conv.weight":
+                    _put_in(params, ("head_conv", "kernel"), _conv_hwio(w))
+                elif m := re.match(r"bn1\.(weight|bias|running_mean|running_var)", rest):
+                    put_norm(("head_bn",), m.group(1), w)
+            continue
+        pre = f"blocks_{flat}"
+        flat += 1
+        if any(k.startswith("conv_pwl.") for k in names):  # InvertedResidual
+            table = {"conv_pw": "pw_exp", "bn1": "bn_exp",
+                     "conv_dw": "dw", "bn2": "bn_dw",
+                     "conv_pwl": "pw", "bn3": "bn_pw"}
+        else:                                              # DepthwiseSep
+            table = {"conv_dw": "dw", "bn1": "bn_dw",
+                     "conv_pw": "pw", "bn2": "bn_pw"}
+        for rest, w in names.items():
+            if m := re.match(r"(conv(?:_pw|_pwl|_dw)?)\.weight", rest):
+                _put_in(params, (f"{pre}_{table[m.group(1)]}", "kernel"),
+                        _conv_hwio(w))
+            elif m := re.match(r"(bn\d)\.(weight|bias|running_mean|running_var)", rest):
+                put_norm((f"{pre}_{table[m.group(1)]}",), m.group(2), w)
+            elif m := re.match(r"se\.conv_(reduce|expand)\.(weight|bias)", rest):
+                _put_in(params, (f"{pre}_se_{m.group(1)}",
+                                 "kernel" if m.group(2) == "weight" else "bias"),
+                        _conv_hwio(w) if m.group(2) == "weight" else w)
+            else:
+                log.warning("unmapped mobilenetv3 block param blocks.%d.%d.%s",
+                            s, b, rest)
+    return {"params": params, "batch_stats": stats}
+
+
 def _swin_merge_perm(four_c: int) -> np.ndarray:
     """Channel permutation for PatchMerging weights.
 
@@ -349,6 +519,13 @@ def detect_architecture(sd: Dict[str, Any]) -> str:
         return "swin"
     if any(re.match(r"layer\d+\.\d+\.conv\d\.weight", k) for k in keys):
         return "resnet"
+    if "conv_stem.weight" in keys:
+        # mobilenetv3/lcnet: post-pool conv_head carries a bias and there is
+        # no top-level bn2 after it (efficientnet has bias-free conv_head+bn2)
+        if "conv_head.bias" in keys and \
+                not any(k.startswith("bn2.") for k in keys):
+            return "mobilenetv3"
+        return "efficientnet"
     if any(".conv_dw." in k or k.startswith("stem.0") for k in keys):
         return "convnext"
     return "vit"
@@ -401,6 +578,10 @@ def load_reference_checkpoint(path: str, model_key: str = "model|module",
     if arch == "resnet":
         # {'params', 'batch_stats'}: callers merge stats into model_state
         return convert_resnet_state_dict(sd)
+    if arch == "efficientnet":
+        return convert_efficientnet_state_dict(sd)
+    if arch == "mobilenetv3":
+        return convert_mobilenetv3_state_dict(sd)
     if arch == "convnext":
         return convert_convnext_state_dict(sd)
     return convert_vit_state_dict(sd)

@@ -137,22 +137,18 @@ def load_state_dict(path: str, model_name: str = "") -> Dict[str, Any]:
     fn = filter_fn_for(model_name)
     if fn is not None:
         return fn(sd)
-    from vision_transformers_torch_xla_tpu.ckpt.torch_compat import (
-        convert_convnext_state_dict,
-        convert_resnet_state_dict,
-        convert_swin_state_dict,
-        convert_vit_state_dict,
-        detect_architecture,
-    )
+    from vision_transformers_torch_xla_tpu.ckpt import torch_compat as tc
 
-    arch = detect_architecture(sd)
-    if arch == "swin":
-        return convert_swin_state_dict(sd)
-    if arch == "resnet":
-        return convert_resnet_state_dict(sd)  # {'params', 'batch_stats'}
-    if arch == "convnext":
-        return convert_convnext_state_dict(sd)
-    return convert_vit_state_dict(sd)
+    arch = tc.detect_architecture(sd)
+    converters = {
+        "swin": tc.convert_swin_state_dict,
+        "resnet": tc.convert_resnet_state_dict,      # {'params','batch_stats'}
+        "efficientnet": tc.convert_efficientnet_state_dict,
+        "mobilenetv3": tc.convert_mobilenetv3_state_dict,
+        "convnext": tc.convert_convnext_state_dict,
+        "vit": tc.convert_vit_state_dict,
+    }
+    return converters[arch](sd)
 
 
 def _find_weights_file(directory: str) -> Optional[str]:
