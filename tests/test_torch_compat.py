@@ -622,3 +622,101 @@ def test_mobilenetv3_converter_roundtrip_structure(name):
     _assert_same_tree(out["params"], variables["params"], f"{name} params")
     _assert_same_tree(out["batch_stats"], variables["batch_stats"],
                       f"{name} batch_stats")
+
+
+# --- torch export (bidirectional compat) ------------------------------------
+
+def _rand_variables(model, img=64):
+    variables = jax.eval_shape(
+        lambda k: model.init(k, jnp.zeros((1, img, img, 3)), True),
+        {"params": jax.random.key(0)})
+    return jax.tree.map(
+        lambda s: np.random.default_rng(3).normal(size=s.shape)
+        .astype(np.float32), nn.meta.unbox(variables))
+
+
+@pytest.mark.parametrize("name,arch", [
+    ("resnet50d", "resnet"),
+    ("seresnet50", "resnet"),
+    ("swin_tiny_patch4_window7_224", "swin"),
+    ("efficientnet_b0", "efficientnet"),
+    ("mobilenetv3_large_100", "mobilenetv3"),
+    ("lcnet_100", "mobilenetv3"),
+])
+def test_export_import_roundtrip(name, arch):
+    """export -> timm names -> convert must reproduce the flax tree exactly,
+    with the family inferred from the flax tree."""
+    from vision_transformers_torch_xla_tpu.ckpt import torch_compat as tc
+    from vision_transformers_torch_xla_tpu.ckpt.torch_export import (
+        detect_flax_architecture,
+        export_torch_state_dict,
+    )
+    from vision_transformers_torch_xla_tpu.models.factory import create_model
+
+    m = create_model(name, num_classes=10, dtype=jnp.float32)
+    variables = _rand_variables(m, img=224 if arch == "swin" else 64)
+    assert detect_flax_architecture(variables["params"]) == arch
+    sd = {k: torch.from_numpy(v) for k, v in
+          export_torch_state_dict(variables).items()}
+    assert tc.detect_architecture(sd) == arch
+    out = {
+        "resnet": tc.convert_resnet_state_dict,
+        "swin": tc.convert_swin_state_dict,
+        "efficientnet": tc.convert_efficientnet_state_dict,
+        "mobilenetv3": tc.convert_mobilenetv3_state_dict,
+    }[arch](sd)
+    if arch == "swin":
+        _assert_same_tree(out, variables["params"], f"{name} params")
+    else:
+        _assert_same_tree(out["params"], variables["params"], f"{name} params")
+        _assert_same_tree(out["batch_stats"], variables["batch_stats"],
+                          f"{name} batch_stats")
+
+
+def test_export_vit_matches_handwritten_sd(tiny_model_kwargs):
+    """Export must emit timm's literal key set: convert the handwritten timm
+    sd, export it back, and compare name-for-name and value-for-value."""
+    from vision_transformers_torch_xla_tpu.ckpt.torch_export import (
+        export_torch_state_dict,
+    )
+
+    sd = _timm_like_sd()
+    params = convert_vit_state_dict(sd)
+    back = export_torch_state_dict({"params": params}, arch="vit")
+    assert set(back) == set(sd)
+    for k in sd:
+        np.testing.assert_allclose(back[k], sd[k].numpy(), err_msg=k)
+
+
+def test_export_convnext_matches_handwritten_sd():
+    from vision_transformers_torch_xla_tpu.ckpt.torch_compat import (
+        convert_convnext_state_dict,
+    )
+    from vision_transformers_torch_xla_tpu.ckpt.torch_export import (
+        export_torch_state_dict,
+    )
+
+    sd = _convnext_like_sd()
+    params = convert_convnext_state_dict(sd)
+    back = export_torch_state_dict({"params": params}, arch="convnext")
+    assert set(back) == set(sd)
+    for k in sd:
+        np.testing.assert_allclose(back[k], sd[k].numpy(), err_msg=k)
+
+
+def test_save_torch_checkpoint_file_roundtrip(tmp_path):
+    """save_torch_checkpoint output loads through load_reference_checkpoint
+    (the reference's --finetune path shape: {'model': sd, ...})."""
+    from vision_transformers_torch_xla_tpu.ckpt.torch_export import (
+        save_torch_checkpoint,
+    )
+    from vision_transformers_torch_xla_tpu.models.factory import create_model
+
+    m = create_model("resnet18", num_classes=10, dtype=jnp.float32)
+    variables = _rand_variables(m)
+    path = str(tmp_path / "export.pth")
+    save_torch_checkpoint(path, variables, extra={"epoch": 7})
+    loaded = load_reference_checkpoint(path)
+    _assert_same_tree(loaded["params"], variables["params"], "file roundtrip")
+    _assert_same_tree(loaded["batch_stats"], variables["batch_stats"],
+                      "file roundtrip stats")

@@ -1,0 +1,437 @@
+"""Export Flax checkpoints back to timm-format torch state dicts.
+
+The inverse of ckpt/torch_compat.py: users of the reference
+(TaiMingLu/vision_transformers_torch_xla, which fine-tunes from timm .pth
+pickles — reference main.py:232-238 --finetune) can train here and take
+the weights back to any torch/timm stack. Round-trip identity with the
+family converters is pinned by tests/test_torch_compat.py (every test
+builds its synthetic timm state dict THROUGH these exporters).
+
+Families: ViT/DeiT, ConvNeXt, ResNet (+SE/ECA/deep-stem, BatchNorm running
+stats from the 'batch_stats' collection), Swin (incl. the PatchMerging
+channel-order permutation), EfficientNet superfamily, MobileNetV3/LCNet.
+Architecture is inferred from the flax tree's top-level names.
+
+Only `save_torch_checkpoint` imports torch (CPU wheel); the exporters
+return plain numpy dicts.
+"""
+from __future__ import annotations
+
+import re
+from typing import Any, Dict, Optional
+
+import numpy as np
+
+from vision_transformers_torch_xla_tpu.ckpt.torch_compat import (
+    _swin_merge_perm,
+)
+
+
+def _flatten(tree: Any, prefix=()) -> Dict[tuple, np.ndarray]:
+    out = {}
+    if isinstance(tree, dict):
+        for k, v in tree.items():
+            out.update(_flatten(v, prefix + (str(k),)))
+    else:
+        out[prefix] = np.asarray(tree)
+    return out
+
+
+def _oihw(k: np.ndarray) -> np.ndarray:
+    """flax HWIO conv kernel -> torch OIHW."""
+    return k.transpose(3, 2, 0, 1)
+
+
+_NORM_T = {"scale": "weight", "bias": "bias",
+           "mean": "running_mean", "var": "running_var"}
+
+
+def detect_flax_architecture(params: Dict[str, Any]) -> str:
+    keys = set(params)
+    if any(re.match(r"merge_norm_\d+", k) for k in keys):
+        return "swin"
+    if any(re.match(r"stages_\d+_blocks_\d+", k) for k in keys) \
+            and "stem_proj" in keys:
+        return "convnext"
+    if any(re.match(r"stem_conv\d?$", k) for k in keys) \
+            and any(re.match(r"stages_\d+_blocks_\d+", k) for k in keys):
+        return "resnet"
+    if any(re.match(r"s\d+_b\d+_", k) for k in keys):
+        return "efficientnet"
+    if any(re.match(r"blocks_\d+_(dw|pw_exp)$", k) for k in keys):
+        return "mobilenetv3"
+    if "patch_embed" in keys and any(re.match(r"blocks_\d+$", k)
+                                     for k in keys):
+        return "vit"
+    raise ValueError(
+        f"cannot infer a timm export family from params with top-level "
+        f"names {sorted(keys)[:10]}...; pass arch= explicitly")
+
+
+def export_vit_state_dict(variables: Dict[str, Any]) -> Dict[str, np.ndarray]:
+    """Our flax ViT/DeiT tree -> timm VisionTransformer state_dict."""
+    sd: Dict[str, np.ndarray] = {}
+    for path, w in _flatten(variables["params"]).items():
+        top = path[0]
+        if top in ("cls_token", "dist_token", "reg_token", "pos_embed"):
+            sd[top] = w
+        elif top == "patch_embed":
+            if path[-1] == "kernel":
+                kk, d = w.shape
+                p = int(round((kk // 3) ** 0.5))
+                sd["patch_embed.proj.weight"] = \
+                    w.reshape(p, p, 3, d).transpose(3, 2, 0, 1)
+            else:
+                sd["patch_embed.proj.bias"] = w
+        elif m := re.match(r"blocks_(\d+)$", top):
+            pre = f"blocks.{m.group(1)}."
+            mod = path[1]
+            if mod in ("norm1", "norm2"):
+                sd[pre + f"{mod}." + ("weight" if path[2] == "scale"
+                                      else "bias")] = w
+            elif mod in ("ls1", "ls2"):
+                sd[pre + f"{mod}.gamma"] = w
+            elif mod == "attn":
+                sub = path[2]
+                if sub in ("q_norm", "k_norm"):
+                    sd[pre + f"attn.{sub}."
+                       + ("weight" if path[3] == "scale" else "bias")] = w
+                else:
+                    sd[pre + f"attn.{sub}."
+                       + ("weight" if path[3] == "kernel" else "bias")] = \
+                        w.T if path[3] == "kernel" else w
+            elif mod == "mlp":
+                sd[pre + f"mlp.{path[2]}."
+                   + ("weight" if path[3] == "kernel" else "bias")] = \
+                    w.T if path[3] == "kernel" else w
+            else:
+                raise ValueError(f"vit export: unmapped {path}")
+        elif top in ("norm", "fc_norm", "norm_pre"):
+            sd[f"{top}." + ("weight" if path[1] == "scale" else "bias")] = w
+        elif top in ("head", "head_dist"):
+            sd[f"{top}." + ("weight" if path[1] == "kernel" else "bias")] = \
+                w.T if path[1] == "kernel" else w
+        else:
+            raise ValueError(f"vit export: unmapped {path}")
+    return sd
+
+
+def export_convnext_state_dict(variables: Dict[str, Any]) -> Dict[str, np.ndarray]:
+    """Our flax ConvNeXt tree -> timm ConvNeXt state_dict."""
+    sd: Dict[str, np.ndarray] = {}
+
+    def s2d_to_conv(w, stride):
+        kk, o = w.shape
+        i = kk // (stride * stride)
+        return w.reshape(stride, stride, i, o).transpose(3, 2, 0, 1)
+
+    for path, w in _flatten(variables["params"]).items():
+        top = path[0]
+        if top == "stem_proj":
+            if path[-1] == "kernel":
+                sd["stem.0.weight"] = s2d_to_conv(w, 4)
+            else:
+                sd["stem.0.bias"] = w
+        elif top == "stem_norm":
+            sd["stem.1." + ("weight" if path[1] == "scale" else "bias")] = w
+        elif m := re.match(r"downsample_norm_(\d+)", top):
+            sd[f"stages.{m.group(1)}.downsample.0."
+               + ("weight" if path[1] == "scale" else "bias")] = w
+        elif m := re.match(r"downsample_proj_(\d+)", top):
+            if path[-1] == "kernel":
+                sd[f"stages.{m.group(1)}.downsample.1.weight"] = \
+                    s2d_to_conv(w, 2)
+            else:
+                sd[f"stages.{m.group(1)}.downsample.1.bias"] = w
+        elif m := re.match(r"stages_(\d+)_blocks_(\d+)", top):
+            pre = f"stages.{m.group(1)}.blocks.{m.group(2)}."
+            mod = path[1]
+            if mod == "gamma":
+                sd[pre + "gamma"] = w
+            elif mod == "dwconv":
+                if path[-1] == "kernel":
+                    sd[pre + "conv_dw.weight"] = w.transpose(3, 2, 0, 1)
+                else:
+                    sd[pre + "conv_dw.bias"] = w
+            elif mod == "norm":
+                sd[pre + "norm."
+                   + ("weight" if path[2] == "scale" else "bias")] = w
+            elif m2 := re.match(r"pwconv(\d)", mod):
+                sd[pre + f"mlp.fc{m2.group(1)}."
+                   + ("weight" if path[2] == "kernel" else "bias")] = \
+                    w.T if path[2] == "kernel" else w
+            else:
+                raise ValueError(f"convnext export: unmapped {path}")
+        elif top == "norm":
+            sd["head.norm." + ("weight" if path[1] == "scale" else "bias")] = w
+        elif top == "head":
+            sd["head.fc." + ("weight" if path[1] == "kernel" else "bias")] = \
+                w.T if path[1] == "kernel" else w
+        else:
+            raise ValueError(f"convnext export: unmapped {path}")
+    return sd
+
+
+def export_resnet_state_dict(variables: Dict[str, Any]) -> Dict[str, np.ndarray]:
+    """Our flax ResNet tree (+batch_stats) -> timm ResNet state_dict."""
+    sd: Dict[str, np.ndarray] = {}
+    deep = "stem_conv1" in variables["params"]
+    deep_conv_idx = {"1": "0", "2": "3", "3": "6"}
+    deep_bn_idx = {"1": "1", "2": "4"}
+    for coll in ("params", "batch_stats"):
+        for path, w in _flatten(variables.get(coll, {})).items():
+            top = path[0]
+            kind = _NORM_T.get(path[-1], path[-1])
+            if m := re.match(r"stages_(\d+)_blocks_(\d+)", top):
+                pre = f"layer{int(m.group(1)) + 1}.{m.group(2)}."
+                mod = path[1]
+                if mod.startswith("conv"):
+                    sd[pre + f"{mod}.weight"] = _oihw(w)
+                elif mod == "downsample_conv":
+                    sd[pre + "downsample.0.weight"] = _oihw(w)
+                elif mod == "downsample_bn":
+                    sd[pre + f"downsample.1.{kind}"] = w
+                elif mod.startswith("bn"):
+                    sd[pre + f"{mod}.{kind}"] = w
+                elif mod == "attn_se_reduce":
+                    sd[pre + "se.fc1."
+                       + ("weight" if path[2] == "kernel" else "bias")] = \
+                        _oihw(w) if path[2] == "kernel" else w
+                elif mod == "attn_se_expand":
+                    sd[pre + "se.fc2."
+                       + ("weight" if path[2] == "kernel" else "bias")] = \
+                        _oihw(w) if path[2] == "kernel" else w
+                elif mod == "attn_eca_conv":
+                    sd[pre + "se.conv.weight"] = w.transpose(2, 1, 0)
+                else:
+                    raise ValueError(f"resnet export: unmapped {path}")
+            elif top == "head":
+                sd["fc." + ("weight" if path[1] == "kernel" else "bias")] = \
+                    w.T if path[1] == "kernel" else w
+            elif top == "stem_conv":
+                sd["conv1.weight"] = _oihw(w)
+            elif m := re.match(r"stem_conv(\d)", top):
+                sd[f"conv1.{deep_conv_idx[m.group(1)]}.weight"] = _oihw(w)
+            elif top == "stem_bn" or (top == "stem_bn3" and deep):
+                sd[f"bn1.{kind}"] = w
+            elif m := re.match(r"stem_bn(\d)", top):
+                sd[f"conv1.{deep_bn_idx[m.group(1)]}.{kind}"] = w
+            elif top == "stem_pool_conv":
+                sd["maxpool.0.weight"] = _oihw(w)
+            elif top == "stem_pool_bn":
+                sd[f"maxpool.1.{kind}"] = w
+            else:
+                raise ValueError(f"resnet export: unmapped {path}")
+    return sd
+
+
+def export_swin_state_dict(variables: Dict[str, Any]) -> Dict[str, np.ndarray]:
+    """Our flax Swin tree -> timm SwinTransformer state_dict (buffers like
+    relative_position_index are recomputed by torch, not exported)."""
+    sd: Dict[str, np.ndarray] = {}
+    for path, w in _flatten(variables["params"]).items():
+        top = path[0]
+        if top == "patch_embed":
+            if path[-1] == "kernel":
+                kk, d = w.shape
+                p = int(round((kk // 3) ** 0.5))
+                sd["patch_embed.proj.weight"] = \
+                    w.reshape(p, p, 3, d).transpose(3, 2, 0, 1)
+            else:
+                sd["patch_embed.proj.bias"] = w
+        elif top == "patch_norm":
+            sd["patch_embed.norm."
+               + ("weight" if path[1] == "scale" else "bias")] = w
+        elif m := re.match(r"merge_norm_(\d+)", top):
+            inv = np.argsort(_swin_merge_perm(w.shape[0]))
+            sd[f"layers.{m.group(1)}.downsample.norm."
+               + ("weight" if path[1] == "scale" else "bias")] = w[inv]
+        elif m := re.match(r"merge_proj_(\d+)", top):
+            inv = np.argsort(_swin_merge_perm(w.shape[0]))
+            sd[f"layers.{m.group(1)}.downsample.reduction.weight"] = \
+                w.T[:, inv]
+        elif m := re.match(r"stages_(\d+)_blocks_(\d+)", top):
+            pre = f"layers.{m.group(1)}.blocks.{m.group(2)}."
+            mod = path[1]
+            if mod in ("norm1", "norm2"):
+                sd[pre + f"{mod}."
+                   + ("weight" if path[2] == "scale" else "bias")] = w
+            elif mod == "attn" and path[2] == "rel_pos_bias_table":
+                sd[pre + "attn.relative_position_bias_table"] = w
+            elif mod == "attn":
+                sd[pre + f"attn.{path[2]}."
+                   + ("weight" if path[3] == "kernel" else "bias")] = \
+                    w.T if path[3] == "kernel" else w
+            elif mod == "mlp":
+                sd[pre + f"mlp.{path[2]}."
+                   + ("weight" if path[3] == "kernel" else "bias")] = \
+                    w.T if path[3] == "kernel" else w
+            else:
+                raise ValueError(f"swin export: unmapped {path}")
+        elif top == "norm":
+            sd["norm." + ("weight" if path[1] == "scale" else "bias")] = w
+        elif top == "head":
+            sd["head.fc."
+               + ("weight" if path[1] == "kernel" else "bias")] = \
+                w.T if path[1] == "kernel" else w
+        else:
+            raise ValueError(f"swin export: unmapped {path}")
+    return sd
+
+
+def export_efficientnet_state_dict(variables: Dict[str, Any]) -> Dict[str, np.ndarray]:
+    """Our flax effnet-builder tree (+batch_stats) -> timm state_dict.
+
+    Block type is inferred from each block's flax module set (mirror of the
+    importer's timm-side inference).
+    """
+    from collections import defaultdict
+
+    sd: Dict[str, np.ndarray] = {}
+    block_mods = defaultdict(set)
+    for path in _flatten(variables["params"]):
+        if m := re.match(r"s(\d+)_b(\d+)_([a-z_]+)", path[0]):
+            block_mods[(m.group(1), m.group(2))].add(m.group(3))
+
+    def table_for(mods):
+        if "pw_exp" in mods:
+            return {"pw_exp": "conv_pw", "pw_exp_norm": "bn1",
+                    "dw": "conv_dw", "dw_norm": "bn2",
+                    "pw_proj": "conv_pwl", "pw_proj_norm": "bn3"}
+        if "conv_exp" in mods:
+            return {"conv_exp": "conv_exp", "conv_exp_norm": "bn1",
+                    "pw_proj": "conv_pwl", "pw_proj_norm": "bn2"}
+        if "dw" in mods:
+            return {"dw": "conv_dw", "dw_norm": "bn1",
+                    "pw_proj": "conv_pw", "pw_proj_norm": "bn2"}
+        return {"conv": "conv", "norm": "bn1"}
+
+    for coll in ("params", "batch_stats"):
+        for path, w in _flatten(variables.get(coll, {})).items():
+            top = path[0]
+            kind = _NORM_T.get(path[-1], path[-1])
+            if m := re.match(r"s(\d+)_b(\d+)_([a-z_]+)", top):
+                s, b, mod = m.groups()
+                pre = f"blocks.{s}.{b}."
+                if mod.startswith("se_"):
+                    sd[pre + f"se.conv_{mod[3:]}."
+                       + ("weight" if path[1] == "kernel" else "bias")] = \
+                        _oihw(w) if path[1] == "kernel" else w
+                    continue
+                t = table_for(block_mods[(s, b)])[mod]
+                if path[1] == "conv":
+                    sd[pre + f"{t}.weight"] = _oihw(w)
+                else:
+                    sd[pre + f"{t}.{kind}"] = w
+            elif top == "stem_conv":
+                sd["conv_stem.weight"] = _oihw(w)
+            elif top == "stem_norm":
+                sd[f"bn1.{kind}"] = w
+            elif top == "head_conv":
+                sd["conv_head."
+                   + ("weight" if path[2] == "kernel" else "bias")] = \
+                    _oihw(w) if path[2] == "kernel" else w
+            elif top == "head_norm":
+                sd[f"bn2.{kind}"] = w
+            elif top == "classifier":
+                sd["classifier."
+                   + ("weight" if path[1] == "kernel" else "bias")] = \
+                    w.T if path[1] == "kernel" else w
+            else:
+                raise ValueError(f"efficientnet export: unmapped {path}")
+    return sd
+
+
+def export_mobilenetv3_state_dict(variables: Dict[str, Any]) -> Dict[str, np.ndarray]:
+    """Our flat-numbered MobileNetV3/LCNet tree -> timm state_dict
+    (blocks_N -> blocks.N.0, head_conv/head_bn -> the trailing ConvBnAct
+    block, head_fc -> conv_head)."""
+    from collections import defaultdict
+
+    sd: Dict[str, np.ndarray] = {}
+    block_mods = defaultdict(set)
+    n_blocks = -1
+    for path in _flatten(variables["params"]):
+        if m := re.match(r"blocks_(\d+)_([a-z_]+)", path[0]):
+            block_mods[m.group(1)].add(m.group(2))
+            n_blocks = max(n_blocks, int(m.group(1)))
+
+    for coll in ("params", "batch_stats"):
+        for path, w in _flatten(variables.get(coll, {})).items():
+            top = path[0]
+            kind = _NORM_T.get(path[-1], path[-1])
+            if m := re.match(r"blocks_(\d+)_([a-z_]+)", top):
+                n, mod = m.groups()
+                pre = f"blocks.{n}.0."
+                ir = "pw_exp" in block_mods[n]
+                table = ({"pw_exp": "conv_pw", "bn_exp": "bn1",
+                          "dw": "conv_dw", "bn_dw": "bn2",
+                          "pw": "conv_pwl", "bn_pw": "bn3"} if ir else
+                         {"dw": "conv_dw", "bn_dw": "bn1",
+                          "pw": "conv_pw", "bn_pw": "bn2"})
+                if mod.startswith("se_"):
+                    sd[pre + f"se.conv_{mod[3:]}."
+                       + ("weight" if path[1] == "kernel" else "bias")] = \
+                        _oihw(w) if path[1] == "kernel" else w
+                elif path[1] == "kernel":
+                    sd[pre + f"{table[mod]}.weight"] = _oihw(w)
+                else:
+                    sd[pre + f"{table[mod]}.{kind}"] = w
+            elif top == "stem_conv":
+                sd["conv_stem.weight"] = _oihw(w)
+            elif top == "stem_bn":
+                sd[f"bn1.{kind}"] = w
+            elif top == "head_conv":
+                sd[f"blocks.{n_blocks + 1}.0.conv.weight"] = _oihw(w)
+            elif top == "head_bn":
+                sd[f"blocks.{n_blocks + 1}.0.bn1.{kind}"] = w
+            elif top == "head_fc":
+                sd["conv_head."
+                   + ("weight" if path[1] == "kernel" else "bias")] = \
+                    _oihw(w) if path[1] == "kernel" else w
+            elif top == "classifier":
+                sd["classifier."
+                   + ("weight" if path[1] == "kernel" else "bias")] = \
+                    w.T if path[1] == "kernel" else w
+            else:
+                raise ValueError(f"mobilenetv3 export: unmapped {path}")
+    return sd
+
+
+_EXPORTERS = {
+    "vit": export_vit_state_dict,
+    "convnext": export_convnext_state_dict,
+    "resnet": export_resnet_state_dict,
+    "swin": export_swin_state_dict,
+    "efficientnet": export_efficientnet_state_dict,
+    "mobilenetv3": export_mobilenetv3_state_dict,
+}
+
+
+def export_torch_state_dict(variables: Dict[str, Any],
+                            arch: Optional[str] = None) -> Dict[str, np.ndarray]:
+    """Flax variables ({'params', optional 'batch_stats'}) or a bare params
+    tree -> timm-named numpy state dict. arch in {vit, convnext, resnet,
+    swin, efficientnet, mobilenetv3}; inferred from the tree if omitted."""
+    if "params" not in variables:
+        variables = {"params": variables}
+    arch = arch or detect_flax_architecture(variables["params"])
+    try:
+        fn = _EXPORTERS[arch]
+    except KeyError:
+        raise ValueError(f"unknown export arch {arch!r}; "
+                         f"known {sorted(_EXPORTERS)}") from None
+    return fn(variables)
+
+
+def save_torch_checkpoint(path: str, variables: Dict[str, Any],
+                          arch: Optional[str] = None,
+                          extra: Optional[Dict[str, Any]] = None) -> None:
+    """torch.save a reference-compatible checkpoint: {'model': state_dict,
+    **extra}. Loadable by the reference's --finetune/--resume
+    (utils/__init__.py:550-596) and by timm's load_state_dict."""
+    import torch
+
+    sd = {k: torch.from_numpy(np.ascontiguousarray(v))
+          for k, v in export_torch_state_dict(variables, arch).items()}
+    torch.save({"model": sd, **(extra or {})}, path)
