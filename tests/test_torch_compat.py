@@ -720,3 +720,34 @@ def test_save_torch_checkpoint_file_roundtrip(tmp_path):
     _assert_same_tree(loaded["params"], variables["params"], "file roundtrip")
     _assert_same_tree(loaded["batch_stats"], variables["batch_stats"],
                       "file roundtrip stats")
+
+
+def test_convert_checkpoint_cli(tmp_path):
+    """tools/convert_checkpoint.py import + export end-to-end."""
+    import importlib.util
+    import os
+
+    spec = importlib.util.spec_from_file_location(
+        "convert_checkpoint",
+        os.path.join(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))), "tools", "convert_checkpoint.py"))
+    cli = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(cli)
+
+    # import: vit .pth -> local-dir
+    sd = _timm_like_sd()
+    pth = str(tmp_path / "ref.pth")
+    torch.save({"model": sd}, pth)
+    outdir = str(tmp_path / "imported")
+    assert cli.main(["import", pth, outdir,
+                     "--architecture", "vit_tiny_patch16_224"]) == 0
+    assert os.path.exists(os.path.join(outdir, "model.npz"))
+    assert os.path.exists(os.path.join(outdir, "config.json"))
+
+    # export: the imported local-dir back to .pth, compare to the original
+    back = str(tmp_path / "back.pth")
+    assert cli.main(["export", outdir, back, "--arch", "vit"]) == 0
+    sd2 = torch.load(back, weights_only=False)["model"]
+    assert set(sd2) == set(sd)
+    for k in sd:
+        np.testing.assert_allclose(sd2[k].numpy(), sd[k].numpy(), err_msg=k)
