@@ -751,3 +751,25 @@ def test_convert_checkpoint_cli(tmp_path):
     assert set(sd2) == set(sd)
     for k in sd:
         np.testing.assert_allclose(sd2[k].numpy(), sd[k].numpy(), err_msg=k)
+
+
+@pytest.mark.parametrize("name", ["mixer_s16_224", "resmlp_12_224",
+                                  "gmlp_ti16_224", "gmixer_12_224"])
+def test_mixer_export_import_roundtrip(name):
+    """Mixer-family: export flax -> timm names -> convert reproduces the
+    tree; both detectors agree on the family."""
+    from vision_transformers_torch_xla_tpu.ckpt import torch_compat as tc
+    from vision_transformers_torch_xla_tpu.ckpt.torch_export import (
+        detect_flax_architecture,
+        export_torch_state_dict,
+    )
+    from vision_transformers_torch_xla_tpu.models.factory import create_model
+
+    m = create_model(name, num_classes=10, dtype=jnp.float32)
+    variables = _rand_variables(m, img=224)
+    assert detect_flax_architecture(variables["params"]) == "mixer"
+    sd = {k: torch.from_numpy(v) for k, v in
+          export_torch_state_dict(variables).items()}
+    assert tc.detect_architecture(sd) == "mixer"
+    out = tc.convert_mixer_state_dict(sd)
+    _assert_same_tree(out, variables["params"], f"{name} params")

@@ -513,6 +513,96 @@ def convert_swin_state_dict(sd: Dict[str, Any]) -> Dict[str, Any]:
     return params
 
 
+def convert_mixer_state_dict(sd: Dict[str, Any]) -> Dict[str, Any]:
+    """timm MLP-Mixer/gMixer/ResMLP/gMLP state_dict -> our flax params
+    (models/mlp_mixer.py).
+
+    Reference models/mlp_mixer.py naming: stem.proj (conv), blocks.N with
+    MixerBlock (norm1/mlp_tokens/norm2/mlp_channels :58-97), ResBlock
+    (Affine norm1/norm2 alpha+beta, linear_tokens, ls1/ls2 :118-162), or
+    SpatialGatingBlock (norm + GatedMlp fc1/gate.norm/gate.proj/fc2 —
+    flattened here to fc1/gate_norm/gate_proj/fc2), final norm + head.
+    """
+    from collections import defaultdict
+
+    params: Dict[str, Any] = {}
+    blocks: Dict[str, Dict[str, Any]] = defaultdict(dict)
+
+    for name, w in sd.items():
+        w = _t(w)
+        if name == "stem.proj.weight":
+            d, c, kh, kw = w.shape
+            _put_in(params, ("stem", "proj", "kernel"),
+                    w.transpose(2, 3, 1, 0).reshape(kh * kw * c, d))
+        elif name == "stem.proj.bias":
+            _put_in(params, ("stem", "proj", "bias"), w)
+        elif m := re.match(r"blocks\.(\d+)\.(.+)", name):
+            blocks[m.group(1)][m.group(2)] = w
+        elif m := re.match(r"norm\.(weight|bias)", name):
+            _put_in(params, ("norm",
+                             "scale" if m.group(1) == "weight" else "bias"), w)
+        elif m := re.match(r"norm\.(alpha|beta)", name):
+            _put_in(params, (f"norm_{m.group(1)}",), w.reshape(-1))
+        elif m := re.match(r"head\.(weight|bias)", name):
+            _put_in(params, ("head",
+                             "kernel" if m.group(1) == "weight" else "bias"),
+                    w.T if m.group(1) == "weight" else w)
+        else:
+            log.warning("unmapped mixer param %s (shape %s)", name, w.shape)
+
+    for i, names in blocks.items():
+        blk = f"blocks_{i}"
+        # gMLP's GatedMlp nests under mlp_channels but our block flattens it
+        gmlp = any("gate." in k for k in names)
+        for rest, w in names.items():
+            if m2 := re.match(r"(norm1|norm2)\.(weight|bias)", rest):
+                _put_in(params, (blk, m2.group(1),
+                                 "scale" if m2.group(2) == "weight" else "bias"), w)
+            elif m2 := re.match(r"(norm1|norm2)\.(alpha|beta)", rest):
+                # ResMLP Affine: alpha/beta kept as flat block leaves
+                _put_in(params, (blk, f"{m2.group(1)}_{m2.group(2)}"),
+                        w.reshape(-1))
+            elif m2 := re.match(r"(ls1|ls2)$", rest):
+                _put_in(params, (blk, m2.group(1)), w.reshape(-1))
+            elif m2 := re.match(r"linear_tokens\.(weight|bias)", rest):
+                _put_in(params, (blk, "linear_tokens",
+                                 "kernel" if m2.group(1) == "weight" else "bias"),
+                        w.T if m2.group(1) == "weight" else w)
+            elif gmlp and (m2 := re.match(
+                    r"(?:mlp_channels\.)?fc(\d)\.(weight|bias)", rest)):
+                _put_in(params, (blk, f"fc{m2.group(1)}",
+                                 "kernel" if m2.group(2) == "weight" else "bias"),
+                        w.T if m2.group(2) == "weight" else w)
+            elif gmlp and (m2 := re.match(
+                    r"(?:mlp_channels\.)?gate\.norm\.(weight|bias)", rest)):
+                _put_in(params, (blk, "gate_norm",
+                                 "scale" if m2.group(1) == "weight" else "bias"), w)
+            elif gmlp and (m2 := re.match(
+                    r"(?:mlp_channels\.)?gate\.proj\.(weight|bias)", rest)):
+                _put_in(params, (blk, "gate_proj",
+                                 "kernel" if m2.group(1) == "weight" else "bias"),
+                        w.T if m2.group(1) == "weight" else w)
+            elif m2 := re.match(r"(mlp_tokens|mlp_channels)\.fc(\d)\.(weight|bias)", rest):
+                # gMixer (GluMlp: fc1 out = 2x fc2 in) flattens the module
+                # names with underscores in our tree; plain Mixer nests
+                which = m2.group(1)
+                fc1 = names.get(f"{which}.fc1.weight")
+                fc2 = names.get(f"{which}.fc2.weight")
+                glu = fc1 is not None and fc2 is not None \
+                    and fc1.shape[0] != fc2.shape[1]
+                dst = (blk, f"{which}_fc{m2.group(2)}") if glu \
+                    else (blk, which, f"fc{m2.group(2)}")
+                _put_in(params, (*dst,
+                                 "kernel" if m2.group(3) == "weight" else "bias"),
+                        w.T if m2.group(3) == "weight" else w)
+            elif m2 := re.match(r"norm\.(weight|bias)", rest):
+                _put_in(params, (blk, "norm",
+                                 "scale" if m2.group(1) == "weight" else "bias"), w)
+            else:
+                log.warning("unmapped mixer block param blocks.%s.%s", i, rest)
+    return params
+
+
 def detect_architecture(sd: Dict[str, Any]) -> str:
     keys = list(sd)
     if any("relative_position_bias_table" in k for k in keys):
@@ -528,6 +618,9 @@ def detect_architecture(sd: Dict[str, Any]) -> str:
         return "efficientnet"
     if any(".conv_dw." in k or k.startswith("stem.0") for k in keys):
         return "convnext"
+    if any(".mlp_tokens." in k or ".linear_tokens." in k
+           or ".gate.proj." in k for k in keys):
+        return "mixer"
     return "vit"
 
 
@@ -584,4 +677,6 @@ def load_reference_checkpoint(path: str, model_key: str = "model|module",
         return convert_mobilenetv3_state_dict(sd)
     if arch == "convnext":
         return convert_convnext_state_dict(sd)
+    if arch == "mixer":
+        return convert_mixer_state_dict(sd)
     return convert_vit_state_dict(sd)

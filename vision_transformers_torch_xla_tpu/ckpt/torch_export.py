@@ -60,6 +60,8 @@ def detect_flax_architecture(params: Dict[str, Any]) -> str:
         return "efficientnet"
     if any(re.match(r"blocks_\d+_(dw|pw_exp)$", k) for k in keys):
         return "mobilenetv3"
+    if "stem" in keys and any(re.match(r"blocks_\d+$", k) for k in keys):
+        return "mixer"
     if "patch_embed" in keys and any(re.match(r"blocks_\d+$", k)
                                      for k in keys):
         return "vit"
@@ -398,6 +400,67 @@ def export_mobilenetv3_state_dict(variables: Dict[str, Any]) -> Dict[str, np.nda
     return sd
 
 
+def export_mixer_state_dict(variables: Dict[str, Any]) -> Dict[str, np.ndarray]:
+    """Our flax MLP-Mixer/gMixer/ResMLP/gMLP tree -> timm state_dict
+    (inverse of torch_compat.convert_mixer_state_dict; gMLP's flattened
+    gate modules re-nest under mlp_channels)."""
+    sd: Dict[str, np.ndarray] = {}
+    for path, w in _flatten(variables["params"]).items():
+        top = path[0]
+        if top == "stem":
+            if path[-1] == "kernel":
+                kk, d = w.shape
+                p = int(round((kk // 3) ** 0.5))
+                sd["stem.proj.weight"] = \
+                    w.reshape(p, p, 3, d).transpose(3, 2, 0, 1)
+            else:
+                sd["stem.proj.bias"] = w
+        elif m := re.match(r"blocks_(\d+)$", top):
+            pre = f"blocks.{m.group(1)}."
+            mod = path[1]
+            if mod in ("norm1", "norm2", "norm", "gate_norm"):
+                t = "mlp_channels.gate.norm" if mod == "gate_norm" else mod
+                sd[pre + f"{t}."
+                   + ("weight" if path[2] == "scale" else "bias")] = w
+            elif m2 := re.match(r"(norm1|norm2)_(alpha|beta)", mod):
+                sd[pre + f"{m2.group(1)}.{m2.group(2)}"] = w
+            elif mod in ("ls1", "ls2"):
+                sd[pre + mod] = w
+            elif mod in ("mlp_tokens", "mlp_channels"):
+                sd[pre + f"{mod}.{path[2]}."
+                   + ("weight" if path[3] == "kernel" else "bias")] = \
+                    w.T if path[3] == "kernel" else w
+            elif m2 := re.match(r"(mlp_tokens|mlp_channels)_fc(\d)", mod):
+                # gMixer's flattened GluMlp modules re-nest on export
+                sd[pre + f"{m2.group(1)}.fc{m2.group(2)}."
+                   + ("weight" if path[2] == "kernel" else "bias")] = \
+                    w.T if path[2] == "kernel" else w
+            elif mod == "linear_tokens":
+                sd[pre + "linear_tokens."
+                   + ("weight" if path[2] == "kernel" else "bias")] = \
+                    w.T if path[2] == "kernel" else w
+            elif mod in ("fc1", "fc2"):
+                sd[pre + f"mlp_channels.{mod}."
+                   + ("weight" if path[2] == "kernel" else "bias")] = \
+                    w.T if path[2] == "kernel" else w
+            elif mod == "gate_proj":
+                sd[pre + "mlp_channels.gate.proj."
+                   + ("weight" if path[2] == "kernel" else "bias")] = \
+                    w.T if path[2] == "kernel" else w
+            else:
+                raise ValueError(f"mixer export: unmapped {path}")
+        elif top == "norm":
+            sd["norm." + ("weight" if path[1] == "scale" else "bias")] = w
+        elif m := re.match(r"norm_(alpha|beta)", top):
+            sd[f"norm.{m.group(1)}"] = w
+        elif top == "head":
+            sd["head." + ("weight" if path[1] == "kernel" else "bias")] = \
+                w.T if path[1] == "kernel" else w
+        else:
+            raise ValueError(f"mixer export: unmapped {path}")
+    return sd
+
+
 _EXPORTERS = {
     "vit": export_vit_state_dict,
     "convnext": export_convnext_state_dict,
@@ -405,6 +468,7 @@ _EXPORTERS = {
     "swin": export_swin_state_dict,
     "efficientnet": export_efficientnet_state_dict,
     "mobilenetv3": export_mobilenetv3_state_dict,
+    "mixer": export_mixer_state_dict,
 }
 
 

@@ -146,6 +146,7 @@ def load_state_dict(path: str, model_name: str = "") -> Dict[str, Any]:
         "efficientnet": tc.convert_efficientnet_state_dict,
         "mobilenetv3": tc.convert_mobilenetv3_state_dict,
         "convnext": tc.convert_convnext_state_dict,
+        "mixer": tc.convert_mixer_state_dict,
         "vit": tc.convert_vit_state_dict,
     }
     return converters[arch](sd)
