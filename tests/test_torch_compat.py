@@ -642,6 +642,10 @@ def _rand_variables(model, img=64):
     ("efficientnet_b0", "efficientnet"),
     ("mobilenetv3_large_100", "mobilenetv3"),
     ("lcnet_100", "mobilenetv3"),
+    ("regnetx_002", "regnet"),
+    ("regnety_002", "regnet"),
+    ("regnetz_005", "regnet"),
+    ("regnetv_040", "regnet"),
 ])
 def test_export_import_roundtrip(name, arch):
     """export -> timm names -> convert must reproduce the flax tree exactly,
@@ -664,6 +668,7 @@ def test_export_import_roundtrip(name, arch):
         "swin": tc.convert_swin_state_dict,
         "efficientnet": tc.convert_efficientnet_state_dict,
         "mobilenetv3": tc.convert_mobilenetv3_state_dict,
+        "regnet": tc.convert_regnet_state_dict,
     }[arch](sd)
     if arch == "swin":
         _assert_same_tree(out, variables["params"], f"{name} params")
@@ -773,3 +778,91 @@ def test_mixer_export_import_roundtrip(name):
     assert tc.detect_architecture(sd) == "mixer"
     out = tc.convert_mixer_state_dict(sd)
     _assert_same_tree(out, variables["params"], f"{name} params")
+
+
+def test_regnet_export_key_naming():
+    """Exported keys must be timm's literal RegNet names in all three
+    layouts: ConvNormAct (non-preact), bare-conv preact, and the avg-pool
+    Sequential downsample (reference regnet.py:139-222, :261-433)."""
+    from vision_transformers_torch_xla_tpu.ckpt.torch_export import (
+        export_torch_state_dict,
+    )
+    from vision_transformers_torch_xla_tpu.models.factory import create_model
+
+    m = create_model("regnety_002", num_classes=10, dtype=jnp.float32)
+    keys = set(export_torch_state_dict(_rand_variables(m, img=64)))
+    assert "stem.conv.weight" in keys and "stem.bn.running_mean" in keys
+    assert "s1.b1.conv1.conv.weight" in keys
+    assert "s1.b1.conv2.bn.running_var" in keys
+    assert "s1.b1.se.fc1.weight" in keys and "s1.b1.se.fc2.bias" in keys
+    assert "s1.b1.downsample.conv.weight" in keys
+    assert "s1.b1.downsample.bn.weight" in keys
+    assert "head.fc.weight" in keys
+    assert not any(k.startswith("final_conv") for k in keys)
+
+    mv = create_model("regnetv_040", num_classes=10, dtype=jnp.float32)
+    vv = _rand_variables(mv, img=64)
+    pkeys = set(export_torch_state_dict(vv))
+    assert "stem.weight" in pkeys and "stem.bn.weight" not in pkeys
+    assert "s1.b1.norm1.running_mean" in pkeys
+    assert "s1.b1.conv1.weight" in pkeys  # bare preact conv
+    assert "s1.b1.downsample.weight" in pkeys
+    akeys = set(export_torch_state_dict(vv, avg_down=True))
+    assert "s1.b1.downsample.1.weight" in akeys
+
+    # regnetz: no-shortcut + final_conv head
+    mz = create_model("regnetz_005", num_classes=10, dtype=jnp.float32)
+    zkeys = set(export_torch_state_dict(_rand_variables(mz, img=64)))
+    assert "final_conv.conv.weight" in zkeys
+    assert "final_conv.bn.running_mean" in zkeys
+    assert not any(".downsample." in k for k in zkeys)
+
+
+def test_beit_export_import_roundtrip():
+    """BEiT: export flax -> timm names (separate q/v biases, gamma_N layer
+    scale, per-block rel-pos tables) -> convert reproduces the tree."""
+    from vision_transformers_torch_xla_tpu.ckpt import torch_compat as tc
+    from vision_transformers_torch_xla_tpu.ckpt.torch_export import (
+        detect_flax_architecture,
+        export_torch_state_dict,
+    )
+    from vision_transformers_torch_xla_tpu.models.factory import create_model
+
+    m = create_model("beit_base_patch16_224", embed_dim=64, depth=2,
+                     num_heads=2, img_size=32, num_classes=10,
+                     dtype=jnp.float32)
+    variables = _rand_variables(m, img=32)
+    assert detect_flax_architecture(variables["params"]) == "beit"
+    sd = {k: torch.from_numpy(v) for k, v in
+          export_torch_state_dict(variables).items()}
+    assert tc.detect_architecture(sd) == "beit"
+    assert "blocks.0.attn.q_bias" in sd and "blocks.1.gamma_2" in sd
+    assert "blocks.0.attn.relative_position_bias_table" in sd
+    out = tc.convert_beit_state_dict(sd)
+    _assert_same_tree(out, variables["params"], "beit params")
+
+
+def test_cait_export_import_roundtrip():
+    """CaiT: export flax -> timm names (talking-heads proj_l/proj_w, bare
+    gamma_N in both block kinds, separate q/k/v in class-attention) ->
+    convert reproduces the tree."""
+    from vision_transformers_torch_xla_tpu.ckpt import torch_compat as tc
+    from vision_transformers_torch_xla_tpu.ckpt.torch_export import (
+        detect_flax_architecture,
+        export_torch_state_dict,
+    )
+    from vision_transformers_torch_xla_tpu.models.factory import create_model
+
+    m = create_model("cait_xxs24_224", embed_dim=64, depth=2, num_heads=2,
+                     img_size=32, num_classes=10, dtype=jnp.float32)
+    variables = _rand_variables(m, img=32)
+    assert detect_flax_architecture(variables["params"]) == "cait"
+    sd = {k: torch.from_numpy(v) for k, v in
+          export_torch_state_dict(variables).items()}
+    assert tc.detect_architecture(sd) == "cait"
+    assert "blocks.0.attn.proj_l.weight" in sd
+    assert "blocks.1.gamma_2" in sd
+    assert "blocks_token_only.0.attn.q.weight" in sd
+    assert "blocks_token_only.1.gamma_1" in sd
+    out = tc.convert_cait_state_dict(sd)
+    _assert_same_tree(out, variables["params"], "cait params")

@@ -69,7 +69,8 @@ def do_export(args) -> None:
     loaded = load_state_dict(args.src)
     variables = loaded if isinstance(loaded, dict) and "params" in loaded \
         and set(loaded) <= {"params", "batch_stats"} else {"params": loaded}
-    save_torch_checkpoint(args.dst, variables, arch=args.arch or None)
+    kw = {"avg_down": True} if getattr(args, "avg_down", False) else {}
+    save_torch_checkpoint(args.dst, variables, arch=args.arch or None, **kw)
     print(f"exported -> {args.dst}")
 
 
@@ -88,8 +89,13 @@ def main(argv=None) -> int:
     exp.add_argument("src", help="Orbax checkpoint dir, local-dir, or .npz")
     exp.add_argument("dst", help="output .pth path")
     exp.add_argument("--arch", default="",
-                     help="vit|convnext|resnet|swin|efficientnet|mobilenetv3 "
-                          "(inferred from the tree when omitted)")
+                     help="vit|convnext|resnet|swin|efficientnet|mobilenetv3"
+                          "|mixer|regnet (inferred from the tree when "
+                          "omitted)")
+    exp.add_argument("--avg-down", action="store_true", dest="avg_down",
+                     help="regnet only: emit timm's avg-pool Sequential "
+                          "downsample naming (downsample.1.*) — needed for "
+                          "regnetv_064, indistinguishable from weights")
     exp.set_defaults(fn=do_export)
     args = ap.parse_args(argv)
     args.fn(args)

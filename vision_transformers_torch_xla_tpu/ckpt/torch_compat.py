@@ -7,8 +7,9 @@ utils/__init__.py:710-722). These converters map that naming onto our
 param trees so users can migrate checkpoints without retraining.
 Families: ViT/DeiT (incl. dist token), ConvNeXt, ResNet (+SE/ECA/deep-stem
 variants, BatchNorm running stats -> the flax 'batch_stats' collection),
-Swin (incl. the PatchMerging channel-order permutation). Architecture is
-auto-detected from the state-dict key shapes.
+Swin (incl. the PatchMerging channel-order permutation), EfficientNet
+superfamily, MobileNetV3/LCNet, MLP-Mixer family, RegNet X/Y/V/Z.
+Architecture is auto-detected from the state-dict key shapes.
 
 torch is used only here (CPU wheel, read-only unpickling).
 """
@@ -603,10 +604,224 @@ def convert_mixer_state_dict(sd: Dict[str, Any]) -> Dict[str, Any]:
     return params
 
 
+def convert_beit_state_dict(sd: Dict[str, Any]) -> Dict[str, Any]:
+    """timm Beit state_dict -> our flax params tree (models/beit.py).
+
+    Reference models/beit.py naming: bias-free fused attn.qkv with separate
+    attn.q_bias/attn.v_bias (k bias is a non-persistent zero buffer,
+    :133-137), per-block attn.relative_position_bias_table (+ index buffer,
+    recomputed here), mandatory LayerScale as bare gamma_1/gamma_2
+    Parameters (:304-305), mean-pool head behind fc_norm. Our flax Beit
+    uses flat block-module names (blocks_{i}_attn etc.).
+    """
+    params: Dict[str, Any] = {}
+
+    for name, w in sd.items():
+        if ("relative_position_index" in name or name.endswith("attn.k_bias")
+                or name.endswith("num_batches_tracked")):
+            continue
+        w = _t(w)
+        if name == "cls_token":
+            _put_in(params, ("cls_token",), w)
+        elif name == "patch_embed.proj.weight":
+            d, c, kh, kw = w.shape
+            _put_in(params, ("patch_embed", "proj", "kernel"),
+                    w.transpose(2, 3, 1, 0).reshape(kh * kw * c, d))
+        elif name == "patch_embed.proj.bias":
+            _put_in(params, ("patch_embed", "proj", "bias"), w)
+        elif m := re.match(r"blocks\.(\d+)\.(.+)", name):
+            i, rest = m.group(1), m.group(2)
+            if m2 := re.match(r"gamma_(\d)", rest):
+                _put_in(params, (f"blocks_{i}_ls{m2.group(1)}", "gamma"), w)
+            elif m2 := re.match(r"(norm1|norm2)\.(weight|bias)", rest):
+                _put_in(params, (f"blocks_{i}_{m2.group(1)}",
+                                 "scale" if m2.group(2) == "weight" else "bias"), w)
+            elif rest == "attn.qkv.weight":
+                _put_in(params, (f"blocks_{i}_attn", "qkv", "kernel"), w.T)
+            elif m2 := re.match(r"attn\.(q_bias|v_bias)", rest):
+                _put_in(params, (f"blocks_{i}_attn", m2.group(1)), w)
+            elif rest == "attn.relative_position_bias_table":
+                _put_in(params, (f"blocks_{i}_attn", "rel_pos_bias_table"), w)
+            elif m2 := re.match(r"attn\.proj\.(weight|bias)", rest):
+                _put_in(params, (f"blocks_{i}_attn", "proj",
+                                 "kernel" if m2.group(1) == "weight" else "bias"),
+                        w.T if m2.group(1) == "weight" else w)
+            elif m2 := re.match(r"mlp\.fc(\d)\.(weight|bias)", rest):
+                _put_in(params, (f"blocks_{i}_mlp", f"fc{m2.group(1)}",
+                                 "kernel" if m2.group(2) == "weight" else "bias"),
+                        w.T if m2.group(2) == "weight" else w)
+            else:
+                log.warning("unmapped beit block param %s", name)
+        elif m := re.match(r"fc_norm\.(weight|bias)", name):
+            _put_in(params, ("fc_norm",
+                             "scale" if m.group(1) == "weight" else "bias"), w)
+        elif m := re.match(r"head\.(weight|bias)", name):
+            _put_in(params, ("head",
+                             "kernel" if m.group(1) == "weight" else "bias"),
+                    w.T if m.group(1) == "weight" else w)
+        else:
+            log.warning("unmapped beit param %s (shape %s)", name, w.shape)
+    return params
+
+
+def convert_cait_state_dict(sd: Dict[str, Any]) -> Dict[str, Any]:
+    """timm Cait state_dict -> our flax params tree (models/cait.py).
+
+    Reference models/cait.py naming: self-attention blocks.N with
+    talking-heads attn (fused qkv + proj_l/proj_w head-mixing Linears,
+    :132-135) and bare gamma_1/gamma_2 LayerScale Parameters (:195-196);
+    class-attention blocks_token_only.N with separate q/k/v Linears
+    (:39-43) and their own gamma_1/gamma_2 (:107-108); patch_embed.proj,
+    pos_embed, cls_token, final norm + head. Our flax tree nests LayerScale
+    as ls1/ls2 (gamma child) in self-attn blocks and keeps bare
+    gamma1/gamma2 leaves in class-attn blocks; the head-mix Linears are
+    (h, h) einsum kernels, transposed from torch's (out, in)."""
+    params: Dict[str, Any] = {}
+
+    for name, w in sd.items():
+        w = _t(w)
+        if name in ("cls_token", "pos_embed"):
+            _put_in(params, (name,), w)
+        elif name == "patch_embed.proj.weight":
+            d, c, kh, kw = w.shape
+            _put_in(params, ("patch_embed", "proj", "kernel"),
+                    w.transpose(2, 3, 1, 0).reshape(kh * kw * c, d))
+        elif name == "patch_embed.proj.bias":
+            _put_in(params, ("patch_embed", "proj", "bias"), w)
+        elif m := re.match(r"blocks\.(\d+)\.(.+)", name):
+            blk, rest = f"blocks_{m.group(1)}", m.group(2)
+            if m2 := re.match(r"gamma_(\d)", rest):
+                _put_in(params, (blk, f"ls{m2.group(1)}", "gamma"), w)
+            elif m2 := re.match(r"(norm1|norm2)\.(weight|bias)", rest):
+                _put_in(params, (blk, m2.group(1),
+                                 "scale" if m2.group(2) == "weight" else "bias"), w)
+            elif m2 := re.match(r"attn\.(proj_l|proj_w)\.(weight|bias)", rest):
+                leaf = ("kernel" if m2.group(2) == "weight" else "bias")
+                _put_in(params, (blk, "attn", f"{m2.group(1)}_{leaf}"),
+                        w.T if leaf == "kernel" else w)
+            elif m2 := re.match(r"attn\.(qkv|proj)\.(weight|bias)", rest):
+                _put_in(params, (blk, "attn", m2.group(1),
+                                 "kernel" if m2.group(2) == "weight" else "bias"),
+                        w.T if m2.group(2) == "weight" else w)
+            elif m2 := re.match(r"mlp\.fc(\d)\.(weight|bias)", rest):
+                _put_in(params, (blk, "mlp", f"fc{m2.group(1)}",
+                                 "kernel" if m2.group(2) == "weight" else "bias"),
+                        w.T if m2.group(2) == "weight" else w)
+            else:
+                log.warning("unmapped cait block param %s", name)
+        elif m := re.match(r"blocks_token_only\.(\d+)\.(.+)", name):
+            blk, rest = f"blocks_token_only_{m.group(1)}", m.group(2)
+            if m2 := re.match(r"gamma_(\d)", rest):
+                _put_in(params, (blk, f"gamma{m2.group(1)}"), w)
+            elif m2 := re.match(r"(norm1|norm2)\.(weight|bias)", rest):
+                _put_in(params, (blk, m2.group(1),
+                                 "scale" if m2.group(2) == "weight" else "bias"), w)
+            elif m2 := re.match(r"attn\.(q|k|v|proj)\.(weight|bias)", rest):
+                _put_in(params, (blk, m2.group(1),
+                                 "kernel" if m2.group(2) == "weight" else "bias"),
+                        w.T if m2.group(2) == "weight" else w)
+            elif m2 := re.match(r"mlp\.fc(\d)\.(weight|bias)", rest):
+                _put_in(params, (blk, "mlp", f"fc{m2.group(1)}",
+                                 "kernel" if m2.group(2) == "weight" else "bias"),
+                        w.T if m2.group(2) == "weight" else w)
+            else:
+                log.warning("unmapped cait token-only param %s", name)
+        elif m := re.match(r"norm\.(weight|bias)", name):
+            _put_in(params, ("norm",
+                             "scale" if m.group(1) == "weight" else "bias"), w)
+        elif m := re.match(r"head\.(weight|bias)", name):
+            _put_in(params, ("head",
+                             "kernel" if m.group(1) == "weight" else "bias"),
+                    w.T if m.group(1) == "weight" else w)
+        else:
+            log.warning("unmapped cait param %s (shape %s)", name, w.shape)
+    return params
+
+
+def convert_regnet_state_dict(sd: Dict[str, Any]) -> Dict[str, Any]:
+    """timm RegNet state_dict -> {'params', 'batch_stats'} (models/regnet.py).
+
+    Reference models/regnet.py naming: stem (ConvNormAct stem.conv/stem.bn,
+    or a bare conv `stem.weight` for preact :574-576), stages s1-s4 with
+    blocks b1-bN (:502, :591). Bottleneck blocks (:261-360) are ConvNormAct
+    triples convN.conv/convN.bn + se.fc1/fc2 + downsample.conv/bn (or
+    downsample.1.* behind an avg-pool). PreBottleneck blocks (:362-433) are
+    bare convs with normN BatchNormAct params named directly and a bare
+    downsample conv (`downsample.weight` / avg `downsample.1.weight`).
+    regnetz final_conv.conv/bn (:606), head.fc (:613). Our flax tree uses
+    the same normN site numbering in both layouts (see models/regnet.py),
+    so the mapping is positional: convN.bn -> normN.
+    """
+    params: Dict[str, Any] = {}
+    stats: Dict[str, Any] = {}
+
+    def put_norm(dst, kind, w):
+        if kind == "weight":
+            _put_in(params, (*dst, "scale"), w)
+        elif kind == "bias":
+            _put_in(params, (*dst, "bias"), w)
+        elif kind == "running_mean":
+            _put_in(stats, (*dst, "mean"), w)
+        elif kind == "running_var":
+            _put_in(stats, (*dst, "var"), w)
+
+    norm_kinds = r"(weight|bias|running_mean|running_var)"
+    for name, w in sd.items():
+        if name.endswith("num_batches_tracked"):
+            continue
+        w = _t(w)
+        if name in ("stem.conv.weight", "stem.weight"):
+            _put_in(params, ("stem_conv", "kernel"), _conv_hwio(w))
+        elif m := re.match(rf"stem\.bn\.{norm_kinds}", name):
+            put_norm(("stem_bn",), m.group(1), w)
+        elif name == "final_conv.conv.weight":
+            _put_in(params, ("final_conv", "kernel"), _conv_hwio(w))
+        elif m := re.match(rf"final_conv\.bn\.{norm_kinds}", name):
+            put_norm(("final_conv_bn",), m.group(1), w)
+        elif m := re.match(r"head\.fc\.(weight|bias)", name):
+            _put_in(params, ("head",
+                             "kernel" if m.group(1) == "weight" else "bias"),
+                    w.T if m.group(1) == "weight" else w)
+        elif m := re.match(r"s(\d+)\.b(\d+)\.(.+)", name):
+            blk = f"stages_{int(m.group(1)) - 1}_blocks_{int(m.group(2)) - 1}"
+            rest = m.group(3)
+            if m2 := re.match(r"conv(\d)\.conv\.weight", rest):
+                _put_in(params, (blk, f"conv{m2.group(1)}", "kernel"),
+                        _conv_hwio(w))
+            elif m2 := re.match(rf"conv(\d)\.bn\.{norm_kinds}", rest):
+                put_norm((blk, f"norm{m2.group(1)}"), m2.group(2), w)
+            elif m2 := re.match(r"conv(\d)\.weight", rest):  # preact bare
+                _put_in(params, (blk, f"conv{m2.group(1)}", "kernel"),
+                        _conv_hwio(w))
+            elif m2 := re.match(rf"norm(\d)\.{norm_kinds}", rest):
+                put_norm((blk, f"norm{m2.group(1)}"), m2.group(2), w)
+            elif m2 := re.match(r"se\.fc(1|2)\.(weight|bias)", rest):
+                dst = "se_reduce" if m2.group(1) == "1" else "se_expand"
+                _put_in(params, (blk, dst,
+                                 "kernel" if m2.group(2) == "weight" else "bias"),
+                        _conv_hwio(w) if m2.group(2) == "weight" else w)
+            elif rest in ("downsample.conv.weight", "downsample.1.conv.weight",
+                          "downsample.weight", "downsample.1.weight"):
+                _put_in(params, (blk, "down_conv", "kernel"), _conv_hwio(w))
+            elif m2 := re.match(rf"downsample\.(?:1\.)?bn\.{norm_kinds}", rest):
+                put_norm((blk, "down_norm"), m2.group(1), w)
+            else:
+                log.warning("unmapped regnet block param %s", name)
+        else:
+            log.warning("unmapped regnet param %s (shape %s)", name, w.shape)
+    return {"params": params, "batch_stats": stats}
+
+
 def detect_architecture(sd: Dict[str, Any]) -> str:
     keys = list(sd)
+    if any(k.startswith("blocks_token_only.") for k in keys):
+        return "cait"
+    if any(k.endswith("attn.q_bias") for k in keys):
+        return "beit"  # before swin: both carry relative_position_bias_table
     if any("relative_position_bias_table" in k for k in keys):
         return "swin"
+    if any(re.match(r"s\d+\.b\d+\.", k) for k in keys):
+        return "regnet"
     if any(re.match(r"layer\d+\.\d+\.conv\d\.weight", k) for k in keys):
         return "resnet"
     if "conv_stem.weight" in keys:
@@ -666,8 +881,14 @@ def load_reference_checkpoint(path: str, model_key: str = "model|module",
         sd = {k[len(model_prefix):] if k.startswith(model_prefix) else k: v
               for k, v in sd.items()}
     arch = detect_architecture(sd)
+    if arch == "cait":
+        return convert_cait_state_dict(sd)
+    if arch == "beit":
+        return convert_beit_state_dict(sd)
     if arch == "swin":
         return convert_swin_state_dict(sd)
+    if arch == "regnet":
+        return convert_regnet_state_dict(sd)
     if arch == "resnet":
         # {'params', 'batch_stats'}: callers merge stats into model_state
         return convert_resnet_state_dict(sd)

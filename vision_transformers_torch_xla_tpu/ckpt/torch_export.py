@@ -9,7 +9,8 @@ builds its synthetic timm state dict THROUGH these exporters).
 
 Families: ViT/DeiT, ConvNeXt, ResNet (+SE/ECA/deep-stem, BatchNorm running
 stats from the 'batch_stats' collection), Swin (incl. the PatchMerging
-channel-order permutation), EfficientNet superfamily, MobileNetV3/LCNet.
+channel-order permutation), EfficientNet superfamily, MobileNetV3/LCNet,
+MLP-Mixer family, RegNet X/Y/V/Z.
 Architecture is inferred from the flax tree's top-level names.
 
 Only `save_torch_checkpoint` imports torch (CPU wheel); the exporters
@@ -48,11 +49,19 @@ _NORM_T = {"scale": "weight", "bias": "bias",
 
 def detect_flax_architecture(params: Dict[str, Any]) -> str:
     keys = set(params)
+    if any(re.match(r"blocks_token_only_\d+", k) for k in keys):
+        return "cait"
+    if any(re.match(r"blocks_\d+_attn$", k) for k in keys):
+        return "beit"
     if any(re.match(r"merge_norm_\d+", k) for k in keys):
         return "swin"
     if any(re.match(r"stages_\d+_blocks_\d+", k) for k in keys) \
             and "stem_proj" in keys:
         return "convnext"
+    # regnet blocks carry normN children (resnet's are bnN)
+    if any(re.match(r"stages_\d+_blocks_\d+", k) and "norm2" in params[k]
+           for k in keys):
+        return "regnet"
     if any(re.match(r"stem_conv\d?$", k) for k in keys) \
             and any(re.match(r"stages_\d+_blocks_\d+", k) for k in keys):
         return "resnet"
@@ -461,6 +470,180 @@ def export_mixer_state_dict(variables: Dict[str, Any]) -> Dict[str, np.ndarray]:
     return sd
 
 
+def export_cait_state_dict(variables: Dict[str, Any]) -> Dict[str, np.ndarray]:
+    """Our flax Cait tree -> timm Cait state_dict (head-mix einsum kernels
+    transpose back to Linear weights; ls/gamma re-flatten to gamma_N)."""
+    sd: Dict[str, np.ndarray] = {}
+    for path, w in _flatten(variables["params"]).items():
+        top = path[0]
+        if top in ("cls_token", "pos_embed"):
+            sd[top] = w
+        elif top == "patch_embed":
+            if path[-1] == "kernel":
+                kk, d = w.shape
+                p = int(round((kk // 3) ** 0.5))
+                sd["patch_embed.proj.weight"] = \
+                    w.reshape(p, p, 3, d).transpose(3, 2, 0, 1)
+            else:
+                sd["patch_embed.proj.bias"] = w
+        elif m := re.match(r"blocks_token_only_(\d+)$", top):
+            pre = f"blocks_token_only.{m.group(1)}."
+            mod = path[1]
+            if m2 := re.match(r"gamma(\d)", mod):
+                sd[pre + f"gamma_{m2.group(1)}"] = w
+            elif mod in ("norm1", "norm2"):
+                sd[pre + f"{mod}."
+                   + ("weight" if path[2] == "scale" else "bias")] = w
+            elif mod in ("q", "k", "v", "proj"):
+                sd[pre + f"attn.{mod}."
+                   + ("weight" if path[2] == "kernel" else "bias")] = \
+                    w.T if path[2] == "kernel" else w
+            elif mod == "mlp":
+                sd[pre + f"mlp.{path[2]}."
+                   + ("weight" if path[3] == "kernel" else "bias")] = \
+                    w.T if path[3] == "kernel" else w
+            else:
+                raise ValueError(f"cait export: unmapped {path}")
+        elif m := re.match(r"blocks_(\d+)$", top):
+            pre = f"blocks.{m.group(1)}."
+            mod = path[1]
+            if m2 := re.match(r"ls(\d)", mod):
+                sd[pre + f"gamma_{m2.group(1)}"] = w
+            elif mod in ("norm1", "norm2"):
+                sd[pre + f"{mod}."
+                   + ("weight" if path[2] == "scale" else "bias")] = w
+            elif mod == "attn":
+                sub = path[2]
+                if m2 := re.match(r"(proj_l|proj_w)_(kernel|bias)", sub):
+                    sd[pre + f"attn.{m2.group(1)}."
+                       + ("weight" if m2.group(2) == "kernel" else "bias")] = \
+                        w.T if m2.group(2) == "kernel" else w
+                else:
+                    sd[pre + f"attn.{sub}."
+                       + ("weight" if path[3] == "kernel" else "bias")] = \
+                        w.T if path[3] == "kernel" else w
+            elif mod == "mlp":
+                sd[pre + f"mlp.{path[2]}."
+                   + ("weight" if path[3] == "kernel" else "bias")] = \
+                    w.T if path[3] == "kernel" else w
+            else:
+                raise ValueError(f"cait export: unmapped {path}")
+        elif top == "norm":
+            sd["norm." + ("weight" if path[1] == "scale" else "bias")] = w
+        elif top == "head":
+            sd["head." + ("weight" if path[1] == "kernel" else "bias")] = \
+                w.T if path[1] == "kernel" else w
+        else:
+            raise ValueError(f"cait export: unmapped {path}")
+    return sd
+
+
+def export_beit_state_dict(variables: Dict[str, Any]) -> Dict[str, np.ndarray]:
+    """Our flat-block flax Beit tree -> timm Beit state_dict (q/v biases
+    split back out; rel-pos index buffers are recomputed by torch)."""
+    sd: Dict[str, np.ndarray] = {}
+    for path, w in _flatten(variables["params"]).items():
+        top = path[0]
+        if top == "cls_token":
+            sd["cls_token"] = w
+        elif top == "patch_embed":
+            if path[-1] == "kernel":
+                kk, d = w.shape
+                p = int(round((kk // 3) ** 0.5))
+                sd["patch_embed.proj.weight"] = \
+                    w.reshape(p, p, 3, d).transpose(3, 2, 0, 1)
+            else:
+                sd["patch_embed.proj.bias"] = w
+        elif m := re.match(r"blocks_(\d+)_([a-z0-9_]+)", top):
+            pre = f"blocks.{m.group(1)}."
+            mod = m.group(2)
+            if m2 := re.match(r"ls(\d)", mod):
+                sd[pre + f"gamma_{m2.group(1)}"] = w
+            elif mod in ("norm1", "norm2"):
+                sd[pre + f"{mod}."
+                   + ("weight" if path[1] == "scale" else "bias")] = w
+            elif mod == "attn":
+                sub = path[1]
+                if sub == "rel_pos_bias_table":
+                    sd[pre + "attn.relative_position_bias_table"] = w
+                elif sub in ("q_bias", "v_bias"):
+                    sd[pre + f"attn.{sub}"] = w
+                else:
+                    sd[pre + f"attn.{sub}."
+                       + ("weight" if path[2] == "kernel" else "bias")] = \
+                        w.T if path[2] == "kernel" else w
+            elif mod == "mlp":
+                sd[pre + f"mlp.{path[1]}."
+                   + ("weight" if path[2] == "kernel" else "bias")] = \
+                    w.T if path[2] == "kernel" else w
+            else:
+                raise ValueError(f"beit export: unmapped {path}")
+        elif top == "fc_norm":
+            sd["fc_norm." + ("weight" if path[1] == "scale" else "bias")] = w
+        elif top == "head":
+            sd["head." + ("weight" if path[1] == "kernel" else "bias")] = \
+                w.T if path[1] == "kernel" else w
+        else:
+            raise ValueError(f"beit export: unmapped {path}")
+    return sd
+
+
+def export_regnet_state_dict(variables: Dict[str, Any],
+                             avg_down: bool = False) -> Dict[str, np.ndarray]:
+    """Our flax RegNet tree (+batch_stats) -> timm RegNet state_dict.
+
+    Preact (regnetv) trunks are recognized by the missing stem_bn: their
+    convs export as bare weights and the normN params keep their names;
+    non-preact blocks re-nest as ConvNormAct convN.conv/convN.bn pairs.
+    avg_down=True emits the `downsample.1.*` Sequential naming of timm's
+    avg-pool shortcut (regnetv_064 is the only registered user) — the two
+    layouts are indistinguishable from weights alone.
+    """
+    sd: Dict[str, np.ndarray] = {}
+    preact = "stem_bn" not in variables["params"]
+    ds_conv = "downsample.1." if avg_down else "downsample."
+    for coll in ("params", "batch_stats"):
+        for path, w in _flatten(variables.get(coll, {})).items():
+            top = path[0]
+            kind = _NORM_T.get(path[-1], path[-1])
+            if m := re.match(r"stages_(\d+)_blocks_(\d+)", top):
+                pre = f"s{int(m.group(1)) + 1}.b{int(m.group(2)) + 1}."
+                mod = path[1]
+                if mod.startswith("conv"):
+                    sd[pre + (f"{mod}.weight" if preact
+                              else f"{mod}.conv.weight")] = _oihw(w)
+                elif m2 := re.match(r"norm(\d)", mod):
+                    sd[pre + (f"{mod}.{kind}" if preact
+                              else f"conv{m2.group(1)}.bn.{kind}")] = w
+                elif mod in ("se_reduce", "se_expand"):
+                    fc = "fc1" if mod == "se_reduce" else "fc2"
+                    sd[pre + f"se.{fc}."
+                       + ("weight" if path[2] == "kernel" else "bias")] = \
+                        _oihw(w) if path[2] == "kernel" else w
+                elif mod == "down_conv":
+                    sd[pre + ds_conv + ("weight" if preact
+                                        else "conv.weight")] = _oihw(w)
+                elif mod == "down_norm":
+                    sd[pre + ds_conv + f"bn.{kind}"] = w
+                else:
+                    raise ValueError(f"regnet export: unmapped {path}")
+            elif top == "stem_conv":
+                sd["stem.weight" if preact else "stem.conv.weight"] = _oihw(w)
+            elif top == "stem_bn":
+                sd[f"stem.bn.{kind}"] = w
+            elif top == "final_conv":
+                sd["final_conv.conv.weight"] = _oihw(w)
+            elif top == "final_conv_bn":
+                sd[f"final_conv.bn.{kind}"] = w
+            elif top == "head":
+                sd["head.fc."
+                   + ("weight" if path[1] == "kernel" else "bias")] = \
+                    w.T if path[1] == "kernel" else w
+            else:
+                raise ValueError(f"regnet export: unmapped {path}")
+    return sd
+
+
 _EXPORTERS = {
     "vit": export_vit_state_dict,
     "convnext": export_convnext_state_dict,
@@ -469,14 +652,20 @@ _EXPORTERS = {
     "efficientnet": export_efficientnet_state_dict,
     "mobilenetv3": export_mobilenetv3_state_dict,
     "mixer": export_mixer_state_dict,
+    "regnet": export_regnet_state_dict,
+    "beit": export_beit_state_dict,
+    "cait": export_cait_state_dict,
 }
 
 
 def export_torch_state_dict(variables: Dict[str, Any],
-                            arch: Optional[str] = None) -> Dict[str, np.ndarray]:
+                            arch: Optional[str] = None,
+                            **kw) -> Dict[str, np.ndarray]:
     """Flax variables ({'params', optional 'batch_stats'}) or a bare params
     tree -> timm-named numpy state dict. arch in {vit, convnext, resnet,
-    swin, efficientnet, mobilenetv3}; inferred from the tree if omitted."""
+    swin, efficientnet, mobilenetv3, mixer, regnet}; inferred from the tree
+    if omitted. Extra kwargs go to the family exporter (e.g. regnet's
+    avg_down)."""
     if "params" not in variables:
         variables = {"params": variables}
     arch = arch or detect_flax_architecture(variables["params"])
@@ -485,17 +674,18 @@ def export_torch_state_dict(variables: Dict[str, Any],
     except KeyError:
         raise ValueError(f"unknown export arch {arch!r}; "
                          f"known {sorted(_EXPORTERS)}") from None
-    return fn(variables)
+    return fn(variables, **kw)
 
 
 def save_torch_checkpoint(path: str, variables: Dict[str, Any],
                           arch: Optional[str] = None,
-                          extra: Optional[Dict[str, Any]] = None) -> None:
+                          extra: Optional[Dict[str, Any]] = None,
+                          **kw) -> None:
     """torch.save a reference-compatible checkpoint: {'model': state_dict,
     **extra}. Loadable by the reference's --finetune/--resume
     (utils/__init__.py:550-596) and by timm's load_state_dict."""
     import torch
 
     sd = {k: torch.from_numpy(np.ascontiguousarray(v))
-          for k, v in export_torch_state_dict(variables, arch).items()}
+          for k, v in export_torch_state_dict(variables, arch, **kw).items()}
     torch.save({"model": sd, **(extra or {})}, path)

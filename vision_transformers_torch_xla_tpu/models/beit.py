@@ -59,6 +59,18 @@ class BeitAttention(nn.Module):
         hd = c // h
         qkv = _dense(3 * c, ("embed", "qkv_out"), False, self.dtype,
                      self.param_dtype, "qkv")(x)
+        # timm parity (reference beit.py:133-137): bias-free fused qkv plus
+        # learnable q/v biases; the k bias is a constant-zero buffer
+        q_bias = self.param("q_bias",
+                            nn.with_logical_partitioning(
+                                nn.initializers.zeros_init(), ("qkv_out",)),
+                            (c,), self.param_dtype)
+        v_bias = self.param("v_bias",
+                            nn.with_logical_partitioning(
+                                nn.initializers.zeros_init(), ("qkv_out",)),
+                            (c,), self.param_dtype)
+        qkv = qkv + jnp.concatenate(
+            [q_bias, jnp.zeros_like(q_bias), v_bias]).astype(qkv.dtype)
         qkv = qkv.reshape(b, s, 3, h, hd).transpose(2, 0, 3, 1, 4)
         q, k, v = qkv[0], qkv[1], qkv[2]
         table = self.param(

@@ -92,29 +92,34 @@ class _Block(nn.Module):
         w = self.width
         wb = int(round(w * self.bottle_ratio))
         in_ch = x.shape[-1]
-        shortcut = x
         if self.preact:
-            x = act(self._n(x, "preact_norm", det))
+            # reference PreBottleneck (regnet.py:362-433): norm1/2/3 are
+            # fused norm+act BEFORE each conv, and the (identity or
+            # projected) shortcut is taken AFTER norm1+act (:448-459)
+            x = act(self._n(x, "norm1", det))
+        shortcut = x
         if in_ch != w or self.stride > 1:
             if self.downsample is None:
                 shortcut = None
             elif self.downsample == "avg":
-                s = nn.avg_pool(shortcut, (2, 2), strides=(2, 2)) \
-                    if self.stride > 1 else shortcut
+                s = nn.avg_pool(x, (2, 2), strides=(2, 2)) \
+                    if self.stride > 1 else x
                 shortcut = conv(w, (1, 1), name="down_conv")(s)
                 if not self.preact:
                     shortcut = self._n(shortcut, "down_norm", det)
             else:
-                src = x if self.preact else shortcut
                 shortcut = conv(w, (1, 1), strides=self.stride,
-                                name="down_conv")(src)
+                                name="down_conv")(x)
                 if not self.preact:
                     shortcut = self._n(shortcut, "down_norm", det)
         y = conv(wb, (1, 1), name="conv1")(x)
-        y = act(self._n(y, "norm1", det)) if not self.preact else act(y)
+        # between conv1 and conv2: preact's norm2 == non-preact's norm1
+        # (post-conv1) — same computation site, timm-native name each way
+        y = act(self._n(y, "norm2" if self.preact else "norm1", det))
         y = conv(wb, (3, 3), strides=self.stride,
                  feature_group_count=self.groups, name="conv2")(y)
-        y = act(self._n(y, "norm2", det)) if not self.preact else act(y)
+        if not self.preact:
+            y = act(self._n(y, "norm2", det))
         if self.se_ratio > 0:
             rd = max(1, int(in_ch * self.se_ratio))
             s = y.mean(axis=(1, 2), keepdims=True)
@@ -125,12 +130,16 @@ class _Block(nn.Module):
                                    param_dtype=self.param_dtype,
                                    name="se_expand")(s))
             y = y * s
+        if self.preact:
+            y = act(self._n(y, "norm3", det))
         y = conv(w, (1, 1), name="conv3")(y)
         if not self.preact:
             y = self._n(y, "norm3", det)
         if shortcut is not None:
             y = y + shortcut
-        if not self.linear_out:
+        # reference PreBottleneck has no post-residual act (:459-460);
+        # Bottleneck's act3 is Identity when linear_out (:324)
+        if not self.linear_out and not self.preact:
             y = act(y)
         return y
 
@@ -185,11 +194,6 @@ class RegNet(nn.Module):
                            dtype=self.dtype,
                            param_dtype=self.param_dtype,
                            name=f"stages_{si}_blocks_{bi}")(x, det)
-        if self.preact:
-            x = act(nn.BatchNorm(use_running_average=det, momentum=0.9,
-                                 epsilon=1e-5, dtype=self.dtype,
-                                 param_dtype=self.param_dtype,
-                                 name="final_norm")(x))
         if self.num_features:
             x = nn.Conv(self.num_features, (1, 1), use_bias=False,
                         dtype=self.dtype, param_dtype=self.param_dtype,
@@ -199,7 +203,9 @@ class RegNet(nn.Module):
                              param_dtype=self.param_dtype,
                              name="final_conv_bn")(x)
             x = act(x)
-        elif self.linear_out:
+        elif self.linear_out or self.preact:
+            # reference regnet.py:609-610: final_conv degenerates to a bare
+            # act for linear_out/preact trunks (no norm — preact included)
             x = act(x)
         x = x.mean(axis=(1, 2))
         if self.num_classes == 0:
