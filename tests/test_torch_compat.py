@@ -866,3 +866,36 @@ def test_cait_export_import_roundtrip():
     assert "blocks_token_only.1.gamma_1" in sd
     out = tc.convert_cait_state_dict(sd)
     _assert_same_tree(out, variables["params"], "cait params")
+
+
+def test_xcit_export_import_roundtrip():
+    """XCiT: export flax -> timm names (Sequential conv patch stem, Fourier
+    token_projection 1x1 conv, XCA temperature, LPI depthwise+BN, bare
+    gammaN) -> convert reproduces the tree incl. batch_stats."""
+    from vision_transformers_torch_xla_tpu.ckpt import torch_compat as tc
+    from vision_transformers_torch_xla_tpu.ckpt.torch_export import (
+        detect_flax_architecture,
+        export_torch_state_dict,
+    )
+    from vision_transformers_torch_xla_tpu.models.factory import create_model
+
+    m = create_model("xcit_nano_12_p16_224", embed_dim=64, depth=2,
+                     num_heads=2, img_size=32, num_classes=10,
+                     dtype=jnp.float32)
+    variables = _rand_variables(m, img=32)
+    assert detect_flax_architecture(variables["params"]) == "xcit"
+    sd = {k: torch.from_numpy(v) for k, v in
+          export_torch_state_dict(variables).items()}
+    assert tc.detect_architecture(sd) == "xcit"
+    assert "patch_embed.proj.0.0.weight" in sd
+    assert "patch_embed.proj.6.1.running_mean" in sd
+    assert "pos_embed.token_projection.weight" in sd
+    assert sd["pos_embed.token_projection.weight"].shape == (64, 64, 1, 1)
+    assert "blocks.0.attn.temperature" in sd
+    assert "blocks.1.local_mp.conv2.weight" in sd
+    assert "blocks.0.gamma3" in sd
+    assert "cls_attn_blocks.0.attn.q.weight" in sd
+    out = tc.convert_xcit_state_dict(sd)
+    _assert_same_tree(out["params"], variables["params"], "xcit params")
+    _assert_same_tree(out["batch_stats"], variables["batch_stats"],
+                      "xcit batch_stats")

@@ -738,6 +738,101 @@ def convert_cait_state_dict(sd: Dict[str, Any]) -> Dict[str, Any]:
     return params
 
 
+def convert_xcit_state_dict(sd: Dict[str, Any]) -> Dict[str, Any]:
+    """timm Xcit state_dict -> {'params', 'batch_stats'} (models/xcit.py).
+
+    Reference models/xcit.py naming: ConvPatchEmbed as nested Sequentials
+    (patch_embed.proj.{0,2,4,6}.{0=conv,1=bn}, :68-106), Fourier pos
+    encoding's learned 1x1 conv (pos_embed.token_projection, :43), XCA
+    blocks.N (attn.temperature/qkv/proj, norm1/3/2, local_mp.conv1/bn/conv2
+    depthwise pair, bare gamma1/gamma3/gamma2, :199-297), class-attention
+    cls_attn_blocks.N (attn.q/k/v/proj, gamma1/gamma2, :144-194), norm,
+    head. BatchNorm running stats land in 'batch_stats'."""
+    params: Dict[str, Any] = {}
+    stats: Dict[str, Any] = {}
+
+    def put_norm(dst, kind, w):
+        if kind == "weight":
+            _put_in(params, (*dst, "scale"), w)
+        elif kind == "bias":
+            _put_in(params, (*dst, "bias"), w)
+        elif kind == "running_mean":
+            _put_in(stats, (*dst, "mean"), w)
+        elif kind == "running_var":
+            _put_in(stats, (*dst, "var"), w)
+
+    norm_kinds = r"(weight|bias|running_mean|running_var)"
+    for name, w in sd.items():
+        if name.endswith("num_batches_tracked"):
+            continue
+        w = _t(w)
+        if name == "cls_token":
+            _put_in(params, ("cls_token",), w)
+        elif m := re.match(r"patch_embed\.proj\.(\d)\.0\.weight", name):
+            _put_in(params,
+                    (f"patch_embed_conv{int(m.group(1)) // 2}", "kernel"),
+                    _conv_hwio(w))
+        elif m := re.match(rf"patch_embed\.proj\.(\d)\.1\.{norm_kinds}", name):
+            put_norm((f"patch_embed_bn{int(m.group(1)) // 2}",),
+                     m.group(2), w)
+        elif m := re.match(r"pos_embed\.token_projection\.(weight|bias)", name):
+            _put_in(params, ("pos_proj",
+                             "kernel" if m.group(1) == "weight" else "bias"),
+                    w[:, :, 0, 0].T if m.group(1) == "weight" else w)
+        elif m := re.match(r"blocks\.(\d+)\.(.+)", name):
+            blk, rest = f"blocks_{m.group(1)}", m.group(2)
+            if m2 := re.match(r"gamma(\d)", rest):
+                _put_in(params, (blk, f"gamma{m2.group(1)}"), w)
+            elif m2 := re.match(r"(norm1|norm2|norm3)\.(weight|bias)", rest):
+                _put_in(params, (blk, m2.group(1),
+                                 "scale" if m2.group(2) == "weight" else "bias"), w)
+            elif rest == "attn.temperature":
+                _put_in(params, (blk, "attn", "temperature"), w)
+            elif m2 := re.match(r"attn\.(qkv|proj)\.(weight|bias)", rest):
+                _put_in(params, (blk, "attn", m2.group(1),
+                                 "kernel" if m2.group(2) == "weight" else "bias"),
+                        w.T if m2.group(2) == "weight" else w)
+            elif m2 := re.match(r"local_mp\.(conv1|conv2)\.(weight|bias)", rest):
+                _put_in(params, (blk, "local_mp", m2.group(1),
+                                 "kernel" if m2.group(2) == "weight" else "bias"),
+                        _conv_hwio(w) if m2.group(2) == "weight" else w)
+            elif m2 := re.match(rf"local_mp\.bn\.{norm_kinds}", rest):
+                put_norm((blk, "local_mp", "bn"), m2.group(1), w)
+            elif m2 := re.match(r"mlp\.fc(\d)\.(weight|bias)", rest):
+                _put_in(params, (blk, "mlp", f"fc{m2.group(1)}",
+                                 "kernel" if m2.group(2) == "weight" else "bias"),
+                        w.T if m2.group(2) == "weight" else w)
+            else:
+                log.warning("unmapped xcit block param %s", name)
+        elif m := re.match(r"cls_attn_blocks\.(\d+)\.(.+)", name):
+            blk, rest = f"cls_attn_blocks_{m.group(1)}", m.group(2)
+            if m2 := re.match(r"gamma(\d)", rest):
+                _put_in(params, (blk, f"gamma{m2.group(1)}"), w)
+            elif m2 := re.match(r"(norm1|norm2)\.(weight|bias)", rest):
+                _put_in(params, (blk, m2.group(1),
+                                 "scale" if m2.group(2) == "weight" else "bias"), w)
+            elif m2 := re.match(r"attn\.(q|k|v|proj)\.(weight|bias)", rest):
+                _put_in(params, (blk, m2.group(1),
+                                 "kernel" if m2.group(2) == "weight" else "bias"),
+                        w.T if m2.group(2) == "weight" else w)
+            elif m2 := re.match(r"mlp\.fc(\d)\.(weight|bias)", rest):
+                _put_in(params, (blk, "mlp", f"fc{m2.group(1)}",
+                                 "kernel" if m2.group(2) == "weight" else "bias"),
+                        w.T if m2.group(2) == "weight" else w)
+            else:
+                log.warning("unmapped xcit cls-attn param %s", name)
+        elif m := re.match(r"norm\.(weight|bias)", name):
+            _put_in(params, ("norm",
+                             "scale" if m.group(1) == "weight" else "bias"), w)
+        elif m := re.match(r"head\.(weight|bias)", name):
+            _put_in(params, ("head",
+                             "kernel" if m.group(1) == "weight" else "bias"),
+                    w.T if m.group(1) == "weight" else w)
+        else:
+            log.warning("unmapped xcit param %s (shape %s)", name, w.shape)
+    return {"params": params, "batch_stats": stats}
+
+
 def convert_regnet_state_dict(sd: Dict[str, Any]) -> Dict[str, Any]:
     """timm RegNet state_dict -> {'params', 'batch_stats'} (models/regnet.py).
 
@@ -814,6 +909,8 @@ def convert_regnet_state_dict(sd: Dict[str, Any]) -> Dict[str, Any]:
 
 def detect_architecture(sd: Dict[str, Any]) -> str:
     keys = list(sd)
+    if any(k.startswith("cls_attn_blocks.") for k in keys):
+        return "xcit"
     if any(k.startswith("blocks_token_only.") for k in keys):
         return "cait"
     if any(k.endswith("attn.q_bias") for k in keys):
@@ -881,6 +978,8 @@ def load_reference_checkpoint(path: str, model_key: str = "model|module",
         sd = {k[len(model_prefix):] if k.startswith(model_prefix) else k: v
               for k, v in sd.items()}
     arch = detect_architecture(sd)
+    if arch == "xcit":
+        return convert_xcit_state_dict(sd)
     if arch == "cait":
         return convert_cait_state_dict(sd)
     if arch == "beit":

@@ -49,6 +49,8 @@ _NORM_T = {"scale": "weight", "bias": "bias",
 
 def detect_flax_architecture(params: Dict[str, Any]) -> str:
     keys = set(params)
+    if any(re.match(r"cls_attn_blocks_\d+", k) for k in keys):
+        return "xcit"
     if any(re.match(r"blocks_token_only_\d+", k) for k in keys):
         return "cait"
     if any(re.match(r"blocks_\d+_attn$", k) for k in keys):
@@ -470,6 +472,86 @@ def export_mixer_state_dict(variables: Dict[str, Any]) -> Dict[str, np.ndarray]:
     return sd
 
 
+def export_xcit_state_dict(variables: Dict[str, Any]) -> Dict[str, np.ndarray]:
+    """Our flax XCiT tree (+batch_stats) -> timm Xcit state_dict (conv patch
+    stem re-nests as Sequential pairs; pos_proj re-shapes to the 1x1
+    token_projection conv; rel buffers don't exist in this family)."""
+    sd: Dict[str, np.ndarray] = {}
+    for coll in ("params", "batch_stats"):
+        for path, w in _flatten(variables.get(coll, {})).items():
+            top = path[0]
+            kind = _NORM_T.get(path[-1], path[-1])
+            if top == "cls_token":
+                sd["cls_token"] = w
+            elif m := re.match(r"patch_embed_conv(\d)", top):
+                sd[f"patch_embed.proj.{2 * int(m.group(1))}.0.weight"] = \
+                    _oihw(w)
+            elif m := re.match(r"patch_embed_bn(\d)", top):
+                sd[f"patch_embed.proj.{2 * int(m.group(1))}.1.{kind}"] = w
+            elif top == "pos_proj":
+                if path[-1] == "kernel":
+                    sd["pos_embed.token_projection.weight"] = \
+                        w.T[:, :, None, None]
+                else:
+                    sd["pos_embed.token_projection.bias"] = w
+            elif m := re.match(r"cls_attn_blocks_(\d+)$", top):
+                pre = f"cls_attn_blocks.{m.group(1)}."
+                mod = path[1]
+                if m2 := re.match(r"gamma(\d)", mod):
+                    sd[pre + mod] = w
+                elif mod in ("norm1", "norm2"):
+                    sd[pre + f"{mod}."
+                       + ("weight" if path[2] == "scale" else "bias")] = w
+                elif mod in ("q", "k", "v", "proj"):
+                    sd[pre + f"attn.{mod}."
+                       + ("weight" if path[2] == "kernel" else "bias")] = \
+                        w.T if path[2] == "kernel" else w
+                elif mod == "mlp":
+                    sd[pre + f"mlp.{path[2]}."
+                       + ("weight" if path[3] == "kernel" else "bias")] = \
+                        w.T if path[3] == "kernel" else w
+                else:
+                    raise ValueError(f"xcit export: unmapped {path}")
+            elif m := re.match(r"blocks_(\d+)$", top):
+                pre = f"blocks.{m.group(1)}."
+                mod = path[1]
+                if m2 := re.match(r"gamma(\d)", mod):
+                    sd[pre + mod] = w
+                elif mod in ("norm1", "norm2", "norm3"):
+                    sd[pre + f"{mod}."
+                       + ("weight" if path[2] == "scale" else "bias")] = w
+                elif mod == "attn":
+                    sub = path[2]
+                    if sub == "temperature":
+                        sd[pre + "attn.temperature"] = w
+                    else:
+                        sd[pre + f"attn.{sub}."
+                           + ("weight" if path[3] == "kernel" else "bias")] = \
+                            w.T if path[3] == "kernel" else w
+                elif mod == "local_mp":
+                    sub = path[2]
+                    if sub in ("conv1", "conv2"):
+                        sd[pre + f"local_mp.{sub}."
+                           + ("weight" if path[3] == "kernel" else "bias")] = \
+                            _oihw(w) if path[3] == "kernel" else w
+                    else:  # bn
+                        sd[pre + f"local_mp.bn.{kind}"] = w
+                elif mod == "mlp":
+                    sd[pre + f"mlp.{path[2]}."
+                       + ("weight" if path[3] == "kernel" else "bias")] = \
+                        w.T if path[3] == "kernel" else w
+                else:
+                    raise ValueError(f"xcit export: unmapped {path}")
+            elif top == "norm":
+                sd["norm." + ("weight" if path[1] == "scale" else "bias")] = w
+            elif top == "head":
+                sd["head." + ("weight" if path[1] == "kernel" else "bias")] = \
+                    w.T if path[1] == "kernel" else w
+            else:
+                raise ValueError(f"xcit export: unmapped {path}")
+    return sd
+
+
 def export_cait_state_dict(variables: Dict[str, Any]) -> Dict[str, np.ndarray]:
     """Our flax Cait tree -> timm Cait state_dict (head-mix einsum kernels
     transpose back to Linear weights; ls/gamma re-flatten to gamma_N)."""
@@ -655,6 +737,7 @@ _EXPORTERS = {
     "regnet": export_regnet_state_dict,
     "beit": export_beit_state_dict,
     "cait": export_cait_state_dict,
+    "xcit": export_xcit_state_dict,
 }
 
 

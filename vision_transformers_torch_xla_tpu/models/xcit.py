@@ -12,7 +12,6 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from vision_transformers_torch_xla_tpu.models.cait import ClassAttentionBlock
 from vision_transformers_torch_xla_tpu.models.layers import (
     Mlp,
     _dense,
@@ -86,6 +85,70 @@ class LPI(nn.Module):
         return grid.reshape(b, n, c)
 
 
+class XCiTClassAttentionBlock(nn.Module):
+    """XCiT's class-attention block over the FULL [cls; patches] sequence.
+
+    Exact parity with reference xcit.py:144-194 — distinct from CaiT's:
+    the attention residual adds gamma1 * [attn(cls); norm1(x)[patches]] to
+    every token (patch tokens accumulate their normed selves); norm2 runs
+    over all tokens when tokens_norm else the cls token only; and the MLP
+    residual re-adds the raw patch tokens (the documented timm quirk from
+    PR #747 — patch tokens double each layer), so converted checkpoints
+    reproduce the reference numerics token-for-token.
+    """
+
+    num_heads: int
+    mlp_ratio: float = 4.0
+    init_values: float = 1.0
+    tokens_norm: bool = True
+    dtype: jnp.dtype = jnp.bfloat16
+    param_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array, deterministic: bool = True) -> jax.Array:
+        from vision_transformers_torch_xla_tpu.ops.attention import (
+            multi_head_attention,
+        )
+
+        b, s, d = x.shape
+        h = self.num_heads
+        hd = d // h
+
+        def gamma(name):
+            return self.param(name, nn.with_logical_partitioning(
+                nn.initializers.constant(self.init_values), ("embed",)),
+                (d,), self.param_dtype)
+
+        xn = _layer_norm(self.dtype, self.param_dtype, "norm1")(x)
+        q = _dense(d, ("embed", "qkv_out"), True, self.dtype,
+                   self.param_dtype, "q")(xn[:, :1])
+        k = _dense(d, ("embed", "qkv_out"), True, self.dtype,
+                   self.param_dtype, "k")(xn)
+        v = _dense(d, ("embed", "qkv_out"), True, self.dtype,
+                   self.param_dtype, "v")(xn)
+        q = q.reshape(b, 1, h, hd).transpose(0, 2, 1, 3)
+        k = k.reshape(b, s, h, hd).transpose(0, 2, 1, 3)
+        v = v.reshape(b, s, h, hd).transpose(0, 2, 1, 3)
+        o = multi_head_attention(q, k, v, scale=hd ** -0.5)
+        o = o.transpose(0, 2, 1, 3).reshape(b, 1, d)
+        attn_cls = _dense(d, ("qkv_out", "embed"), True, self.dtype,
+                          self.param_dtype, "proj")(o)
+        x_attn = jnp.concatenate([attn_cls, xn[:, 1:]], axis=1)
+        x = x + x_attn * gamma("gamma1").astype(x_attn.dtype)
+        if self.tokens_norm:
+            x = _layer_norm(self.dtype, self.param_dtype, "norm2")(x)
+        else:
+            x = jnp.concatenate(
+                [_layer_norm(self.dtype, self.param_dtype, "norm2")(x[:, :1]),
+                 x[:, 1:]], axis=1)
+        x_res = x
+        cls = Mlp(int(d * self.mlp_ratio), d, dtype=self.dtype,
+                  param_dtype=self.param_dtype, name="mlp")(
+            x[:, :1], deterministic)
+        cls = cls * gamma("gamma2").astype(cls.dtype)
+        return x_res + jnp.concatenate([cls, x[:, 1:]], axis=1)
+
+
 class XCiTLayer(nn.Module):
     dim: int
     num_heads: int
@@ -135,6 +198,7 @@ class XCiT(nn.Module):
     num_heads: int = 8
     mlp_ratio: float = 4.0
     init_values: float = 1.0
+    tokens_norm: bool = True
     drop_path_rate: float = 0.0
     dtype: jnp.dtype = jnp.bfloat16
     param_dtype: jnp.dtype = jnp.float32
@@ -171,9 +235,12 @@ class XCiT(nn.Module):
         coords = coords / (coords[-1:, -1:, :] + 1e-6) * (2 * jnp.pi)
         dim_t = 10000.0 ** (2 * (jnp.arange(hidden) // 2) / hidden)
         feats = coords[:, :, :, None] / dim_t
-        feats = jnp.concatenate(
-            [jnp.sin(feats[..., 0::2]), jnp.cos(feats[..., 1::2])],
-            axis=-1).reshape(g, g, -1)
+        # interleave [sin(f0), cos(f1), sin(f2), ...] exactly like the
+        # reference's stack(..., dim=4).flatten(3) (xcit.py:58-61) so the
+        # learned projection converts weight-for-weight
+        feats = jnp.stack([jnp.sin(feats[..., 0::2]),
+                           jnp.cos(feats[..., 1::2])],
+                          axis=-1).reshape(g, g, -1)
         pos = nn.Dense(d, dtype=self.dtype, param_dtype=self.param_dtype,
                        name="pos_proj")(feats.astype(self.dtype))
         x = x + pos.reshape(1, g * g, d)
@@ -186,14 +253,16 @@ class XCiT(nn.Module):
         cls = self.param("cls_token",
                          nn.with_logical_partitioning(trunc_init, (None, None, "embed")),
                          (1, 1, self.embed_dim), self.param_dtype)
-        x_cls = jnp.broadcast_to(cls.astype(x.dtype), (b, 1, self.embed_dim))
+        x = jnp.concatenate(
+            [jnp.broadcast_to(cls.astype(x.dtype), (b, 1, self.embed_dim)),
+             x], axis=1)
         for i in range(self.cls_attn_layers):
-            x_cls = ClassAttentionBlock(
+            x = XCiTClassAttentionBlock(
                 num_heads=self.num_heads, mlp_ratio=self.mlp_ratio,
-                init_values=self.init_values, dtype=self.dtype,
-                param_dtype=self.param_dtype,
-                name=f"cls_attn_blocks_{i}")(x_cls, x, deterministic)
-        x_cls = _layer_norm(self.dtype, self.param_dtype, "norm")(x_cls)[:, 0]
+                init_values=self.init_values, tokens_norm=self.tokens_norm,
+                dtype=self.dtype, param_dtype=self.param_dtype,
+                name=f"cls_attn_blocks_{i}")(x, deterministic)
+        x_cls = _layer_norm(self.dtype, self.param_dtype, "norm")(x)[:, 0]
         return nn.Dense(self.num_classes, dtype=self.dtype,
                         param_dtype=self.param_dtype,
                         kernel_init=nn.with_logical_partitioning(
@@ -237,10 +306,12 @@ for _size, _depth in _GRID:
             _name = f"xcit_{_size}_{_depth}_p{_ps}_{_res}"
 
             def _build(_dim=_dim, _depth=_depth, _heads=_heads, _ps=_ps,
-                       _res=_res, _eta=_eta, **kw):
+                       _res=_res, _eta=_eta, _size=_size, **kw):
                 kw.setdefault("patch_size", _ps)
                 kw.setdefault("img_size", _res)
                 kw.setdefault("init_values", _eta)
+                # reference xcit.py:753-972: tokens_norm=False for nano only
+                kw.setdefault("tokens_norm", _size != "nano")
                 return _xcit(_dim, _depth, _heads, **kw)
 
             _build.__name__ = _name
