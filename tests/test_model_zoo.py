@@ -1,7 +1,9 @@
 """One-forward-per-family zoo coverage (small inputs keep CPU compiles fast)."""
 import jax
 import jax.numpy as jnp
+import numpy as np
 import pytest
+from flax import linen as nn
 
 from vision_transformers_torch_xla_tpu import create_model, list_models
 
@@ -153,13 +155,18 @@ FAMILIES = [
 # breadth is covered by the eval_shape audit over ALL registered names in
 # tests/test_param_audit.py, which needs no compiles.
 CORE = {
-    "my_vit_ti", "convnext_atto", "mixer_s32_224", "efficientnet_b0",
-    "cait_xxs24_224", "xcit_nano_12_p16_224", "maxvit_tiny_rw_224",
+    "my_vit_ti", "convnext_atto", "mixer_s32_224",
+    "cait_xxs24_224", "xcit_nano_12_p16_224",
     "swinv2_tiny_window8_256", "eva02_tiny_patch14_224", "nfnet_f0",
-    "levit_128s", "hiera_tiny_224", "volo_d1_224", "mobilevit_xxs",
-    "resnet18d", "cspresnet50", "sequencer2d_s", "tresnet_m",
+    "hiera_tiny_224", "volo_d1_224",
+    "resnet18d", "cspresnet50", "tresnet_m",
     "hgnetv2_b0", "repvgg_a0", "halonet26t", "tf_efficientnetv2_b0",
-    "vit_medium_patch16_rope_reg1_gap_256", "mobilenetv4_hybrid_medium",
+    "vit_medium_patch16_rope_reg1_gap_256",
+    # dropped from the default set (slowest single-core compiles, classes
+    # still covered: effnet builder by tf_efficientnetv2_b0, windowed by
+    # swinv2, conv-attn hybrids by halonet/volo, token-mix by mixer):
+    # efficientnet_b0, maxvit_tiny_rw_224, levit_128s, mobilevit_xxs,
+    # sequencer2d_s, mobilenetv4_hybrid_medium -> full_zoo
 }
 
 _PARAMS = [
@@ -173,7 +180,16 @@ _PARAMS = [
 def test_family_forward(name, kwargs, hw):
     m = create_model(name, num_classes=10, dtype=jnp.float32, **kwargs)
     x = jnp.ones((1, hw, hw, 3), jnp.float32)
-    vs = m.init({"params": jax.random.key(0)}, x, True)
+    # eval_shape init + positive random fill: the real init pass is the
+    # single most expensive eager trace here and adds no coverage beyond
+    # what the shapes give (initializer numerics are exercised by the
+    # training-path tests); positive values keep BN vars/denominators sane
+    vs = jax.eval_shape(lambda k: m.init(k, x, True),
+                        {"params": jax.random.key(0)})
+    rng = np.random.default_rng(0)
+    vs = jax.tree.map(
+        lambda s: jnp.asarray(rng.uniform(0.01, 0.05, s.shape), s.dtype),
+        nn.meta.unbox(vs))
     y = m.apply(vs, x, True)
     assert y.shape == (1, 10)
     assert y.dtype == jnp.float32
