@@ -899,3 +899,31 @@ def test_xcit_export_import_roundtrip():
     _assert_same_tree(out["params"], variables["params"], "xcit params")
     _assert_same_tree(out["batch_stats"], variables["batch_stats"],
                       "xcit batch_stats")
+
+
+def test_pvt2_export_import_roundtrip():
+    """PVTv2: export flax -> timm names (stem patch_embed vs per-stage
+    downsample nesting, SR conv + norm, depthwise-conv MLP) -> convert
+    reproduces the tree. Covers the linear (b2_li) pooled-KV layout too."""
+    from vision_transformers_torch_xla_tpu.ckpt import torch_compat as tc
+    from vision_transformers_torch_xla_tpu.ckpt.torch_export import (
+        detect_flax_architecture,
+        export_torch_state_dict,
+    )
+    from vision_transformers_torch_xla_tpu.models.factory import create_model
+
+    for name in ("pvt_v2_b0", "pvt_v2_b2_li"):
+        m = create_model(name, num_classes=10, dtype=jnp.float32,
+                         depths=(1, 1, 1, 1))
+        variables = _rand_variables(m, img=64)
+        assert detect_flax_architecture(variables["params"]) == "pvt2"
+        sd = {k: torch.from_numpy(v) for k, v in
+              export_torch_state_dict(variables).items()}
+        assert tc.detect_architecture(sd) == "pvt2"
+        assert "patch_embed.proj.weight" in sd
+        assert "stages.1.downsample.proj.weight" in sd
+        assert "stages.0.blocks.0.attn.kv.weight" in sd
+        assert "stages.0.blocks.0.mlp.dwconv.weight" in sd
+        assert "stages.3.norm.weight" in sd
+        out = tc.convert_pvt2_state_dict(sd)
+        _assert_same_tree(out, variables["params"], f"{name} params")

@@ -833,6 +833,72 @@ def convert_xcit_state_dict(sd: Dict[str, Any]) -> Dict[str, Any]:
     return {"params": params, "batch_stats": stats}
 
 
+def convert_pvt2_state_dict(sd: Dict[str, Any]) -> Dict[str, Any]:
+    """timm PyramidVisionTransformerV2 state_dict -> our flax params
+    (models/pvt_v2.py).
+
+    Reference models/pvt_v2.py naming: patch_embed.proj/norm for the stem
+    OverlapPatchEmbed (:194-205), stages.N.downsample.proj/norm for stages
+    1+ (:235-243), blocks with separate q + fused kv Linears, spatial-
+    reduction conv attn.sr + attn.norm (:91-110), MlpWithDepthwiseConv
+    fc1/dwconv/fc2 (:35-66), per-stage trailing norm (:258), mean-pool
+    head. Our flax flattens the MLP into block-level fc1/dwconv/fc2 and
+    names the SR norm sr_norm."""
+    params: Dict[str, Any] = {}
+
+    def put_ln(dst, kind, w):
+        _put_in(params, (*dst, "scale" if kind == "weight" else "bias"), w)
+
+    for name, w in sd.items():
+        w = _t(w)
+        if m := re.match(r"patch_embed\.proj\.(weight|bias)", name):
+            _put_in(params, ("patch_embed_0",
+                             "kernel" if m.group(1) == "weight" else "bias"),
+                    _conv_hwio(w) if m.group(1) == "weight" else w)
+        elif m := re.match(r"patch_embed\.norm\.(weight|bias)", name):
+            put_ln(("embed_norm_0",), m.group(1), w)
+        elif m := re.match(r"stages\.(\d+)\.downsample\.proj\.(weight|bias)", name):
+            _put_in(params, (f"patch_embed_{m.group(1)}",
+                             "kernel" if m.group(2) == "weight" else "bias"),
+                    _conv_hwio(w) if m.group(2) == "weight" else w)
+        elif m := re.match(r"stages\.(\d+)\.downsample\.norm\.(weight|bias)", name):
+            put_ln((f"embed_norm_{m.group(1)}",), m.group(2), w)
+        elif m := re.match(r"stages\.(\d+)\.norm\.(weight|bias)", name):
+            put_ln((f"stage_norm_{m.group(1)}",), m.group(2), w)
+        elif m := re.match(r"stages\.(\d+)\.blocks\.(\d+)\.(.+)", name):
+            blk = f"stages_{m.group(1)}_blocks_{m.group(2)}"
+            rest = m.group(3)
+            if m2 := re.match(r"(norm1|norm2)\.(weight|bias)", rest):
+                put_ln((blk, m2.group(1)), m2.group(2), w)
+            elif m2 := re.match(r"attn\.(q|kv|proj)\.(weight|bias)", rest):
+                _put_in(params, (blk, "attn", m2.group(1),
+                                 "kernel" if m2.group(2) == "weight" else "bias"),
+                        w.T if m2.group(2) == "weight" else w)
+            elif m2 := re.match(r"attn\.sr\.(weight|bias)", rest):
+                _put_in(params, (blk, "attn", "sr",
+                                 "kernel" if m2.group(1) == "weight" else "bias"),
+                        _conv_hwio(w) if m2.group(1) == "weight" else w)
+            elif m2 := re.match(r"attn\.norm\.(weight|bias)", rest):
+                put_ln((blk, "attn", "sr_norm"), m2.group(1), w)
+            elif m2 := re.match(r"mlp\.(fc1|fc2)\.(weight|bias)", rest):
+                _put_in(params, (blk, m2.group(1),
+                                 "kernel" if m2.group(2) == "weight" else "bias"),
+                        w.T if m2.group(2) == "weight" else w)
+            elif m2 := re.match(r"mlp\.dwconv\.(weight|bias)", rest):
+                _put_in(params, (blk, "dwconv",
+                                 "kernel" if m2.group(1) == "weight" else "bias"),
+                        _conv_hwio(w) if m2.group(1) == "weight" else w)
+            else:
+                log.warning("unmapped pvt_v2 block param %s", name)
+        elif m := re.match(r"head\.(weight|bias)", name):
+            _put_in(params, ("head",
+                             "kernel" if m.group(1) == "weight" else "bias"),
+                    w.T if m.group(1) == "weight" else w)
+        else:
+            log.warning("unmapped pvt_v2 param %s (shape %s)", name, w.shape)
+    return params
+
+
 def convert_regnet_state_dict(sd: Dict[str, Any]) -> Dict[str, Any]:
     """timm RegNet state_dict -> {'params', 'batch_stats'} (models/regnet.py).
 
@@ -911,6 +977,8 @@ def detect_architecture(sd: Dict[str, Any]) -> str:
     keys = list(sd)
     if any(k.startswith("cls_attn_blocks.") for k in keys):
         return "xcit"
+    if any(re.search(r"\.attn\.kv\.weight", k) for k in keys):
+        return "pvt2"
     if any(k.startswith("blocks_token_only.") for k in keys):
         return "cait"
     if any(k.endswith("attn.q_bias") for k in keys):
@@ -980,6 +1048,8 @@ def load_reference_checkpoint(path: str, model_key: str = "model|module",
     arch = detect_architecture(sd)
     if arch == "xcit":
         return convert_xcit_state_dict(sd)
+    if arch == "pvt2":
+        return convert_pvt2_state_dict(sd)
     if arch == "cait":
         return convert_cait_state_dict(sd)
     if arch == "beit":

@@ -51,6 +51,8 @@ def detect_flax_architecture(params: Dict[str, Any]) -> str:
     keys = set(params)
     if any(re.match(r"cls_attn_blocks_\d+", k) for k in keys):
         return "xcit"
+    if any(re.match(r"patch_embed_\d+$", k) for k in keys):
+        return "pvt2"
     if any(re.match(r"blocks_token_only_\d+", k) for k in keys):
         return "cait"
     if any(re.match(r"blocks_\d+_attn$", k) for k in keys):
@@ -472,6 +474,62 @@ def export_mixer_state_dict(variables: Dict[str, Any]) -> Dict[str, np.ndarray]:
     return sd
 
 
+def export_pvt2_state_dict(variables: Dict[str, Any]) -> Dict[str, np.ndarray]:
+    """Our flax PVTv2 tree -> timm PyramidVisionTransformerV2 state_dict
+    (stage-0 embed re-nests as the stem patch_embed, later ones as
+    stages.N.downsample; the flattened MLP re-nests under mlp.*)."""
+    sd: Dict[str, np.ndarray] = {}
+    for path, w in _flatten(variables["params"]).items():
+        top = path[0]
+        if m := re.match(r"patch_embed_(\d+)", top):
+            n = int(m.group(1))
+            pre = "patch_embed." if n == 0 else f"stages.{n}.downsample."
+            sd[pre + "proj." + ("weight" if path[1] == "kernel" else "bias")] \
+                = _oihw(w) if path[1] == "kernel" else w
+        elif m := re.match(r"embed_norm_(\d+)", top):
+            n = int(m.group(1))
+            pre = "patch_embed." if n == 0 else f"stages.{n}.downsample."
+            sd[pre + "norm." + ("weight" if path[1] == "scale" else "bias")] = w
+        elif m := re.match(r"stage_norm_(\d+)", top):
+            sd[f"stages.{m.group(1)}.norm."
+               + ("weight" if path[1] == "scale" else "bias")] = w
+        elif m := re.match(r"stages_(\d+)_blocks_(\d+)", top):
+            pre = f"stages.{m.group(1)}.blocks.{m.group(2)}."
+            mod = path[1]
+            if mod in ("norm1", "norm2"):
+                sd[pre + f"{mod}."
+                   + ("weight" if path[2] == "scale" else "bias")] = w
+            elif mod == "attn":
+                sub = path[2]
+                if sub == "sr":
+                    sd[pre + "attn.sr."
+                       + ("weight" if path[3] == "kernel" else "bias")] = \
+                        _oihw(w) if path[3] == "kernel" else w
+                elif sub == "sr_norm":
+                    sd[pre + "attn.norm."
+                       + ("weight" if path[3] == "scale" else "bias")] = w
+                else:
+                    sd[pre + f"attn.{sub}."
+                       + ("weight" if path[3] == "kernel" else "bias")] = \
+                        w.T if path[3] == "kernel" else w
+            elif mod in ("fc1", "fc2"):
+                sd[pre + f"mlp.{mod}."
+                   + ("weight" if path[2] == "kernel" else "bias")] = \
+                    w.T if path[2] == "kernel" else w
+            elif mod == "dwconv":
+                sd[pre + "mlp.dwconv."
+                   + ("weight" if path[2] == "kernel" else "bias")] = \
+                    _oihw(w) if path[2] == "kernel" else w
+            else:
+                raise ValueError(f"pvt2 export: unmapped {path}")
+        elif top == "head":
+            sd["head." + ("weight" if path[1] == "kernel" else "bias")] = \
+                w.T if path[1] == "kernel" else w
+        else:
+            raise ValueError(f"pvt2 export: unmapped {path}")
+    return sd
+
+
 def export_xcit_state_dict(variables: Dict[str, Any]) -> Dict[str, np.ndarray]:
     """Our flax XCiT tree (+batch_stats) -> timm Xcit state_dict (conv patch
     stem re-nests as Sequential pairs; pos_proj re-shapes to the 1x1
@@ -738,6 +796,7 @@ _EXPORTERS = {
     "beit": export_beit_state_dict,
     "cait": export_cait_state_dict,
     "xcit": export_xcit_state_dict,
+    "pvt2": export_pvt2_state_dict,
 }
 
 

@@ -100,6 +100,10 @@ class PvtBlock(nn.Module):
                          trunc_init, ("embed", "mlp")), name="fc1")(y)
         b, n, c = y.shape
         grid = y.reshape(b, hw[0], hw[1], c)
+        if self.linear:
+            # reference pvt_v2.py:49,59: extra_relu before the depthwise
+            # conv in the linear-attention variants (pvt_v2_b2_li)
+            grid = nn.relu(grid)
         grid = nn.Conv(c, (3, 3), padding="SAME", feature_group_count=c,
                        dtype=self.dtype, param_dtype=self.param_dtype,
                        name="dwconv")(grid)
