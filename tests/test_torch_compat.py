@@ -927,3 +927,56 @@ def test_pvt2_export_import_roundtrip():
         assert "stages.3.norm.weight" in sd
         out = tc.convert_pvt2_state_dict(sd)
         _assert_same_tree(out, variables["params"], f"{name} params")
+
+
+def test_convnextv2_grn_export_import_roundtrip():
+    """ConvNeXt-V2: GRN gamma/beta map to timm's mlp.grn.weight/bias and no
+    layer-scale gamma is emitted."""
+    from vision_transformers_torch_xla_tpu.ckpt import torch_compat as tc
+    from vision_transformers_torch_xla_tpu.ckpt.torch_export import (
+        detect_flax_architecture,
+        export_torch_state_dict,
+    )
+    from vision_transformers_torch_xla_tpu.models.factory import create_model
+
+    m = create_model("convnextv2_atto", num_classes=10, dtype=jnp.float32,
+                     depths=(1, 1, 1, 1))
+    variables = _rand_variables(m, img=64)
+    assert detect_flax_architecture(variables["params"]) == "convnext"
+    sd = {k: torch.from_numpy(v) for k, v in
+          export_torch_state_dict(variables).items()}
+    assert tc.detect_architecture(sd) == "convnext"
+    assert "stages.0.blocks.0.mlp.grn.weight" in sd
+    assert not any(k.endswith(".gamma") for k in sd)  # v2 has no layerscale
+    out = tc.convert_convnext_state_dict(sd)
+    _assert_same_tree(out, variables["params"], "convnextv2 params")
+
+
+@pytest.mark.parametrize("name,kwargs", [
+    ("deit3_small_patch16_224", dict(embed_dim=64, depth=2, num_heads=2,
+                                     img_size=32)),
+    ("deit_tiny_distilled_patch16_224", dict(embed_dim=64, depth=2,
+                                             num_heads=2, img_size=32)),
+])
+def test_deit_family_rides_vit_converter(name, kwargs):
+    """DeiT3 (ViT + LayerScale) and distilled DeiT (dist token + dual head)
+    roundtrip through the ViT converter pair."""
+    from vision_transformers_torch_xla_tpu.ckpt import torch_compat as tc
+    from vision_transformers_torch_xla_tpu.ckpt.torch_export import (
+        detect_flax_architecture,
+        export_torch_state_dict,
+    )
+    from vision_transformers_torch_xla_tpu.models.factory import create_model
+
+    m = create_model(name, num_classes=10, dtype=jnp.float32, **kwargs)
+    variables = _rand_variables(m, img=32)
+    assert detect_flax_architecture(variables["params"]) == "vit"
+    sd = {k: torch.from_numpy(v) for k, v in
+          export_torch_state_dict(variables).items()}
+    assert tc.detect_architecture(sd) == "vit"
+    if "deit3" in name:
+        assert "blocks.0.ls1.gamma" in sd
+    else:
+        assert "dist_token" in sd and "head_dist.weight" in sd
+    out = tc.convert_vit_state_dict(sd)
+    _assert_same_tree(out, variables["params"], f"{name} params")

@@ -151,9 +151,15 @@ def convert_convnext_state_dict(sd: Dict[str, Any]) -> Dict[str, Any]:
             elif m2 := re.match(r"mlp\.fc(\d)\.(weight|bias)", rest):
                 tgt = f"pwconv{m2.group(1)}"
                 if m2.group(2) == "weight":
-                    put((blk, tgt, "kernel"), w.T)
+                    # conv_mlp variants store 1x1 Conv2d weights (O,I,1,1)
+                    put((blk, tgt, "kernel"),
+                        w[:, :, 0, 0].T if w.ndim == 4 else w.T)
                 else:
                     put((blk, tgt, "bias"), w)
+            elif m2 := re.match(r"mlp\.grn\.(weight|bias)", rest):
+                # ConvNeXt-V2 GlobalResponseNorm (weight=gamma, bias=beta)
+                put((blk, "grn_gamma" if m2.group(1) == "weight"
+                     else "grn_beta"), w.reshape(-1))
             else:
                 log.warning("unmapped convnext block param %s", name)
         elif m := re.match(r"head\.norm\.(weight|bias)", name):

@@ -175,6 +175,10 @@ def export_convnext_state_dict(variables: Dict[str, Any]) -> Dict[str, np.ndarra
                 sd[pre + f"mlp.fc{m2.group(1)}."
                    + ("weight" if path[2] == "kernel" else "bias")] = \
                     w.T if path[2] == "kernel" else w
+            elif mod == "grn_gamma":
+                sd[pre + "mlp.grn.weight"] = w
+            elif mod == "grn_beta":
+                sd[pre + "mlp.grn.bias"] = w
             else:
                 raise ValueError(f"convnext export: unmapped {path}")
         elif top == "norm":

@@ -75,14 +75,18 @@ class VisionTransformerDistilled(VisionTransformer):
         return (logits + logits_dist) / 2.0
 
 
-def _deit(distilled, patch, dim, depth, heads, img_size=224, **kw):
+def _deit(distilled, _patch, _dim, _depth, _heads, **kw):
     kw.pop("pretrained_tag", None)
     cls = VisionTransformerDistilled if distilled else VisionTransformer
     if not distilled:
         kw.setdefault("global_pool", "token")
         kw.setdefault("fc_norm", False)
-    return cls(img_size=img_size, patch_size=patch, embed_dim=dim, depth=depth,
-               num_heads=heads, **kw)
+    kw.setdefault("img_size", 224)
+    kw.setdefault("patch_size", _patch)
+    kw.setdefault("embed_dim", _dim)
+    kw.setdefault("depth", _depth)
+    kw.setdefault("num_heads", _heads)
+    return cls(**kw)
 
 
 @register_model
