@@ -980,3 +980,32 @@ def test_deit_family_rides_vit_converter(name, kwargs):
         assert "dist_token" in sd and "head_dist.weight" in sd
     out = tc.convert_vit_state_dict(sd)
     _assert_same_tree(out, variables["params"], f"{name} params")
+
+
+def test_swinv2_export_import_roundtrip():
+    """SwinV2: export flax -> timm names (q/v biases, logit_scale, cpb MLP,
+    v2 reduction-then-norm PatchMerging with channel-order permutation) ->
+    convert reproduces the tree."""
+    from vision_transformers_torch_xla_tpu.ckpt import torch_compat as tc
+    from vision_transformers_torch_xla_tpu.ckpt.torch_export import (
+        detect_flax_architecture,
+        export_torch_state_dict,
+    )
+    from vision_transformers_torch_xla_tpu.models.factory import create_model
+
+    m = create_model("swinv2_tiny_window8_256", num_classes=10,
+                     dtype=jnp.float32, img_size=64, window_size=4,
+                     depths=(1, 1, 1, 1))
+    variables = _rand_variables(m, img=64)
+    assert detect_flax_architecture(variables["params"]) == "swinv2"
+    sd = {k: torch.from_numpy(v) for k, v in
+          export_torch_state_dict(variables).items()}
+    assert tc.detect_architecture(sd) == "swinv2"
+    assert "layers.0.blocks.0.attn.logit_scale" in sd
+    assert "layers.0.blocks.0.attn.q_bias" in sd
+    assert "layers.0.blocks.0.attn.cpb_mlp.0.weight" in sd
+    assert "layers.0.blocks.0.attn.cpb_mlp.2.weight" in sd
+    assert "layers.1.downsample.reduction.weight" in sd
+    assert not any(k.endswith("k_bias") for k in sd)
+    out = tc.convert_swinv2_state_dict(sd)
+    _assert_same_tree(out, variables["params"], "swinv2 params")

@@ -8,7 +8,8 @@ param trees so users can migrate checkpoints without retraining.
 Families: ViT/DeiT (incl. dist token), ConvNeXt, ResNet (+SE/ECA/deep-stem
 variants, BatchNorm running stats -> the flax 'batch_stats' collection),
 Swin (incl. the PatchMerging channel-order permutation), EfficientNet
-superfamily, MobileNetV3/LCNet, MLP-Mixer family, RegNet X/Y/V/Z.
+superfamily, MobileNetV3/LCNet, MLP-Mixer family, RegNet X/Y/V/Z, BEiT v1/v2, CaiT, XCiT,
+PVTv2, SwinV2, ConvNeXt-V2.
 Architecture is auto-detected from the state-dict key shapes.
 
 torch is used only here (CPU wheel, read-only unpickling).
@@ -744,6 +745,83 @@ def convert_cait_state_dict(sd: Dict[str, Any]) -> Dict[str, Any]:
     return params
 
 
+def convert_swinv2_state_dict(sd: Dict[str, Any]) -> Dict[str, Any]:
+    """timm SwinTransformerV2 state_dict -> our flax params
+    (models/swin_v2.py).
+
+    Reference swin_transformer_v2.py naming: bias-free fused attn.qkv with
+    separate q_bias/v_bias (:117-121, k is a zero buffer), per-head
+    logit_scale (:108), continuous position bias MLP cpb_mlp.0/.2
+    (:111-115), post-norm blocks, stage-leading PatchMerging
+    downsample.reduction/norm (:480-494 — reduction BEFORE norm, flatten
+    order (w_sub, h_sub, c) permuted to our (h_sub, w_sub, c) on the
+    reduction input). Buffers (relative_coords_table,
+    relative_position_index, k_bias) are recomputed here."""
+    params: Dict[str, Any] = {}
+
+    for name, w in sd.items():
+        if ("relative_position_index" in name or "relative_coords_table"
+                in name or name.endswith("k_bias")
+                or name.endswith("num_batches_tracked")):
+            continue
+        w = _t(w)
+        if name == "patch_embed.proj.weight":
+            d, c, kh, kw = w.shape
+            _put_in(params, ("patch_embed", "kernel"),
+                    w.transpose(2, 3, 1, 0).reshape(kh * kw * c, d))
+        elif name == "patch_embed.proj.bias":
+            _put_in(params, ("patch_embed", "bias"), w)
+        elif m := re.match(r"patch_embed\.norm\.(weight|bias)", name):
+            _put_in(params, ("patch_norm",
+                             "scale" if m.group(1) == "weight" else "bias"), w)
+        elif m := re.match(r"layers\.(\d+)\.downsample\.reduction\.weight", name):
+            perm = _swin_merge_perm(w.shape[1])
+            _put_in(params, (f"merge_proj_{m.group(1)}", "kernel"),
+                    w[:, perm].T)
+        elif m := re.match(r"layers\.(\d+)\.downsample\.norm\.(weight|bias)", name):
+            # v2 norm runs AFTER the reduction (2C) — no permutation
+            _put_in(params, (f"merge_norm_{m.group(1)}",
+                             "scale" if m.group(2) == "weight" else "bias"), w)
+        elif m := re.match(r"layers\.(\d+)\.blocks\.(\d+)\.(.+)", name):
+            blk = f"stages_{m.group(1)}_blocks_{m.group(2)}"
+            rest = m.group(3)
+            if m2 := re.match(r"(norm1|norm2)\.(weight|bias)", rest):
+                _put_in(params, (blk, m2.group(1),
+                                 "scale" if m2.group(2) == "weight" else "bias"), w)
+            elif rest == "attn.logit_scale":
+                _put_in(params, (blk, "attn", "logit_scale"), w)
+            elif m2 := re.match(r"attn\.(q_bias|v_bias)", rest):
+                _put_in(params, (blk, "attn", m2.group(1)), w)
+            elif rest == "attn.qkv.weight":
+                _put_in(params, (blk, "attn", "qkv", "kernel"), w.T)
+            elif m2 := re.match(r"attn\.cpb_mlp\.0\.(weight|bias)", rest):
+                _put_in(params, (blk, "attn", "cpb_fc1",
+                                 "kernel" if m2.group(1) == "weight" else "bias"),
+                        w.T if m2.group(1) == "weight" else w)
+            elif rest == "attn.cpb_mlp.2.weight":
+                _put_in(params, (blk, "attn", "cpb_fc2", "kernel"), w.T)
+            elif m2 := re.match(r"attn\.proj\.(weight|bias)", rest):
+                _put_in(params, (blk, "attn", "proj",
+                                 "kernel" if m2.group(1) == "weight" else "bias"),
+                        w.T if m2.group(1) == "weight" else w)
+            elif m2 := re.match(r"mlp\.fc(\d)\.(weight|bias)", rest):
+                _put_in(params, (blk, "mlp", f"fc{m2.group(1)}",
+                                 "kernel" if m2.group(2) == "weight" else "bias"),
+                        w.T if m2.group(2) == "weight" else w)
+            else:
+                log.warning("unmapped swinv2 block param %s", name)
+        elif m := re.match(r"norm\.(weight|bias)", name):
+            _put_in(params, ("norm",
+                             "scale" if m.group(1) == "weight" else "bias"), w)
+        elif m := re.match(r"head\.(?:fc\.)?(weight|bias)", name):
+            _put_in(params, ("head",
+                             "kernel" if m.group(1) == "weight" else "bias"),
+                    w.T if m.group(1) == "weight" else w)
+        else:
+            log.warning("unmapped swinv2 param %s (shape %s)", name, w.shape)
+    return params
+
+
 def convert_xcit_state_dict(sd: Dict[str, Any]) -> Dict[str, Any]:
     """timm Xcit state_dict -> {'params', 'batch_stats'} (models/xcit.py).
 
@@ -987,6 +1065,8 @@ def detect_architecture(sd: Dict[str, Any]) -> str:
         return "pvt2"
     if any(k.startswith("blocks_token_only.") for k in keys):
         return "cait"
+    if any("cpb_mlp" in k for k in keys):
+        return "swinv2"  # before beit: both carry attn.q_bias
     if any(k.endswith("attn.q_bias") for k in keys):
         return "beit"  # before swin: both carry relative_position_bias_table
     if any("relative_position_bias_table" in k for k in keys):
@@ -1058,6 +1138,8 @@ def load_reference_checkpoint(path: str, model_key: str = "model|module",
         return convert_pvt2_state_dict(sd)
     if arch == "cait":
         return convert_cait_state_dict(sd)
+    if arch == "swinv2":
+        return convert_swinv2_state_dict(sd)
     if arch == "beit":
         return convert_beit_state_dict(sd)
     if arch == "swin":

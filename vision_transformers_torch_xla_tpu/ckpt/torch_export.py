@@ -10,7 +10,8 @@ builds its synthetic timm state dict THROUGH these exporters).
 Families: ViT/DeiT, ConvNeXt, ResNet (+SE/ECA/deep-stem, BatchNorm running
 stats from the 'batch_stats' collection), Swin (incl. the PatchMerging
 channel-order permutation), EfficientNet superfamily, MobileNetV3/LCNet,
-MLP-Mixer family, RegNet X/Y/V/Z.
+MLP-Mixer family, RegNet X/Y/V/Z, BEiT v1/v2, CaiT, XCiT,
+PVTv2, SwinV2, ConvNeXt-V2.
 Architecture is inferred from the flax tree's top-level names.
 
 Only `save_torch_checkpoint` imports torch (CPU wheel); the exporters
@@ -57,6 +58,9 @@ def detect_flax_architecture(params: Dict[str, Any]) -> str:
         return "cait"
     if any(re.match(r"blocks_\d+_attn$", k) for k in keys):
         return "beit"
+    if any(re.match(r"stages_\d+_blocks_\d+", k) and "attn" in params[k]
+           and "logit_scale" in params[k]["attn"] for k in keys):
+        return "swinv2"
     if any(re.match(r"merge_norm_\d+", k) for k in keys):
         return "swin"
     if any(re.match(r"stages_\d+_blocks_\d+", k) for k in keys) \
@@ -478,6 +482,68 @@ def export_mixer_state_dict(variables: Dict[str, Any]) -> Dict[str, np.ndarray]:
     return sd
 
 
+def export_swinv2_state_dict(variables: Dict[str, Any]) -> Dict[str, np.ndarray]:
+    """Our flax SwinV2 tree -> timm SwinTransformerV2 state_dict (cpb MLP
+    re-nests as cpb_mlp.0/.2; the PatchMerging reduction's input channels
+    permute back to timm's (w_sub, h_sub, c) flatten order)."""
+    sd: Dict[str, np.ndarray] = {}
+    for path, w in _flatten(variables["params"]).items():
+        top = path[0]
+        if top == "patch_embed":
+            if path[-1] == "kernel":
+                kk, d = w.shape
+                p = int(round((kk // 3) ** 0.5))
+                sd["patch_embed.proj.weight"] = \
+                    w.reshape(p, p, 3, d).transpose(3, 2, 0, 1)
+            else:
+                sd["patch_embed.proj.bias"] = w
+        elif top == "patch_norm":
+            sd["patch_embed.norm."
+               + ("weight" if path[1] == "scale" else "bias")] = w
+        elif m := re.match(r"merge_proj_(\d+)", top):
+            inv = np.argsort(_swin_merge_perm(w.shape[0]))
+            sd[f"layers.{m.group(1)}.downsample.reduction.weight"] = \
+                w.T[:, inv]
+        elif m := re.match(r"merge_norm_(\d+)", top):
+            sd[f"layers.{m.group(1)}.downsample.norm."
+               + ("weight" if path[1] == "scale" else "bias")] = w
+        elif m := re.match(r"stages_(\d+)_blocks_(\d+)", top):
+            pre = f"layers.{m.group(1)}.blocks.{m.group(2)}."
+            mod = path[1]
+            if mod in ("norm1", "norm2"):
+                sd[pre + f"{mod}."
+                   + ("weight" if path[2] == "scale" else "bias")] = w
+            elif mod == "attn":
+                sub = path[2]
+                if sub in ("logit_scale", "q_bias", "v_bias"):
+                    sd[pre + f"attn.{sub}"] = w
+                elif sub == "cpb_fc1":
+                    sd[pre + "attn.cpb_mlp.0."
+                       + ("weight" if path[3] == "kernel" else "bias")] = \
+                        w.T if path[3] == "kernel" else w
+                elif sub == "cpb_fc2":
+                    sd[pre + "attn.cpb_mlp.2.weight"] = w.T
+                else:
+                    sd[pre + f"attn.{sub}."
+                       + ("weight" if path[3] == "kernel" else "bias")] = \
+                        w.T if path[3] == "kernel" else w
+            elif mod == "mlp":
+                sd[pre + f"mlp.{path[2]}."
+                   + ("weight" if path[3] == "kernel" else "bias")] = \
+                    w.T if path[3] == "kernel" else w
+            else:
+                raise ValueError(f"swinv2 export: unmapped {path}")
+        elif top == "norm":
+            sd["norm." + ("weight" if path[1] == "scale" else "bias")] = w
+        elif top == "head":
+            sd["head.fc."
+               + ("weight" if path[1] == "kernel" else "bias")] = \
+                w.T if path[1] == "kernel" else w
+        else:
+            raise ValueError(f"swinv2 export: unmapped {path}")
+    return sd
+
+
 def export_pvt2_state_dict(variables: Dict[str, Any]) -> Dict[str, np.ndarray]:
     """Our flax PVTv2 tree -> timm PyramidVisionTransformerV2 state_dict
     (stage-0 embed re-nests as the stem patch_embed, later ones as
@@ -801,6 +867,7 @@ _EXPORTERS = {
     "cait": export_cait_state_dict,
     "xcit": export_xcit_state_dict,
     "pvt2": export_pvt2_state_dict,
+    "swinv2": export_swinv2_state_dict,
 }
 
 

@@ -66,10 +66,24 @@ class WindowAttentionV2(nn.Module):
         h, ws = self.num_heads, self.window_size
         hd = c // h
 
-        qkv = nn.Dense(3 * c, dtype=self.dtype, param_dtype=self.param_dtype,
+        qkv = nn.Dense(3 * c, use_bias=False, dtype=self.dtype,
+                       param_dtype=self.param_dtype,
                        kernel_init=nn.with_logical_partitioning(
                            trunc_init, ("embed", "qkv_out")),
                        name="qkv")(x)
+        # timm parity (reference swin_transformer_v2.py:117-121): bias-free
+        # fused qkv + learnable q/v biases; k's bias is a zero buffer — NOT
+        # redundant here because cosine attention normalizes k after it
+        q_bias = self.param("q_bias",
+                            nn.with_logical_partitioning(
+                                nn.initializers.zeros_init(), ("qkv_out",)),
+                            (c,), self.param_dtype)
+        v_bias = self.param("v_bias",
+                            nn.with_logical_partitioning(
+                                nn.initializers.zeros_init(), ("qkv_out",)),
+                            (c,), self.param_dtype)
+        qkv = qkv + jnp.concatenate(
+            [q_bias, jnp.zeros_like(q_bias), v_bias]).astype(qkv.dtype)
         qkv = qkv.reshape(bnw, n, 3, h, hd).transpose(2, 0, 3, 1, 4)
         q, k, v = qkv[0], qkv[1], qkv[2]
 
