@@ -1009,3 +1009,90 @@ def test_swinv2_export_import_roundtrip():
     assert not any(k.endswith("k_bias") for k in sd)
     out = tc.convert_swinv2_state_dict(sd)
     _assert_same_tree(out, variables["params"], "swinv2 params")
+
+
+def test_eva_export_import_roundtrip_separate_qkv():
+    """EVA02 base layout: separate q/k/v projections (k bias preserved),
+    SwiGLU with inner norm, bare gamma_N, fc_norm head."""
+    from vision_transformers_torch_xla_tpu.ckpt import torch_compat as tc
+    from vision_transformers_torch_xla_tpu.ckpt.torch_export import (
+        detect_flax_architecture,
+        export_torch_state_dict,
+    )
+    from vision_transformers_torch_xla_tpu.models.factory import create_model
+
+    m = create_model("eva02_base_patch14_224", num_classes=10,
+                     dtype=jnp.float32, img_size=56, embed_dim=64, depth=2,
+                     num_heads=2, init_values=1e-5)
+    variables = _rand_variables(m, img=56)
+    assert detect_flax_architecture(variables["params"]) == "eva"
+    sd = {k: torch.from_numpy(v) for k, v in
+          export_torch_state_dict(variables, qkv_fused=False).items()}
+    assert tc.detect_architecture(sd) == "eva"
+    assert "blocks.0.attn.q_proj.weight" in sd
+    assert "blocks.0.attn.k_proj.bias" in sd
+    assert "blocks.0.mlp.fc1_g.weight" in sd and "blocks.0.mlp.norm.weight" in sd
+    assert "blocks.1.gamma_2" in sd and "fc_norm.weight" in sd
+    out = tc.convert_eva_state_dict(sd)
+    _assert_same_tree(out, variables["params"], "eva02-base params")
+
+
+def test_eva_export_import_roundtrip_fused_glu():
+    """EVA02 tiny layout: fused qkv + q/v biases (k bias zeroed for the
+    drop-free roundtrip) and packed GluMlp fc1 (gate first, no norm)."""
+    import numpy as np
+    from vision_transformers_torch_xla_tpu.ckpt import torch_compat as tc
+    from vision_transformers_torch_xla_tpu.ckpt.torch_export import (
+        export_torch_state_dict,
+    )
+    from vision_transformers_torch_xla_tpu.models.factory import create_model
+
+    m = create_model("eva02_tiny_patch14_224", num_classes=10,
+                     dtype=jnp.float32, img_size=56, embed_dim=64, depth=2,
+                     num_heads=2)
+    variables = _rand_variables(m, img=56)
+    # zero the k third of each qkv bias: timm's fused layout has no k bias
+    for blk in variables["params"].values():
+        if isinstance(blk, dict) and "attn" in blk:
+            b = np.array(blk["attn"]["qkv"]["bias"])
+            d = b.shape[0] // 3
+            b[d:2 * d] = 0
+            blk["attn"]["qkv"]["bias"] = b
+    sd = {k: torch.from_numpy(v) for k, v in
+          export_torch_state_dict(variables, arch="eva").items()}
+    assert tc.detect_architecture(sd) == "eva"
+    assert "blocks.0.attn.qkv.weight" in sd
+    assert "blocks.0.attn.q_bias" in sd and "blocks.0.attn.v_bias" in sd
+    assert not any(k.endswith("k_bias") for k in sd)
+    assert "blocks.0.mlp.fc1.weight" in sd  # packed GluMlp
+    assert sd["blocks.0.mlp.fc1.weight"].shape[0] == \
+        2 * sd["blocks.0.mlp.fc2.weight"].shape[1]
+    assert "blocks.0.mlp.norm.weight" not in sd
+    out = tc.convert_eva_state_dict(sd)
+    _assert_same_tree(out, variables["params"], "eva02-tiny params")
+
+
+def test_eva_plain_mlp_and_attn_pool_roundtrip():
+    """Perception-Encoder layout: plain MLP (mlp.fcN), norm_pre, map
+    pooling through AttentionPoolLatent."""
+    from vision_transformers_torch_xla_tpu.ckpt import torch_compat as tc
+    from vision_transformers_torch_xla_tpu.ckpt.torch_export import (
+        export_torch_state_dict,
+    )
+    from vision_transformers_torch_xla_tpu.models.factory import create_model
+
+    m = create_model("vit_pe_core_base_patch16_224", num_classes=10,
+                     dtype=jnp.float32, img_size=64, embed_dim=64, depth=2,
+                     num_heads=2)
+    variables = _rand_variables(m, img=64)
+    sd = {k: torch.from_numpy(v) for k, v in
+          export_torch_state_dict(variables, arch="eva",
+                                  qkv_fused=False).items()}
+    assert "norm_pre.weight" in sd
+    assert "blocks.0.mlp.fc1.weight" in sd
+    assert sd["blocks.0.mlp.fc1.weight"].shape[0] != \
+        2 * sd["blocks.0.mlp.fc2.weight"].shape[1]  # plain, not packed
+    assert "attn_pool.latent" in sd and "attn_pool.kv.weight" in sd
+    assert "patch_embed.proj.bias" not in sd  # pre-norm trunk: bias-free
+    out = tc.convert_eva_state_dict(sd)
+    _assert_same_tree(out, variables["params"], "vit_pe params")

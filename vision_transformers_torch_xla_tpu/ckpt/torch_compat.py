@@ -745,6 +745,140 @@ def convert_cait_state_dict(sd: Dict[str, Any]) -> Dict[str, Any]:
     return params
 
 
+def convert_eva_state_dict(sd: Dict[str, Any]) -> Dict[str, Any]:
+    """timm Eva state_dict -> our flax params tree (models/eva.py).
+
+    Reference models/eva.py attention comes in two layouts (:117-140 of
+    the timm class): fused attn.qkv (bias-free) + separate q_bias/v_bias
+    (k is a zero buffer) for tiny/small/rope-reg variants, or separate
+    q_proj/k_proj/v_proj Linears for base/large. Both fold into our fused
+    qkv Dense with a full bias (k part zero — a no-op under softmax). The
+    MLP comes in three layouts (:260-286): SwiGLU (fc1_g/fc1_x/norm/fc2),
+    fused GluMlp (fc1 with gate-first packed weights, :271-278), or plain
+    Mlp — GluMlp splits into our fc1_g/fc1_x halves; plain maps to the
+    block-level mlp_fc1/mlp_fc2. Bare gamma_1/gamma_2 LayerScale, optional
+    norm_pre (Perception Encoder), post-pool fc_norm, and AttentionPoolLatent
+    (latent/q/kv/proj/norm/mlp) all map name-for-name."""
+    from collections import defaultdict
+
+    params: Dict[str, Any] = {}
+    blocks: Dict[str, Dict[str, Any]] = defaultdict(dict)
+
+    for name, w in sd.items():
+        if name.endswith("k_bias") or "rope" in name:
+            continue
+        w = _t(w)
+        if name in ("cls_token", "reg_token", "pos_embed"):
+            _put_in(params, (name,), w)
+        elif name == "patch_embed.proj.weight":
+            d, c, kh, kw = w.shape
+            _put_in(params, ("patch_embed", "kernel"),
+                    w.transpose(2, 3, 1, 0).reshape(kh * kw * c, d))
+        elif name == "patch_embed.proj.bias":
+            _put_in(params, ("patch_embed", "bias"), w)
+        elif m := re.match(r"(norm_pre|norm|fc_norm)\.(weight|bias)", name):
+            _put_in(params, (m.group(1),
+                             "scale" if m.group(2) == "weight" else "bias"), w)
+        elif m := re.match(r"attn_pool\.(.+)", name):
+            rest = m.group(1)
+            if rest == "latent":
+                _put_in(params, ("attn_pool", "latent"), w)
+            elif m2 := re.match(r"(q|kv|proj)\.(weight|bias)", rest):
+                _put_in(params, ("attn_pool", m2.group(1),
+                                 "kernel" if m2.group(2) == "weight" else "bias"),
+                        w.T if m2.group(2) == "weight" else w)
+            elif m2 := re.match(r"norm\.(weight|bias)", rest):
+                _put_in(params, ("attn_pool", "norm",
+                                 "scale" if m2.group(1) == "weight" else "bias"), w)
+            elif m2 := re.match(r"mlp\.fc(\d)\.(weight|bias)", rest):
+                _put_in(params, ("attn_pool", "mlp", f"fc{m2.group(1)}",
+                                 "kernel" if m2.group(2) == "weight" else "bias"),
+                        w.T if m2.group(2) == "weight" else w)
+            else:
+                log.warning("unmapped eva attn_pool param %s", name)
+        elif m := re.match(r"blocks\.(\d+)\.(.+)", name):
+            blocks[m.group(1)][m.group(2)] = w
+        elif m := re.match(r"head\.(weight|bias)", name):
+            _put_in(params, ("head",
+                             "kernel" if m.group(1) == "weight" else "bias"),
+                    w.T if m.group(1) == "weight" else w)
+        else:
+            log.warning("unmapped eva param %s (shape %s)", name, w.shape)
+
+    for i, names in blocks.items():
+        blk = f"blocks_{i}"
+        # --- attention: fold either layout into fused qkv + full bias ---
+        if "attn.qkv.weight" in names:
+            qkv_w = names["attn.qkv.weight"]
+            dim = qkv_w.shape[1]
+            _put_in(params, (blk, "attn", "qkv", "kernel"), qkv_w.T)
+            q_b = names.get("attn.q_bias", np.zeros(dim, qkv_w.dtype))
+            v_b = names.get("attn.v_bias", np.zeros(dim, qkv_w.dtype))
+            _put_in(params, (blk, "attn", "qkv", "bias"),
+                    np.concatenate([q_b, np.zeros(dim, qkv_w.dtype), v_b]))
+        elif "attn.q_proj.weight" in names:
+            qw = names["attn.q_proj.weight"]
+            dim = qw.shape[1]
+            _put_in(params, (blk, "attn", "qkv", "kernel"),
+                    np.concatenate([qw, names["attn.k_proj.weight"],
+                                    names["attn.v_proj.weight"]]).T)
+            z = np.zeros(dim, qw.dtype)
+            _put_in(params, (blk, "attn", "qkv", "bias"),
+                    np.concatenate([names.get("attn.q_proj.bias", z),
+                                    names.get("attn.k_proj.bias", z),
+                                    names.get("attn.v_proj.bias", z)]))
+        # --- MLP: SwiGLU / fused GluMlp / plain ---
+        swiglu = any(r.startswith("mlp.fc1_g.") for r in names)
+        glu = False
+        if "mlp.fc1.weight" in names:
+            glu = (names["mlp.fc1.weight"].shape[0]
+                   == 2 * names["mlp.fc2.weight"].shape[1])
+        for rest, w in names.items():
+            if rest in ("attn.qkv.weight", "attn.q_bias", "attn.v_bias",
+                        "attn.q_proj.weight", "attn.q_proj.bias",
+                        "attn.k_proj.weight", "attn.k_proj.bias",
+                        "attn.v_proj.weight", "attn.v_proj.bias"):
+                continue
+            if m2 := re.match(r"gamma_(\d)", rest):
+                _put_in(params, (blk, f"gamma_{m2.group(1)}"), w)
+            elif m2 := re.match(r"(norm1|norm2)\.(weight|bias)", rest):
+                _put_in(params, (blk, m2.group(1),
+                                 "scale" if m2.group(2) == "weight" else "bias"), w)
+            elif m2 := re.match(r"attn\.proj\.(weight|bias)", rest):
+                _put_in(params, (blk, "attn", "proj",
+                                 "kernel" if m2.group(1) == "weight" else "bias"),
+                        w.T if m2.group(1) == "weight" else w)
+            elif m2 := re.match(r"attn\.(q_norm|k_norm)\.(weight|bias)", rest):
+                _put_in(params, (blk, "attn", m2.group(1),
+                                 "scale" if m2.group(2) == "weight" else "bias"), w)
+            elif m2 := re.match(r"mlp\.(fc1_g|fc1_x)\.(weight|bias)", rest):
+                _put_in(params, (blk, "mlp", m2.group(1),
+                                 "kernel" if m2.group(2) == "weight" else "bias"),
+                        w.T if m2.group(2) == "weight" else w)
+            elif m2 := re.match(r"mlp\.norm\.(weight|bias)", rest):
+                _put_in(params, (blk, "mlp", "norm",
+                                 "scale" if m2.group(1) == "weight" else "bias"), w)
+            elif glu and (m2 := re.match(r"mlp\.fc1\.(weight|bias)", rest)):
+                g, u = np.split(w, 2, axis=0)  # gate_last=False: gate first
+                leaf = "kernel" if m2.group(1) == "weight" else "bias"
+                _put_in(params, (blk, "mlp", "fc1_g", leaf),
+                        g.T if leaf == "kernel" else g)
+                _put_in(params, (blk, "mlp", "fc1_x", leaf),
+                        u.T if leaf == "kernel" else u)
+            elif (glu or swiglu) and (
+                    m2 := re.match(r"mlp\.fc2\.(weight|bias)", rest)):
+                _put_in(params, (blk, "mlp", "fc2",
+                                 "kernel" if m2.group(1) == "weight" else "bias"),
+                        w.T if m2.group(1) == "weight" else w)
+            elif m2 := re.match(r"mlp\.fc(\d)\.(weight|bias)", rest):
+                _put_in(params, (blk, f"mlp_fc{m2.group(1)}",
+                                 "kernel" if m2.group(2) == "weight" else "bias"),
+                        w.T if m2.group(2) == "weight" else w)
+            else:
+                log.warning("unmapped eva block param blocks.%s.%s", i, rest)
+    return params
+
+
 def convert_swinv2_state_dict(sd: Dict[str, Any]) -> Dict[str, Any]:
     """timm SwinTransformerV2 state_dict -> our flax params
     (models/swin_v2.py).
@@ -1067,8 +1201,13 @@ def detect_architecture(sd: Dict[str, Any]) -> str:
         return "cait"
     if any("cpb_mlp" in k for k in keys):
         return "swinv2"  # before beit: both carry attn.q_bias
-    if any(k.endswith("attn.q_bias") for k in keys):
+    if any(k.endswith("attn.q_bias") for k in keys) \
+            and any("relative_position_bias_table" in k for k in keys):
         return "beit"  # before swin: both carry relative_position_bias_table
+    if any(".attn.q_proj." in k or ".mlp.fc1_g." in k
+           or k.endswith("attn.q_bias")
+           or re.match(r"blocks\.\d+\.gamma_1$", k) for k in keys):
+        return "eva"  # q_bias WITHOUT rel-pos tables / split q,k,v / SwiGLU
     if any("relative_position_bias_table" in k for k in keys):
         return "swin"
     if any(re.match(r"s\d+\.b\d+\.", k) for k in keys):
@@ -1140,6 +1279,8 @@ def load_reference_checkpoint(path: str, model_key: str = "model|module",
         return convert_cait_state_dict(sd)
     if arch == "swinv2":
         return convert_swinv2_state_dict(sd)
+    if arch == "eva":
+        return convert_eva_state_dict(sd)
     if arch == "beit":
         return convert_beit_state_dict(sd)
     if arch == "swin":

@@ -58,6 +58,11 @@ def detect_flax_architecture(params: Dict[str, Any]) -> str:
         return "cait"
     if any(re.match(r"blocks_\d+_attn$", k) for k in keys):
         return "beit"
+    if any(re.match(r"blocks_\d+$", k) and (
+            "gamma_1" in params[k] or "mlp_fc1" in params[k]
+            or ("mlp" in params[k] and "fc1_g" in params[k]["mlp"]))
+           for k in keys):
+        return "eva"
     if any(re.match(r"stages_\d+_blocks_\d+", k) and "attn" in params[k]
            and "logit_scale" in params[k]["attn"] for k in keys):
         return "swinv2"
@@ -482,6 +487,123 @@ def export_mixer_state_dict(variables: Dict[str, Any]) -> Dict[str, np.ndarray]:
     return sd
 
 
+def export_eva_state_dict(variables: Dict[str, Any],
+                          qkv_fused: bool = True) -> Dict[str, np.ndarray]:
+    """Our flax Eva tree -> timm Eva state_dict.
+
+    qkv_fused=True emits the fused layout (attn.qkv.weight + q_bias/v_bias;
+    our k bias is dropped — a no-op under softmax, and timm keeps it as a
+    zero buffer). qkv_fused=False emits separate q_proj/k_proj/v_proj with
+    the k bias preserved exactly (the eva02 base/large layout). The MLP
+    layout follows the tree: fc1_g + norm -> SwiGLU names, fc1_g without
+    norm -> fused GluMlp fc1 (gate first), mlp_fcN -> plain Mlp names."""
+    sd: Dict[str, np.ndarray] = {}
+    params = variables["params"]
+    for path, w in _flatten(params).items():
+        top = path[0]
+        if top in ("cls_token", "reg_token", "pos_embed"):
+            sd[top] = w
+        elif top == "patch_embed":
+            if path[-1] == "kernel":
+                kk, d = w.shape
+                p = int(round((kk // 3) ** 0.5))
+                sd["patch_embed.proj.weight"] = \
+                    w.reshape(p, p, 3, d).transpose(3, 2, 0, 1)
+            else:
+                sd["patch_embed.proj.bias"] = w
+        elif top in ("norm_pre", "norm", "fc_norm"):
+            sd[f"{top}." + ("weight" if path[1] == "scale" else "bias")] = w
+        elif top == "attn_pool":
+            mod = path[1]
+            if mod == "latent":
+                sd["attn_pool.latent"] = w
+            elif mod in ("q", "kv", "proj"):
+                sd[f"attn_pool.{mod}."
+                   + ("weight" if path[2] == "kernel" else "bias")] = \
+                    w.T if path[2] == "kernel" else w
+            elif mod == "norm":
+                sd["attn_pool.norm."
+                   + ("weight" if path[2] == "scale" else "bias")] = w
+            elif mod == "mlp":
+                sd[f"attn_pool.mlp.{path[2]}."
+                   + ("weight" if path[3] == "kernel" else "bias")] = \
+                    w.T if path[3] == "kernel" else w
+            else:
+                raise ValueError(f"eva export: unmapped {path}")
+        elif m := re.match(r"blocks_(\d+)$", top):
+            pre = f"blocks.{m.group(1)}."
+            mod = path[1]
+            if m2 := re.match(r"gamma_(\d)", mod):
+                sd[pre + mod] = w
+            elif mod in ("norm1", "norm2"):
+                sd[pre + f"{mod}."
+                   + ("weight" if path[2] == "scale" else "bias")] = w
+            elif mod == "attn":
+                sub = path[2]
+                if sub == "qkv":
+                    dim = w.shape[-1] // 3 if path[3] == "bias" \
+                        else w.shape[0]
+                    if path[3] == "kernel":
+                        if qkv_fused:
+                            sd[pre + "attn.qkv.weight"] = w.T
+                        else:
+                            qw, kw_, vw = np.split(w.T, 3, axis=0)
+                            sd[pre + "attn.q_proj.weight"] = qw
+                            sd[pre + "attn.k_proj.weight"] = kw_
+                            sd[pre + "attn.v_proj.weight"] = vw
+                    else:
+                        qb, kb, vb = np.split(w, 3)
+                        if qkv_fused:
+                            sd[pre + "attn.q_bias"] = qb
+                            sd[pre + "attn.v_bias"] = vb
+                        else:
+                            sd[pre + "attn.q_proj.bias"] = qb
+                            sd[pre + "attn.k_proj.bias"] = kb
+                            sd[pre + "attn.v_proj.bias"] = vb
+                elif sub in ("q_norm", "k_norm"):
+                    sd[pre + f"attn.{sub}."
+                       + ("weight" if path[3] == "scale" else "bias")] = w
+                else:
+                    sd[pre + f"attn.{sub}."
+                       + ("weight" if path[3] == "kernel" else "bias")] = \
+                        w.T if path[3] == "kernel" else w
+            elif mod == "mlp":
+                sub = path[2]
+                blk_mlp = params[top]["mlp"]
+                has_norm = "norm" in blk_mlp
+                if sub == "norm":
+                    sd[pre + "mlp.norm."
+                       + ("weight" if path[3] == "scale" else "bias")] = w
+                elif sub in ("fc1_g", "fc1_x") and not has_norm:
+                    # fused GluMlp: emit packed fc1 once, gate first
+                    if sub == "fc1_g":
+                        leaf = path[3]
+                        g = np.asarray(blk_mlp["fc1_g"][leaf])
+                        u = np.asarray(blk_mlp["fc1_x"][leaf])
+                        packed = np.concatenate(
+                            [g.T, u.T] if leaf == "kernel" else [g, u],
+                            axis=0)
+                        sd[pre + "mlp.fc1."
+                           + ("weight" if leaf == "kernel" else "bias")] = \
+                            packed
+                else:
+                    sd[pre + f"mlp.{sub}."
+                       + ("weight" if path[3] == "kernel" else "bias")] = \
+                        w.T if path[3] == "kernel" else w
+            elif m2 := re.match(r"mlp_fc(\d)", mod):
+                sd[pre + f"mlp.fc{m2.group(1)}."
+                   + ("weight" if path[2] == "kernel" else "bias")] = \
+                    w.T if path[2] == "kernel" else w
+            else:
+                raise ValueError(f"eva export: unmapped {path}")
+        elif top == "head":
+            sd["head." + ("weight" if path[1] == "kernel" else "bias")] = \
+                w.T if path[1] == "kernel" else w
+        else:
+            raise ValueError(f"eva export: unmapped {path}")
+    return sd
+
+
 def export_swinv2_state_dict(variables: Dict[str, Any]) -> Dict[str, np.ndarray]:
     """Our flax SwinV2 tree -> timm SwinTransformerV2 state_dict (cpb MLP
     re-nests as cpb_mlp.0/.2; the PatchMerging reduction's input channels
@@ -868,6 +990,7 @@ _EXPORTERS = {
     "xcit": export_xcit_state_dict,
     "pvt2": export_pvt2_state_dict,
     "swinv2": export_swinv2_state_dict,
+    "eva": export_eva_state_dict,
 }
 
 

@@ -10,10 +10,13 @@ a ViT trunk extended with
 * the reference's `vit_*_rope_*_gap` names (rope + register tokens +
   global average pooling) ride the same trunk.
 
-Numerics note: rotary frequencies follow the standard axial construction
-(theta=10000, head_dim/4 bands per axis); timm's EVA uses the same scheme
-modulo its pixel-coordinate normalization, which does not change the
-representational family. Norm eps is fixed at 1e-6 like our ViT.
+Numerics: exact parity with the reference — rope reproduces
+RotaryEmbeddingCat(in_pixels=False) incl. per-variant ref_feat_shape
+rescaling, grid_offset, and 'xy' indexing (reference eva.py:544-551 and
+the per-model registrations); norm/pool layout follows the reference's
+fc_norm/post-norm resolution (:500-508); tiny/small use the fused GluMlp
+without inner norm; eva02 enormous uses residual post-norm blocks
+(:391-396). Norm eps is fixed at 1e-6 like our ViT.
 """
 from __future__ import annotations
 
@@ -34,20 +37,39 @@ __all__ = []
 
 
 def rope_2d_tables(head_dim: int, gh: int, gw: int,
-                   theta: float = 10000.0) -> Tuple[np.ndarray, np.ndarray]:
+                   theta: float = 10000.0,
+                   ref_feat_shape: Optional[Tuple[int, int]] = None,
+                   grid_offset: float = 0.0,
+                   grid_indexing: str = "ij") -> Tuple[np.ndarray, np.ndarray]:
     """Axial 2-D rope tables, each (gh*gw, head_dim//2).
 
-    Half the rotary bands encode the row index, half the column index
-    (reference eva.py VisionRotaryEmbeddingFast usage).
+    Exact parity with the reference's RotaryEmbeddingCat(in_pixels=False)
+    construction (reference eva.py:544-551): integer grid coords plus
+    grid_offset, rescaled by ref_feat_shape/feat_shape when a reference
+    grid is given (this is how 336/448 fine-tunes reuse the 224-trained
+    frequencies), frequency bands theta**(-i/(d/4)), pair-interleaved
+    rotation (timm's repeat_interleave(2) + rot-half-pairs form is the
+    same rotation as the (even, odd) pairing used here). grid_indexing
+    'ij' puts the row-coordinate bands first; 'xy' (the Perception
+    Encoder layout) puts the column-coordinate bands first.
     """
     d4 = head_dim // 4
     freqs = 1.0 / (theta ** (np.arange(d4, dtype=np.float64) / d4))
-    ty = np.outer(np.arange(gh), freqs)  # (gh, d4)
-    tx = np.outer(np.arange(gw), freqs)  # (gw, d4)
-    t = np.concatenate([
-        np.broadcast_to(ty[:, None, :], (gh, gw, d4)),
-        np.broadcast_to(tx[None, :, :], (gh, gw, d4)),
-    ], axis=-1).reshape(gh * gw, 2 * d4)
+    cy = np.arange(gh, dtype=np.float64) + grid_offset
+    cx = np.arange(gw, dtype=np.float64) + grid_offset
+    if ref_feat_shape is not None:
+        cy = cy / gh * ref_feat_shape[0]
+        cx = cx / gw * ref_feat_shape[1]
+    ty = np.outer(cy, freqs)  # (gh, d4)
+    tx = np.outer(cx, freqs)  # (gw, d4)
+    first, second = ((ty, tx) if grid_indexing == "ij" else (tx, ty))
+    bcast = ((lambda a, b: (np.broadcast_to(a[:, None, :], (gh, gw, d4)),
+                            np.broadcast_to(b[None, :, :], (gh, gw, d4))))
+             if grid_indexing == "ij" else
+             (lambda a, b: (np.broadcast_to(a[None, :, :], (gh, gw, d4)),
+                            np.broadcast_to(b[:, None, :], (gh, gw, d4)))))
+    f, s = bcast(first, second)
+    t = np.concatenate([f, s], axis=-1).reshape(gh * gw, 2 * d4)
     return np.sin(t).astype(np.float32), np.cos(t).astype(np.float32)
 
 
@@ -139,6 +161,7 @@ class EvaBlock(nn.Module):
     scale_mlp: bool
     qk_norm: bool = False
     init_values: Optional[float] = None
+    post_norm: bool = False
     drop_path_rate: float = 0.0
     dtype: jnp.dtype = jnp.bfloat16
     param_dtype: jnp.dtype = jnp.float32
@@ -154,18 +177,25 @@ class EvaBlock(nn.Module):
                 self.init_values), (c,), self.param_dtype)
             return y * gamma.astype(y.dtype)
 
-        y = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype,
-                         param_dtype=self.param_dtype, name="norm1")(x)
+        def ln(name):
+            return nn.LayerNorm(epsilon=1e-6, dtype=self.dtype,
+                                param_dtype=self.param_dtype, name=name)
+
+        # post_norm: EVA-CLIP enormous residual post-norm blocks (reference
+        # eva.py:391-396 EvaBlockPostNorm — norm runs on the sublayer
+        # OUTPUT, and LayerScale is not used in that layout)
+        y = x if self.post_norm else ln("norm1")(x)
         y = EvaAttention(c, self.num_heads, self.num_prefix, self.qk_norm,
                          dtype=self.dtype, param_dtype=self.param_dtype,
                          name="attn")(y, sin, cos, deterministic)
+        if self.post_norm:
+            y = ln("norm1")(y)
         rng = None if deterministic or self.drop_path_rate == 0 else \
             self.make_rng("droppath")
         x = x + drop_path(scaled(y, "gamma_1"), self.drop_path_rate,
                           deterministic, rng)
 
-        y = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype,
-                         param_dtype=self.param_dtype, name="norm2")(x)
+        y = x if self.post_norm else ln("norm2")(x)
         hidden = int(c * self.mlp_ratio)
         if self.swiglu_mlp:
             y = SwiGlu(hidden, c, self.scale_mlp, dtype=self.dtype,
@@ -182,6 +212,8 @@ class EvaBlock(nn.Module):
                          kernel_init=nn.with_logical_partitioning(
                              trunc_init, ("mlp", "embed")),
                          name="mlp_fc2")(y)
+        if self.post_norm:
+            y = ln("norm2")(y)
         rng = None if deterministic or self.drop_path_rate == 0 else \
             self.make_rng("droppath")
         return x + drop_path(scaled(y, "gamma_2"), self.drop_path_rate,
@@ -203,7 +235,13 @@ class Eva(nn.Module):
     use_abs_pos: bool = True
     class_token: bool = True
     reg_tokens: int = 0
-    global_pool: str = "token"
+    post_norm_blocks: bool = False
+    global_pool: str = "avg"   # timm Eva default (reference eva.py:411)
+    use_fc_norm: Optional[bool] = None
+    use_pre_norm: bool = False
+    ref_feat_shape: Optional[Tuple[int, int]] = None
+    rope_grid_offset: float = 0.0
+    rope_grid_indexing: str = "ij"
     init_values: Optional[float] = None
     drop_path_rate: float = 0.0
     dtype: jnp.dtype = jnp.bfloat16
@@ -215,9 +253,16 @@ class Eva(nn.Module):
         p = self.patch_size
         gh, gw = x.shape[1] // p, x.shape[2] // p
         c = self.embed_dim
+        # norm/pool resolution parity (reference eva.py:500-508): fc_norm
+        # (post-pool) defaults on for avg pooling, and the trunk post-norm
+        # defaults on exactly when fc_norm is off
+        fc_norm = (self.use_fc_norm if self.use_fc_norm is not None
+                   else self.global_pool == "avg")
+        post_norm = not fc_norm
         x = x.astype(self.dtype).reshape(b, gh, p, gw, p, 3)
         x = x.transpose(0, 1, 3, 2, 4, 5).reshape(b, gh * gw, p * p * 3)
-        x = nn.Dense(c, dtype=self.dtype, param_dtype=self.param_dtype,
+        x = nn.Dense(c, use_bias=not self.use_pre_norm, dtype=self.dtype,
+                     param_dtype=self.param_dtype,
                      kernel_init=nn.with_logical_partitioning(
                          trunc_init, ("patch", "embed")),
                      name="patch_embed")(x)
@@ -248,20 +293,29 @@ class Eva(nn.Module):
                              (1, num_prefix + gh * gw, c), self.param_dtype)
             x = x + pos.astype(self.dtype)
 
+        if self.use_pre_norm:
+            x = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype,
+                             param_dtype=self.param_dtype, name="norm_pre")(x)
+
         sin = cos = None
         if self.use_rope:
-            s, co = rope_2d_tables(c // self.num_heads, gh, gw)
+            s, co = rope_2d_tables(c // self.num_heads, gh, gw,
+                                   ref_feat_shape=self.ref_feat_shape,
+                                   grid_offset=self.rope_grid_offset,
+                                   grid_indexing=self.rope_grid_indexing)
             sin, cos = jnp.asarray(s), jnp.asarray(co)
 
         dpr = np.linspace(0, self.drop_path_rate, self.depth)
         for i in range(self.depth):
             x = EvaBlock(c, self.num_heads, num_prefix, self.mlp_ratio,
                          self.swiglu_mlp, self.scale_mlp, self.qk_norm,
-                         self.init_values, float(dpr[i]), dtype=self.dtype,
+                         self.init_values, self.post_norm_blocks,
+                         float(dpr[i]), dtype=self.dtype,
                          param_dtype=self.param_dtype,
                          name=f"blocks_{i}")(x, sin, cos, deterministic)
-        x = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype,
-                         param_dtype=self.param_dtype, name="norm")(x)
+        if post_norm:
+            x = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype,
+                             param_dtype=self.param_dtype, name="norm")(x)
         if self.global_pool == "avg":
             x = x[:, num_prefix:].mean(axis=1)
         elif self.global_pool == "map":
@@ -273,6 +327,9 @@ class Eva(nn.Module):
                                     name="attn_pool")(x)
         else:
             x = x[:, 0]
+        if fc_norm:
+            x = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype,
+                             param_dtype=self.param_dtype, name="fc_norm")(x)
         if self.num_classes == 0:
             return x
         return nn.Dense(self.num_classes, dtype=self.dtype,
@@ -293,9 +350,13 @@ def _eva(**cfg):
     return build
 
 
-# EVA-02 sizes: (dim, depth, heads); swiglu mlp_ratio = 4*2/3
+# EVA-02 sizes: (dim, depth, heads); swiglu mlp_ratio = 4*2/3. All EVA-02
+# fine-tunes reuse the 224/14 rope grid (ref_feat_shape=(16,16), reference
+# eva.py:1343-1658). tiny/small use the fused GluMlp WITHOUT the inner norm
+# (scale_mlp False, reference :1332-1366); base/large use SwiGLU + norm.
 _EVA02 = dict(swiglu_mlp=True, scale_mlp=True, mlp_ratio=4 * 2 / 3,
-              use_rope=True, use_abs_pos=True)
+              use_rope=True, use_abs_pos=True, ref_feat_shape=(16, 16))
+_EVA02_TS = dict(_EVA02, scale_mlp=False)
 # EVA (v1) giant: plain GELU MLP, mlp_ratio 6144/1408, no rope
 _EVA1 = dict(swiglu_mlp=False, scale_mlp=False, mlp_ratio=6144 / 1408,
              use_rope=False, use_abs_pos=True)
@@ -310,14 +371,15 @@ _VARIANTS = {
                                   num_heads=16, patch_size=14, img_size=560),
     "eva_giant_patch14_clip_224": dict(_EVA1, embed_dim=1408, depth=40,
                                        num_heads=16, patch_size=14,
-                                       img_size=224),
-    "eva02_tiny_patch14_224": dict(_EVA02, embed_dim=192, depth=12,
+                                       img_size=224,
+                                  global_pool="token"),
+    "eva02_tiny_patch14_224": dict(_EVA02_TS, embed_dim=192, depth=12,
                                    num_heads=3, patch_size=14, img_size=224),
-    "eva02_tiny_patch14_336": dict(_EVA02, embed_dim=192, depth=12,
+    "eva02_tiny_patch14_336": dict(_EVA02_TS, embed_dim=192, depth=12,
                                    num_heads=3, patch_size=14, img_size=336),
-    "eva02_small_patch14_224": dict(_EVA02, embed_dim=384, depth=12,
+    "eva02_small_patch14_224": dict(_EVA02_TS, embed_dim=384, depth=12,
                                     num_heads=6, patch_size=14, img_size=224),
-    "eva02_small_patch14_336": dict(_EVA02, embed_dim=384, depth=12,
+    "eva02_small_patch14_336": dict(_EVA02_TS, embed_dim=384, depth=12,
                                     num_heads=6, patch_size=14, img_size=336),
     "eva02_base_patch14_224": dict(_EVA02, embed_dim=768, depth=12,
                                    num_heads=12, patch_size=14, img_size=224),
@@ -331,16 +393,20 @@ _VARIANTS = {
                                     img_size=448),
     "eva02_base_patch16_clip_224": dict(_EVA02, embed_dim=768, depth=12,
                                         num_heads=12, patch_size=16,
-                                        img_size=224),
+                                        img_size=224,
+                                  global_pool="token"),
     "eva02_large_patch14_clip_224": dict(_EVA02, embed_dim=1024, depth=24,
                                          num_heads=16, patch_size=14,
-                                         img_size=224),
+                                         img_size=224,
+                                  global_pool="token"),
     "eva02_large_patch14_clip_336": dict(_EVA02, embed_dim=1024, depth=24,
                                          num_heads=16, patch_size=14,
-                                         img_size=336),
+                                         img_size=336,
+                                  global_pool="token"),
     "eva02_enormous_patch14_clip_224": dict(
         _EVA1, embed_dim=1792, depth=64, num_heads=16, patch_size=14,
-        img_size=224, mlp_ratio=15360 / 1792),
+        img_size=224, mlp_ratio=15360 / 1792, global_pool="token",
+        post_norm_blocks=True),
     # rope + register-token + GAP ViTs that live in reference eva.py
     "vit_medium_patch16_rope_reg1_gap_256": dict(
         _EVA02, swiglu_mlp=False, scale_mlp=False, mlp_ratio=4.0,
@@ -379,30 +445,34 @@ for _name, _cfg in _VARIANTS.items():
 # rope attention, pre-transformer norm folded into the trunk norm here,
 # map (attention) pooling for the core variants
 _PE = dict(swiglu_mlp=False, scale_mlp=False, use_rope=True,
-           use_abs_pos=True)
+           use_abs_pos=True, use_pre_norm=True,
+           rope_grid_indexing="xy")
 for _n, _c in {
         "vit_pe_core_base_patch16_224": dict(
             _PE, patch_size=16, img_size=224, embed_dim=768, depth=12,
-            num_heads=12, mlp_ratio=4.0, global_pool="map"),
+            num_heads=12, mlp_ratio=4.0, global_pool="map",
+            ref_feat_shape=(14, 14), rope_grid_offset=1.0),
         "vit_pe_core_large_patch14_336": dict(
             _PE, patch_size=14, img_size=336, embed_dim=1024, depth=24,
-            num_heads=16, mlp_ratio=4.0, global_pool="map"),
+            num_heads=16, mlp_ratio=4.0, global_pool="map",
+            ref_feat_shape=(24, 24), rope_grid_offset=1.0),
         "vit_pe_core_gigantic_patch14_448": dict(
             _PE, patch_size=14, img_size=448, embed_dim=1536, depth=50,
             num_heads=16, mlp_ratio=8960 / 1536, class_token=False,
-            global_pool="map"),
+            global_pool="map", ref_feat_shape=(32, 32)),
         "vit_pe_lang_large_patch14_448": dict(
             _PE, patch_size=14, img_size=448, embed_dim=1024, depth=23,
             num_heads=16, mlp_ratio=4.0, init_values=0.1,
-            global_pool="token"),
+            global_pool="token", ref_feat_shape=(32, 32),
+            rope_grid_offset=1.0),
         "vit_pe_lang_gigantic_patch14_448": dict(
             _PE, patch_size=14, img_size=448, embed_dim=1536, depth=47,
             num_heads=16, mlp_ratio=8960 / 1536, class_token=False,
-            init_values=0.1, global_pool="avg"),
+            init_values=0.1, global_pool="avg", ref_feat_shape=(32, 32)),
         "vit_pe_spatial_gigantic_patch14_448": dict(
             _PE, patch_size=14, img_size=448, embed_dim=1536, depth=50,
             num_heads=16, mlp_ratio=8960 / 1536, class_token=False,
-            init_values=0.1, global_pool="avg"),
+            init_values=0.1, global_pool="avg", ref_feat_shape=(32, 32)),
 }.items():
     _fn = _eva(**_c)
     _fn.__name__ = _n
