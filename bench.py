@@ -76,6 +76,16 @@ def _init_devices_bounded(timeout_s: float = 180.0):
 
 
 def main():
+    import os
+
+    # VTX_BENCH_CPU_SMOKE=1: tiny-model CPU run exercising the full bench
+    # code path (incl. the MLP autotune + donation-safe rerun logic) when
+    # the chip is unreachable. Numbers are meaningless; exercised by
+    # tests/test_bench_smoke.py.
+    smoke = os.environ.get("VTX_BENCH_CPU_SMOKE") == "1"
+    if smoke:
+        jax.config.update("jax_platforms", "cpu")
+
     from flax import linen as nn
 
     from vision_transformers_torch_xla_tpu.core.cache import enable_persistent_cache
@@ -89,17 +99,21 @@ def main():
     from vision_transformers_torch_xla_tpu.train.state import create_train_state
     from vision_transformers_torch_xla_tpu.train.steps import StepConfig, make_train_step
 
-    device = _init_devices_bounded()[0]
-    batch = 128
+    device = jax.devices()[0] if smoke else _init_devices_bounded()[0]
+    batch = 8 if smoke else 128
+    img = 64 if smoke else 224
     # head-pair Pallas attention kernel: reads the fused qkv projection
     # output in place (no head transposes); +28% step throughput on v5e
     # vs the XLA attention path (tools/bench_attn.py A/B)
-    model = create_model("my_vit_b", drop_path_rate=0.1, use_pallas_attn=True)
+    model = create_model("my_vit_mini" if smoke else "my_vit_b",
+                         drop_path_rate=0.1, use_pallas_attn=not smoke,
+                         **({"img_size": img, "depth": 2} if smoke else {}))
 
-    images_host = jnp.zeros((batch, 224, 224, 3), jnp.float32)
+    images_host = jnp.zeros((batch, img, img, 3), jnp.float32)
     init_fn = jax.jit(
         lambda k: nn.meta.unbox(model.init(k, images_host, True))["params"])
     params = init_fn({"params": jax.random.key(0)})
+    del images_host
 
     lr_fn = cosine_schedule_fn(4e-3, 1e-6, 300, 300, warmup_epochs=20)
     # single-HBM-pass AdamW+EMA+grad-norm (train/fused.py): guarantees one
@@ -111,33 +125,58 @@ def main():
     tx = maybe_fused_optimizer("adamw", lr_fn, params, weight_decay=0.05,
                                clip_grad=None, ema_decay=0.9999)
     assert tx is not None
-    state = create_train_state(params, tx, with_ema=True)
     cfg = StepConfig(mixup=MixupConfig(num_classes=1000), num_classes=1000,
                      ema_decay=0.9999, lr_schedule=None)
-    step = jax.jit(make_train_step(model.apply, tx, cfg), donate_argnums=(0,))
 
     import numpy as np
 
     rng = np.random.default_rng(0)
-    images = jnp.asarray(rng.normal(size=(batch, 224, 224, 3)), jnp.float32)
+    images = jnp.asarray(rng.normal(size=(batch, img, img, 3)), jnp.float32)
     labels = jnp.asarray(rng.integers(0, 1000, batch), jnp.int32)
     key = jax.random.key(0)
 
-    # warmup / compile. NOTE: on this image's relay backend
-    # jax.block_until_ready does not actually block, so synchronization is
-    # done with an explicit host read of a scalar that depends on every step.
-    for _ in range(3):
-        state, metrics = step(state, images, labels, key)
-    float(metrics["loss"])
+    def timed_run(variant_model, iters):
+        """Fresh state -> warmup -> timed loop. Returns (step_time, loss).
 
-    iters = 20
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        state, metrics = step(state, images, labels, key)
-    final_loss = float(metrics["loss"])  # forces the whole chain
-    dt = time.perf_counter() - t0
+        NOTE: on this image's relay backend jax.block_until_ready does not
+        actually block, so synchronization is an explicit host read of a
+        scalar that depends on every step.
+        """
+        step = jax.jit(make_train_step(variant_model.apply, tx, cfg),
+                       donate_argnums=(0,))
+        # fresh params every run: the step donates the state, whose leaves
+        # alias the params buffers — reusing them across runs would read
+        # donated (invalidated) arrays. init_fn is jitted + cached.
+        state = create_train_state(init_fn({"params": jax.random.key(0)}),
+                                   tx, with_ema=True)
+        for _ in range(3):
+            state, metrics = step(state, images, labels, key)
+        float(metrics["loss"])
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            state, metrics = step(state, images, labels, key)
+        loss = float(metrics["loss"])  # forces the whole chain
+        return (time.perf_counter() - t0) / iters, loss
 
-    step_time = dt / iters
+    # Autotune the MLP path: the fused-backward Pallas MLP kernel
+    # (ops/mlp_fused.py, opt-in) vs XLA's fusion of the same ops. Measured
+    # here rather than hard-coded because the winner is hardware-dependent;
+    # any failure in the experimental kernel falls back to the XLA path.
+    mlp_variant = "xla"
+    t_xla, _ = timed_run(model, 8)
+    best_t = t_xla
+    try:
+        t_pallas, _ = timed_run(model.clone(use_pallas_mlp=True), 8)
+        if t_pallas < t_xla:
+            mlp_variant, best_t = "pallas", t_pallas
+    except Exception as e:  # noqa: BLE001 — bench must always report
+        import sys
+        print(f"bench: pallas_mlp variant failed ({type(e).__name__}: {e}); "
+              "using the XLA MLP path", file=sys.stderr)
+
+    bench_model = model.clone(use_pallas_mlp=True) if mlp_variant == "pallas" \
+        else model
+    step_time, final_loss = timed_run(bench_model, 20)
     ips = batch / step_time
     mfu = ips * vit_train_flops_per_image() / _peak_flops_per_sec(device)
 
@@ -151,6 +190,7 @@ def main():
         "batch": batch,
         "device": str(getattr(device, "device_kind", device)),
         "loss": round(final_loss, 4),
+        "mlp_variant": mlp_variant,
     }))
 
 
