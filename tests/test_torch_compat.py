@@ -646,6 +646,12 @@ def _rand_variables(model, img=64):
     ("regnety_002", "regnet"),
     ("regnetz_005", "regnet"),
     ("regnetv_040", "regnet"),
+    ("vgg11", "vgg"),
+    ("vgg13_bn", "vgg"),
+    ("densenet121", "densenet"),
+    ("densenetblur121d", "densenet"),
+    ("ghostnet_100", "ghostnet"),
+    ("ghostnetv2_100", "ghostnet"),
 ])
 def test_export_import_roundtrip(name, arch):
     """export -> timm names -> convert must reproduce the flax tree exactly,
@@ -669,12 +675,16 @@ def test_export_import_roundtrip(name, arch):
         "efficientnet": tc.convert_efficientnet_state_dict,
         "mobilenetv3": tc.convert_mobilenetv3_state_dict,
         "regnet": tc.convert_regnet_state_dict,
+        "vgg": tc.convert_vgg_state_dict,
+        "densenet": tc.convert_densenet_state_dict,
+        "ghostnet": tc.convert_ghostnet_state_dict,
     }[arch](sd)
     if arch == "swin":
         _assert_same_tree(out, variables["params"], f"{name} params")
     else:
         _assert_same_tree(out["params"], variables["params"], f"{name} params")
-        _assert_same_tree(out["batch_stats"], variables["batch_stats"],
+        _assert_same_tree(out.get("batch_stats") or {},
+                          variables.get("batch_stats") or {},
                           f"{name} batch_stats")
 
 

@@ -9,7 +9,7 @@ Families: ViT/DeiT (incl. dist token), ConvNeXt, ResNet (+SE/ECA/deep-stem
 variants, BatchNorm running stats -> the flax 'batch_stats' collection),
 Swin (incl. the PatchMerging channel-order permutation), EfficientNet
 superfamily, MobileNetV3/LCNet, MLP-Mixer family, RegNet X/Y/V/Z, BEiT v1/v2, CaiT, XCiT,
-PVTv2, SwinV2, ConvNeXt-V2.
+PVTv2, SwinV2, ConvNeXt-V2, EVA/EVA-02, VGG, DenseNet, GhostNet v1/v2.
 Architecture is auto-detected from the state-dict key shapes.
 
 torch is used only here (CPU wheel, read-only unpickling).
@@ -1191,6 +1191,230 @@ def convert_regnet_state_dict(sd: Dict[str, Any]) -> Dict[str, Any]:
     return {"params": params, "batch_stats": stats}
 
 
+def convert_vgg_state_dict(sd: Dict[str, Any]) -> Dict[str, Any]:
+    """timm VGG state_dict -> {'params', 'batch_stats'} (models/vgg.py).
+
+    timm naming (reference vgg.py:100-167): `features.{i}` is a flat
+    nn.Sequential index over conv/BN/ReLU/maxpool, so convs are renumbered
+    here to consecutive flax indices (features_{li}) with each BN (the _bn
+    variants) attached to the conv right before it; `pre_logits` is the
+    ConvMlp 7x7/1x1 head (reference vgg.py:32-66) and `head.fc` the
+    classifier.
+    """
+    params: Dict[str, Any] = {}
+    stats: Dict[str, Any] = {}
+    feat: Dict[int, Dict[str, np.ndarray]] = {}
+    for name, w in sd.items():
+        if name.endswith("num_batches_tracked"):
+            continue
+        w = _t(w)
+        if m := re.match(r"features\.(\d+)\.(.+)", name):
+            feat.setdefault(int(m.group(1)), {})[m.group(2)] = w
+        elif m := re.match(r"pre_logits\.fc(1|2)\.(weight|bias)", name):
+            _put_in(params, (f"pre_logits_fc{m.group(1)}",
+                             "kernel" if m.group(2) == "weight" else "bias"),
+                    _conv_hwio(w) if m.group(2) == "weight" else w)
+        elif m := re.match(r"head\.fc\.(weight|bias)", name):
+            _put_in(params, ("head",
+                             "kernel" if m.group(1) == "weight" else "bias"),
+                    w.T if m.group(1) == "weight" else w)
+        else:
+            log.warning("unmapped vgg param %s (shape %s)", name, w.shape)
+    li = -1
+    for idx in sorted(feat):
+        entry = feat[idx]
+        if "running_mean" in entry:  # the BN right after conv li
+            _put_in(params, (f"features_{li}_bn", "scale"), entry["weight"])
+            _put_in(params, (f"features_{li}_bn", "bias"), entry["bias"])
+            _put_in(stats, (f"features_{li}_bn", "mean"),
+                    entry["running_mean"])
+            _put_in(stats, (f"features_{li}_bn", "var"), entry["running_var"])
+        else:
+            li += 1
+            _put_in(params, (f"features_{li}", "kernel"),
+                    _conv_hwio(entry["weight"]))
+            if "bias" in entry:
+                _put_in(params, (f"features_{li}", "bias"), entry["bias"])
+    return {"params": params, "batch_stats": stats}
+
+
+def convert_densenet_state_dict(sd: Dict[str, Any]) -> Dict[str, Any]:
+    """timm DenseNet state_dict -> {'params', 'batch_stats'}
+    (models/densenet.py).
+
+    timm naming (reference densenet.py:276-325): features.conv0/norm0 stem
+    (deep stems add conv1/norm1/conv2/norm2),
+    features.denseblock{B}.denselayer{L}.{norm1,conv1,norm2,conv2} (1-based),
+    features.transition{B}.{norm,conv}, features.norm5 final norm,
+    classifier head. The norm layers are BatchNormAct2d — state-dict keys
+    identical to BatchNorm2d.
+    """
+    params: Dict[str, Any] = {}
+    stats: Dict[str, Any] = {}
+    deep_stem = "features.conv1.weight" in sd
+
+    def put_norm(dst, kind, w):
+        if kind == "weight":
+            _put_in(params, (dst, "scale"), w)
+        elif kind == "bias":
+            _put_in(params, (dst, "bias"), w)
+        elif kind == "running_mean":
+            _put_in(stats, (dst, "mean"), w)
+        elif kind == "running_var":
+            _put_in(stats, (dst, "var"), w)
+
+    norm_kinds = r"(weight|bias|running_mean|running_var)"
+    for name, w in sd.items():
+        if name.endswith("num_batches_tracked"):
+            continue
+        w = _t(w)
+        if m := re.match(r"features\.conv(\d)\.weight", name):
+            dst = f"stem_conv{m.group(1)}" if deep_stem else "stem_conv"
+            _put_in(params, (dst, "kernel"), _conv_hwio(w))
+        elif m := re.match(rf"features\.norm([0-4])\.{norm_kinds}", name):
+            dst = f"stem_bn{m.group(1)}" if deep_stem else "stem_bn"
+            put_norm(dst, m.group(2), w)
+        elif m := re.match(
+                r"features\.denseblock(\d+)\.denselayer(\d+)\.(.+)", name):
+            blk = f"db{int(m.group(1)) - 1}_l{int(m.group(2)) - 1}"
+            rest = m.group(3)
+            if m2 := re.match(r"conv(\d)\.weight", rest):
+                _put_in(params, (f"{blk}_conv{m2.group(1)}", "kernel"),
+                        _conv_hwio(w))
+            elif m2 := re.match(rf"norm(\d)\.{norm_kinds}", rest):
+                put_norm(f"{blk}_bn{m2.group(1)}", m2.group(2), w)
+            else:
+                log.warning("unmapped densenet layer param %s", name)
+        elif m := re.match(r"features\.transition(\d+)\.(.+)", name):
+            tr = f"tr{int(m.group(1)) - 1}"
+            rest = m.group(2)
+            if rest == "conv.weight":
+                _put_in(params, (f"{tr}_conv", "kernel"), _conv_hwio(w))
+            elif m2 := re.match(rf"norm\.{norm_kinds}", rest):
+                put_norm(f"{tr}_bn", m2.group(1), w)
+            else:
+                log.warning("unmapped densenet transition param %s", name)
+        elif m := re.match(rf"features\.norm5\.{norm_kinds}", name):
+            put_norm("final_bn", m.group(1), w)
+        elif m := re.match(r"classifier\.(weight|bias)", name):
+            _put_in(params, ("head",
+                             "kernel" if m.group(1) == "weight" else "bias"),
+                    w.T if m.group(1) == "weight" else w)
+        else:
+            log.warning("unmapped densenet param %s (shape %s)", name, w.shape)
+    return {"params": params, "batch_stats": stats}
+
+
+# GhostNet stage lengths are fixed across all width multipliers (reference
+# ghostnet.py:852-872 cfgs): flax blocks are named b{stage}_{GLOBAL index}
+# while timm nests nn.Sequential stages with per-stage indices.
+_GHOST_STAGE_OFFSET = (0, 1, 2, 3, 4, 5, 6, 11, 12)
+
+
+def convert_ghostnet_state_dict(sd: Dict[str, Any]) -> Dict[str, Any]:
+    """timm GhostNet v1/v2 state_dict -> {'params', 'batch_stats'}
+    (models/ghostnet.py).
+
+    timm naming (reference ghostnet.py:44-112 GhostModule/V2, :330-407
+    GhostBottleneck, :586-655 trunk): conv_stem/bn1, blocks.{S}.{B} with
+    ghost1/ghost2 (primary_conv.0/.1 + cheap_operation.0/.1, v2 adds
+    short_conv.0-.5), conv_dw/bn_dw on strided blocks, se.conv_reduce/
+    conv_expand, shortcut.0-.3; the last stage is one ConvBnAct
+    (conv/bn1) -> our final_conv; conv_head is a post-pool 1x1 conv ->
+    our Dense; classifier.
+    """
+    params: Dict[str, Any] = {}
+    stats: Dict[str, Any] = {}
+
+    def put_norm(dst, kind, w):
+        if kind == "weight":
+            _put_in(params, (*dst, "scale"), w)
+        elif kind == "bias":
+            _put_in(params, (*dst, "bias"), w)
+        elif kind == "running_mean":
+            _put_in(stats, (*dst, "mean"), w)
+        elif kind == "running_var":
+            _put_in(stats, (*dst, "var"), w)
+
+    # v2 short_conv Sequential index -> our _ConvBn child of the ghost module
+    short_map = {"0": ("short1", "conv"), "1": ("short1", "bn"),
+                 "2": ("short2", "conv"), "3": ("short2", "bn"),
+                 "4": ("short3", "conv"), "5": ("short3", "bn")}
+    norm_kinds = r"(weight|bias|running_mean|running_var)"
+    for name, w in sd.items():
+        if name.endswith("num_batches_tracked"):
+            continue
+        w = _t(w)
+        if name == "conv_stem.weight":
+            _put_in(params, ("stem", "conv", "kernel"), _conv_hwio(w))
+        elif m := re.match(rf"bn1\.{norm_kinds}", name):
+            put_norm(("stem", "bn"), m.group(1), w)
+        elif m := re.match(r"blocks\.(\d+)\.(\d+)\.conv\.weight", name):
+            _put_in(params, ("final_conv", "conv", "kernel"), _conv_hwio(w))
+        elif m := re.match(rf"blocks\.(\d+)\.(\d+)\.bn1\.{norm_kinds}", name):
+            put_norm(("final_conv", "bn"), m.group(3), w)
+        elif m := re.match(r"blocks\.(\d+)\.(\d+)\.(.+)", name):
+            si, bi, rest = int(m.group(1)), int(m.group(2)), m.group(3)
+            blk = f"b{si}_{_GHOST_STAGE_OFFSET[si] + bi}"
+            if m2 := re.match(
+                    r"(ghost1|ghost2)\.primary_conv\.(0|1)\.(.+)", rest):
+                g, which, kind = m2.group(1), m2.group(2), m2.group(3)
+                if which == "0":
+                    _put_in(params, (blk, g, "primary", "conv", "kernel"),
+                            _conv_hwio(w))
+                else:
+                    put_norm((blk, g, "primary", "bn"), kind, w)
+            elif m2 := re.match(
+                    r"(ghost1|ghost2)\.cheap_operation\.(0|1)\.(.+)", rest):
+                g, which, kind = m2.group(1), m2.group(2), m2.group(3)
+                if which == "0":
+                    _put_in(params, (blk, g, "cheap", "conv", "kernel"),
+                            _conv_hwio(w))
+                else:
+                    put_norm((blk, g, "cheap", "bn"), kind, w)
+            elif m2 := re.match(
+                    r"(ghost1|ghost2)\.short_conv\.([0-5])\.(.+)", rest):
+                g, which, kind = m2.group(1), m2.group(2), m2.group(3)
+                sub, leaf = short_map[which]
+                if leaf == "conv":
+                    _put_in(params, (blk, g, sub, "conv", "kernel"),
+                            _conv_hwio(w))
+                else:
+                    put_norm((blk, g, sub, "bn"), kind, w)
+            elif rest == "conv_dw.weight":
+                _put_in(params, (blk, "dw", "conv", "kernel"), _conv_hwio(w))
+            elif m2 := re.match(rf"bn_dw\.{norm_kinds}", rest):
+                put_norm((blk, "dw", "bn"), m2.group(1), w)
+            elif m2 := re.match(r"se\.conv_(reduce|expand)\.(weight|bias)",
+                                rest):
+                _put_in(params, (blk, f"se_{m2.group(1)}",
+                                 "kernel" if m2.group(2) == "weight"
+                                 else "bias"),
+                        _conv_hwio(w) if m2.group(2) == "weight" else w)
+            elif m2 := re.match(r"shortcut\.([0-3])\.(.+)", rest):
+                which, kind = m2.group(1), m2.group(2)
+                sub = "shortcut_dw" if which in ("0", "1") else "shortcut_pw"
+                if which in ("0", "2"):
+                    _put_in(params, (blk, sub, "conv", "kernel"),
+                            _conv_hwio(w))
+                else:
+                    put_norm((blk, sub, "bn"), kind, w)
+            else:
+                log.warning("unmapped ghostnet block param %s", name)
+        elif m := re.match(r"conv_head\.(weight|bias)", name):
+            if m.group(1) == "weight":  # post-pool 1x1 conv == Dense
+                _put_in(params, ("conv_head", "kernel"), w[:, :, 0, 0].T)
+            else:
+                _put_in(params, ("conv_head", "bias"), w)
+        elif m := re.match(r"classifier\.(weight|bias)", name):
+            _put_in(params, ("classifier",
+                             "kernel" if m.group(1) == "weight" else "bias"),
+                    w.T if m.group(1) == "weight" else w)
+        else:
+            log.warning("unmapped ghostnet param %s (shape %s)", name, w.shape)
+    return {"params": params, "batch_stats": stats}
+
+
 def detect_architecture(sd: Dict[str, Any]) -> str:
     keys = list(sd)
     if any(k.startswith("cls_attn_blocks.") for k in keys):
@@ -1214,6 +1438,14 @@ def detect_architecture(sd: Dict[str, Any]) -> str:
         return "regnet"
     if any(re.match(r"layer\d+\.\d+\.conv\d\.weight", k) for k in keys):
         return "resnet"
+    if any(".ghost1." in k for k in keys):
+        # before efficientnet (ghostnet also has conv_stem) and before
+        # convnext (ghost bottlenecks also carry .conv_dw.)
+        return "ghostnet"
+    if any(k.startswith("features.denseblock") for k in keys):
+        return "densenet"
+    if any(k.startswith("pre_logits.fc1.") for k in keys):
+        return "vgg"
     if "conv_stem.weight" in keys:
         # mobilenetv3/lcnet: post-pool conv_head carries a bias and there is
         # no top-level bn2 after it (efficientnet has bias-free conv_head+bn2)
@@ -1294,6 +1526,12 @@ def load_reference_checkpoint(path: str, model_key: str = "model|module",
         return convert_efficientnet_state_dict(sd)
     if arch == "mobilenetv3":
         return convert_mobilenetv3_state_dict(sd)
+    if arch == "ghostnet":
+        return convert_ghostnet_state_dict(sd)
+    if arch == "densenet":
+        return convert_densenet_state_dict(sd)
+    if arch == "vgg":
+        return convert_vgg_state_dict(sd)
     if arch == "convnext":
         return convert_convnext_state_dict(sd)
     if arch == "mixer":

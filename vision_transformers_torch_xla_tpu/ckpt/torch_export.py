@@ -11,7 +11,7 @@ Families: ViT/DeiT, ConvNeXt, ResNet (+SE/ECA/deep-stem, BatchNorm running
 stats from the 'batch_stats' collection), Swin (incl. the PatchMerging
 channel-order permutation), EfficientNet superfamily, MobileNetV3/LCNet,
 MLP-Mixer family, RegNet X/Y/V/Z, BEiT v1/v2, CaiT, XCiT,
-PVTv2, SwinV2, ConvNeXt-V2.
+PVTv2, SwinV2, ConvNeXt-V2, EVA/EVA-02, VGG, DenseNet, GhostNet v1/v2.
 Architecture is inferred from the flax tree's top-level names.
 
 Only `save_torch_checkpoint` imports torch (CPU wheel); the exporters
@@ -82,6 +82,13 @@ def detect_flax_architecture(params: Dict[str, Any]) -> str:
         return "efficientnet"
     if any(re.match(r"blocks_\d+_(dw|pw_exp)$", k) for k in keys):
         return "mobilenetv3"
+    if "pre_logits_fc1" in keys:
+        return "vgg"
+    if "final_bn" in keys and any(re.match(r"db\d+_l\d+_", k) for k in keys):
+        return "densenet"
+    if "conv_head" in keys and any(re.fullmatch(r"b\d+_\d+", k)
+                                   for k in keys):
+        return "ghostnet"
     if "stem" in keys and any(re.match(r"blocks_\d+$", k) for k in keys):
         return "mixer"
     if "patch_embed" in keys and any(re.match(r"blocks_\d+$", k)
@@ -976,6 +983,181 @@ def export_regnet_state_dict(variables: Dict[str, Any],
     return sd
 
 
+def export_vgg_state_dict(variables: Dict[str, Any]) -> Dict[str, np.ndarray]:
+    """Our flax VGG tree (+batch_stats for _bn variants) -> timm VGG
+    state_dict. timm's `features` is a flat nn.Sequential over
+    conv/BN/ReLU/maxpool (reference vgg.py:130-149), so the Sequential
+    indices are rebuilt by walking the variant's cfg (identified by conv
+    count — the four classic cfgs have 8/10/13/16 convs)."""
+    from vision_transformers_torch_xla_tpu.models.vgg import _CFGS
+
+    params = variables["params"]
+    bn = "features_0_bn" in params
+    n_convs = len([k for k in params if re.fullmatch(r"features_\d+", k)])
+    by_count = {len([v for v in cfg if v != "M"]): cfg
+                for cfg in _CFGS.values()}
+    cfg = by_count[n_convs]
+    conv_idx, bn_idx, idx, li = {}, {}, 0, 0
+    for v in cfg:
+        if v == "M":
+            idx += 1
+            continue
+        conv_idx[li] = idx
+        if bn:
+            bn_idx[li] = idx + 1
+        idx += 3 if bn else 2
+        li += 1
+
+    sd: Dict[str, np.ndarray] = {}
+    for coll in ("params", "batch_stats"):
+        for path, w in _flatten(variables.get(coll, {})).items():
+            top = path[0]
+            kind = _NORM_T.get(path[-1], path[-1])
+            if m := re.fullmatch(r"features_(\d+)", top):
+                sd[f"features.{conv_idx[int(m.group(1))]}."
+                   + ("weight" if path[1] == "kernel" else "bias")] = \
+                    _oihw(w) if path[1] == "kernel" else w
+            elif m := re.fullmatch(r"features_(\d+)_bn", top):
+                sd[f"features.{bn_idx[int(m.group(1))]}.{kind}"] = w
+            elif m := re.fullmatch(r"pre_logits_fc(1|2)", top):
+                sd[f"pre_logits.fc{m.group(1)}."
+                   + ("weight" if path[1] == "kernel" else "bias")] = \
+                    _oihw(w) if path[1] == "kernel" else w
+            elif top == "head":
+                sd["head.fc." + ("weight" if path[1] == "kernel"
+                                 else "bias")] = \
+                    w.T if path[1] == "kernel" else w
+            else:
+                raise ValueError(f"vgg export: unmapped {path}")
+    return sd
+
+
+def export_densenet_state_dict(
+        variables: Dict[str, Any]) -> Dict[str, np.ndarray]:
+    """Our flax DenseNet tree (+batch_stats) -> timm DenseNet state_dict
+    (features.conv0/norm0 [deep stems: conv1/norm1/conv2/norm2],
+    denseblock{B}.denselayer{L} 1-based, transition{B}, norm5,
+    classifier — reference densenet.py:276-338)."""
+    sd: Dict[str, np.ndarray] = {}
+    for coll in ("params", "batch_stats"):
+        for path, w in _flatten(variables.get(coll, {})).items():
+            top = path[0]
+            kind = _NORM_T.get(path[-1], path[-1])
+            if top == "stem_conv":
+                sd["features.conv0.weight"] = _oihw(w)
+            elif m := re.fullmatch(r"stem_conv(\d)", top):
+                sd[f"features.conv{m.group(1)}.weight"] = _oihw(w)
+            elif top == "stem_bn":
+                sd[f"features.norm0.{kind}"] = w
+            elif m := re.fullmatch(r"stem_bn(\d)", top):
+                sd[f"features.norm{m.group(1)}.{kind}"] = w
+            elif m := re.fullmatch(r"db(\d+)_l(\d+)_conv(\d)", top):
+                sd[f"features.denseblock{int(m.group(1)) + 1}"
+                   f".denselayer{int(m.group(2)) + 1}"
+                   f".conv{m.group(3)}.weight"] = _oihw(w)
+            elif m := re.fullmatch(r"db(\d+)_l(\d+)_bn(\d)", top):
+                sd[f"features.denseblock{int(m.group(1)) + 1}"
+                   f".denselayer{int(m.group(2)) + 1}"
+                   f".norm{m.group(3)}.{kind}"] = w
+            elif m := re.fullmatch(r"tr(\d+)_conv", top):
+                sd[f"features.transition{int(m.group(1)) + 1}.conv.weight"] \
+                    = _oihw(w)
+            elif m := re.fullmatch(r"tr(\d+)_bn", top):
+                sd[f"features.transition{int(m.group(1)) + 1}.norm.{kind}"] \
+                    = w
+            elif top == "final_bn":
+                sd[f"features.norm5.{kind}"] = w
+            elif top == "head":
+                sd["classifier." + ("weight" if path[1] == "kernel"
+                                    else "bias")] = \
+                    w.T if path[1] == "kernel" else w
+            else:
+                raise ValueError(f"densenet export: unmapped {path}")
+    return sd
+
+
+def export_ghostnet_state_dict(
+        variables: Dict[str, Any]) -> Dict[str, np.ndarray]:
+    """Our flax GhostNet v1/v2 tree (+batch_stats) -> timm GhostNet
+    state_dict (reference ghostnet.py:586-655 trunk naming; see
+    convert_ghostnet_state_dict for the layout)."""
+    from vision_transformers_torch_xla_tpu.ckpt.torch_compat import (
+        _GHOST_STAGE_OFFSET,
+    )
+
+    ghost_sub = {"primary": "primary_conv", "cheap": "cheap_operation"}
+    short_idx = {("short1", "conv"): "0", ("short1", "bn"): "1",
+                 ("short2", "conv"): "2", ("short2", "bn"): "3",
+                 ("short3", "conv"): "4", ("short3", "bn"): "5"}
+    sd: Dict[str, np.ndarray] = {}
+    # timm's last stage (ConvBnAct) index = max bottleneck stage + 1
+    final_si = 1 + max(
+        (int(m.group(1)) for k in variables["params"]
+         if (m := re.fullmatch(r"b(\d+)_\d+", k))), default=-1)
+    for coll in ("params", "batch_stats"):
+        for path, w in _flatten(variables.get(coll, {})).items():
+            top = path[0]
+            kind = _NORM_T.get(path[-1], path[-1])
+            if top == "stem":
+                if path[1] == "conv":
+                    sd["conv_stem.weight"] = _oihw(w)
+                else:
+                    sd[f"bn1.{kind}"] = w
+            elif top == "final_conv":
+                if path[1] == "conv":
+                    sd[f"blocks.{final_si}.0.conv.weight"] = _oihw(w)
+                else:
+                    sd[f"blocks.{final_si}.0.bn1.{kind}"] = w
+            elif m := re.fullmatch(r"b(\d+)_(\d+)", top):
+                si, li = int(m.group(1)), int(m.group(2))
+                pre = f"blocks.{si}.{li - _GHOST_STAGE_OFFSET[si]}."
+                mod = path[1]
+                if mod in ("ghost1", "ghost2"):
+                    sub = path[2]
+                    if sub in ghost_sub:
+                        if path[3] == "conv":
+                            sd[pre + f"{mod}.{ghost_sub[sub]}.0.weight"] = \
+                                _oihw(w)
+                        else:
+                            sd[pre + f"{mod}.{ghost_sub[sub]}.1.{kind}"] = w
+                    else:  # short1/2/3 -> short_conv.{0-5}
+                        which = short_idx[(sub, path[3])]
+                        if path[3] == "conv":
+                            sd[pre + f"{mod}.short_conv.{which}.weight"] = \
+                                _oihw(w)
+                        else:
+                            sd[pre + f"{mod}.short_conv.{which}.{kind}"] = w
+                elif mod == "dw":
+                    if path[2] == "conv":
+                        sd[pre + "conv_dw.weight"] = _oihw(w)
+                    else:
+                        sd[pre + f"bn_dw.{kind}"] = w
+                elif mod in ("se_reduce", "se_expand"):
+                    sd[pre + f"se.conv_{mod.split('_')[1]}."
+                       + ("weight" if path[2] == "kernel" else "bias")] = \
+                        _oihw(w) if path[2] == "kernel" else w
+                elif mod in ("shortcut_dw", "shortcut_pw"):
+                    base = 0 if mod == "shortcut_dw" else 2
+                    if path[2] == "conv":
+                        sd[pre + f"shortcut.{base}.weight"] = _oihw(w)
+                    else:
+                        sd[pre + f"shortcut.{base + 1}.{kind}"] = w
+                else:
+                    raise ValueError(f"ghostnet export: unmapped {path}")
+            elif top == "conv_head":
+                if path[1] == "kernel":  # Dense == post-pool 1x1 conv
+                    sd["conv_head.weight"] = w.T[:, :, None, None]
+                else:
+                    sd["conv_head.bias"] = w
+            elif top == "classifier":
+                sd["classifier." + ("weight" if path[1] == "kernel"
+                                    else "bias")] = \
+                    w.T if path[1] == "kernel" else w
+            else:
+                raise ValueError(f"ghostnet export: unmapped {path}")
+    return sd
+
+
 _EXPORTERS = {
     "vit": export_vit_state_dict,
     "convnext": export_convnext_state_dict,
@@ -991,6 +1173,9 @@ _EXPORTERS = {
     "pvt2": export_pvt2_state_dict,
     "swinv2": export_swinv2_state_dict,
     "eva": export_eva_state_dict,
+    "vgg": export_vgg_state_dict,
+    "densenet": export_densenet_state_dict,
+    "ghostnet": export_ghostnet_state_dict,
 }
 
 
