@@ -652,6 +652,9 @@ def _rand_variables(model, img=64):
     ("densenetblur121d", "densenet"),
     ("ghostnet_100", "ghostnet"),
     ("ghostnetv2_100", "ghostnet"),
+    ("resnetv2_50x1_bit", "resnetv2"),
+    ("resnetv2_50d", "resnetv2"),
+    ("resnetv2_18", "resnetv2"),
 ])
 def test_export_import_roundtrip(name, arch):
     """export -> timm names -> convert must reproduce the flax tree exactly,
@@ -678,6 +681,7 @@ def test_export_import_roundtrip(name, arch):
         "vgg": tc.convert_vgg_state_dict,
         "densenet": tc.convert_densenet_state_dict,
         "ghostnet": tc.convert_ghostnet_state_dict,
+        "resnetv2": tc.convert_resnetv2_state_dict,
     }[arch](sd)
     if arch == "swin":
         _assert_same_tree(out, variables["params"], f"{name} params")

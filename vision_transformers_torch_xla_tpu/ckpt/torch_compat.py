@@ -9,7 +9,8 @@ Families: ViT/DeiT (incl. dist token), ConvNeXt, ResNet (+SE/ECA/deep-stem
 variants, BatchNorm running stats -> the flax 'batch_stats' collection),
 Swin (incl. the PatchMerging channel-order permutation), EfficientNet
 superfamily, MobileNetV3/LCNet, MLP-Mixer family, RegNet X/Y/V/Z, BEiT v1/v2, CaiT, XCiT,
-PVTv2, SwinV2, ConvNeXt-V2, EVA/EVA-02, VGG, DenseNet, GhostNet v1/v2.
+PVTv2, SwinV2, ConvNeXt-V2, EVA/EVA-02, VGG, DenseNet, GhostNet v1/v2,
+ResNetV2/BiT.
 Architecture is auto-detected from the state-dict key shapes.
 
 torch is used only here (CPU wheel, read-only unpickling).
@@ -183,6 +184,70 @@ def _put_in(tree: Dict[str, Any], path, value):
 def _conv_hwio(w: np.ndarray) -> np.ndarray:
     """torch OIHW conv weight -> flax HWIO."""
     return w.transpose(2, 3, 1, 0)
+
+
+def convert_resnetv2_state_dict(sd: Dict[str, Any]) -> Dict[str, Any]:
+    """timm ResNetV2/BiT state_dict -> {'params', 'batch_stats'}
+    (models/resnetv2.py).
+
+    timm naming (reference resnetv2.py:455-612): `stem.conv` (7x7,
+    weight-standardized for the BiT variants) or `stem.conv1-3`/`stem.norm1-2`
+    deep stems; `stages.{s}.blocks.{b}.{norm1..3,conv1..3,downsample.conv}`
+    pre-activation bottlenecks (norm first; the projection is taken from the
+    pre-activated input and carries NO norm in the preact models, reference
+    resnetv2.py:314-341); final top-level `norm`; conv-classifier `head.fc`
+    (ClassifierHead use_conv=True, reference resnetv2.py:604-610).
+    GroupNormAct (BiT) has no running stats; the BN variants'
+    running_mean/var land in 'batch_stats'. FRN's tau and EvoNormS0's v
+    pass through under their own names.
+    """
+    params: Dict[str, Any] = {}
+    stats: Dict[str, Any] = {}
+
+    def put_norm(path, kind, w):
+        if kind == "weight":
+            _put_in(params, path + ("scale",), w)
+        elif kind == "running_mean":
+            _put_in(stats, path + ("mean",), w)
+        elif kind == "running_var":
+            _put_in(stats, path + ("var",), w)
+        else:  # bias, frn tau, evonorm v
+            _put_in(params, path + (kind,), w)
+
+    for name, w in sd.items():
+        if name.endswith("num_batches_tracked"):
+            continue
+        w = _t(w)
+        if name == "stem.conv.weight":
+            _put_in(params, ("stem_conv", "kernel"), _conv_hwio(w))
+        elif m := re.match(r"stem\.conv(\d)\.weight$", name):
+            _put_in(params, (f"stem_conv{int(m.group(1)) - 1}", "kernel"),
+                    _conv_hwio(w))
+        elif m := re.match(r"stem\.norm(\d)\.(.+)", name):
+            put_norm((f"stem_norm{int(m.group(1)) - 1}",), m.group(2), w)
+        elif m := re.match(r"stages\.(\d+)\.blocks\.(\d+)\.conv(\d)"
+                           r"\.weight$", name):
+            _put_in(params, (f"stages_{m.group(1)}_blocks_{m.group(2)}",
+                             f"conv{m.group(3)}", "kernel"), _conv_hwio(w))
+        elif m := re.match(r"stages\.(\d+)\.blocks\.(\d+)\.norm(\d)\.(.+)",
+                           name):
+            put_norm((f"stages_{m.group(1)}_blocks_{m.group(2)}",
+                      f"norm{m.group(3)}"), m.group(4), w)
+        elif m := re.match(r"stages\.(\d+)\.blocks\.(\d+)\.downsample\.conv"
+                           r"\.weight$", name):
+            _put_in(params, (f"stages_{m.group(1)}_blocks_{m.group(2)}",
+                             "downsample", "kernel"), _conv_hwio(w))
+        elif m := re.match(r"norm\.(.+)", name):
+            put_norm(("norm",), m.group(1), w)
+        elif m := re.match(r"head\.fc\.(weight|bias)$", name):
+            if m.group(1) == "weight":
+                _put_in(params, ("head", "kernel"), w[:, :, 0, 0].T)
+            else:
+                _put_in(params, ("head", "bias"), w)
+        else:
+            log.warning("unmapped resnetv2 param %s (shape %s)",
+                        name, w.shape)
+    return {"params": params, "batch_stats": stats}
 
 
 def convert_resnet_state_dict(sd: Dict[str, Any]) -> Dict[str, Any]:
@@ -1438,6 +1503,9 @@ def detect_architecture(sd: Dict[str, Any]) -> str:
         return "regnet"
     if any(re.match(r"layer\d+\.\d+\.conv\d\.weight", k) for k in keys):
         return "resnet"
+    if any(re.match(r"stages\.\d+\.blocks\.\d+\.norm1\.", k) for k in keys) \
+            and ("stem.conv.weight" in keys or "stem.conv1.weight" in keys):
+        return "resnetv2"  # pre-act: norm1 BEFORE conv1 inside the block
     if any(".ghost1." in k for k in keys):
         # before efficientnet (ghostnet also has conv_stem) and before
         # convnext (ghost bottlenecks also carry .conv_dw.)
@@ -1522,6 +1590,8 @@ def load_reference_checkpoint(path: str, model_key: str = "model|module",
     if arch == "resnet":
         # {'params', 'batch_stats'}: callers merge stats into model_state
         return convert_resnet_state_dict(sd)
+    if arch == "resnetv2":
+        return convert_resnetv2_state_dict(sd)
     if arch == "efficientnet":
         return convert_efficientnet_state_dict(sd)
     if arch == "mobilenetv3":

@@ -11,7 +11,8 @@ Families: ViT/DeiT, ConvNeXt, ResNet (+SE/ECA/deep-stem, BatchNorm running
 stats from the 'batch_stats' collection), Swin (incl. the PatchMerging
 channel-order permutation), EfficientNet superfamily, MobileNetV3/LCNet,
 MLP-Mixer family, RegNet X/Y/V/Z, BEiT v1/v2, CaiT, XCiT,
-PVTv2, SwinV2, ConvNeXt-V2, EVA/EVA-02, VGG, DenseNet, GhostNet v1/v2.
+PVTv2, SwinV2, ConvNeXt-V2, EVA/EVA-02, VGG, DenseNet, GhostNet v1/v2,
+ResNetV2/BiT.
 Architecture is inferred from the flax tree's top-level names.
 
 Only `save_torch_checkpoint` imports torch (CPU wheel); the exporters
@@ -66,6 +67,11 @@ def detect_flax_architecture(params: Dict[str, Any]) -> str:
     if any(re.match(r"stages_\d+_blocks_\d+", k) and "attn" in params[k]
            and "logit_scale" in params[k]["attn"] for k in keys):
         return "swinv2"
+    # resnetv2: pre-act blocks (normN children like regnet's) but a
+    # top-level final pre-act `norm` that regnet/resnet never have
+    if "norm" in keys and any(re.match(r"stem_conv\d?$", k) for k in keys) \
+            and any(re.match(r"stages_\d+_blocks_\d+", k) for k in keys):
+        return "resnetv2"
     if any(re.match(r"merge_norm_\d+", k) for k in keys):
         return "swin"
     if any(re.match(r"stages_\d+_blocks_\d+", k) for k in keys) \
@@ -257,6 +263,47 @@ def export_resnet_state_dict(variables: Dict[str, Any]) -> Dict[str, np.ndarray]
                 sd[f"maxpool.1.{kind}"] = w
             else:
                 raise ValueError(f"resnet export: unmapped {path}")
+    return sd
+
+
+def export_resnetv2_state_dict(
+        variables: Dict[str, Any]) -> Dict[str, np.ndarray]:
+    """Our flax ResNetV2/BiT tree (+batch_stats for the BN variants) ->
+    timm resnetv2 state_dict (inverse of convert_resnetv2_state_dict;
+    reference resnetv2.py:455-612 naming). The conv classifier head
+    (ClassifierHead use_conv=True) is emitted 4-D."""
+    sd: Dict[str, np.ndarray] = {}
+    for coll in ("params", "batch_stats"):
+        for path, w in _flatten(variables.get(coll, {})).items():
+            top = path[0]
+            kind = _NORM_T.get(path[-1], path[-1])
+            if m := re.match(r"stages_(\d+)_blocks_(\d+)$", top):
+                pre = f"stages.{m.group(1)}.blocks.{m.group(2)}."
+                mod = path[1]
+                if mod == "downsample":
+                    sd[pre + "downsample.conv.weight"] = _oihw(w)
+                elif mod.startswith("conv"):
+                    sd[pre + f"{mod}.weight"] = _oihw(w)
+                elif mod.startswith("norm"):
+                    sd[pre + f"{mod}.{kind}"] = w
+                else:
+                    raise ValueError(f"resnetv2 export: unmapped {path}")
+            elif top == "stem_conv":
+                sd["stem.conv.weight"] = _oihw(w)
+            elif m := re.match(r"stem_conv(\d)$", top):
+                sd[f"stem.conv{int(m.group(1)) + 1}.weight"] = _oihw(w)
+            elif m := re.match(r"stem_norm(\d)$", top):
+                sd[f"stem.norm{int(m.group(1)) + 1}.{kind}"] = w
+            elif top == "norm":
+                sd[f"norm.{kind}"] = w
+            elif top == "head":
+                if path[1] == "kernel":
+                    sd["head.fc.weight"] = \
+                        np.asarray(w).T[:, :, None, None]
+                else:
+                    sd["head.fc.bias"] = w
+            else:
+                raise ValueError(f"resnetv2 export: unmapped {path}")
     return sd
 
 
@@ -1176,6 +1223,7 @@ _EXPORTERS = {
     "vgg": export_vgg_state_dict,
     "densenet": export_densenet_state_dict,
     "ghostnet": export_ghostnet_state_dict,
+    "resnetv2": export_resnetv2_state_dict,
 }
 
 
