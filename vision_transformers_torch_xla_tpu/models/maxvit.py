@@ -147,6 +147,7 @@ class _PartitionAttn(nn.Module):
     expand_ratio: float = 4.0
     act: str = "gelu"
     drop_path_rate: float = 0.0
+    norm_eps: float = 1e-6
     dtype: Any = jnp.bfloat16
     param_dtype: Any = jnp.float32
 
@@ -156,7 +157,7 @@ class _PartitionAttn(nn.Module):
         heads = self.dim // self.dim_head
         part, merge = (_grid_partition, _grid_merge) if self.grid else \
             (_block_partition, _block_merge)
-        ln = partial(nn.LayerNorm, epsilon=1e-6, dtype=self.dtype,
+        ln = partial(nn.LayerNorm, epsilon=self.norm_eps, dtype=self.dtype,
                      param_dtype=self.param_dtype)
         dense = partial(nn.Dense, dtype=self.dtype,
                         param_dtype=self.param_dtype)
@@ -198,9 +199,10 @@ class _PartitionAttn(nn.Module):
 
 
 class _ParallelPartitionAttn(nn.Module):
-    """'PM' block: window + grid attention sharing one qkv projection
-    (reference ParallelPartitionAttention): half the heads attend within
-    windows, half across the grid."""
+    """'PM' block (reference ParallelPartitionAttention): two separate
+    half-width attentions over one shared norm — `attn_block` within
+    windows and `attn_grid` across the grid, each with its own qkv
+    (dim -> 3*dim/2) and proj (dim/2 -> dim/2) — outputs concatenated."""
     dim: int
     dim_head: int = 32
     rel_pos: str = "bias"
@@ -209,44 +211,49 @@ class _ParallelPartitionAttn(nn.Module):
     expand_ratio: float = 4.0
     act: str = "gelu"
     drop_path_rate: float = 0.0
+    norm_eps: float = 1e-6
     dtype: Any = jnp.bfloat16
     param_dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, p, deterministic=True):
         b, hh, ww, c = x.shape
-        heads = self.dim // self.dim_head
         half = self.dim // 2
-        ln = partial(nn.LayerNorm, epsilon=1e-6, dtype=self.dtype,
+        ln = partial(nn.LayerNorm, epsilon=self.norm_eps, dtype=self.dtype,
                      param_dtype=self.param_dtype)
         dense = partial(nn.Dense, dtype=self.dtype,
                         param_dtype=self.param_dtype)
+
+        def ls(y, name):
+            if self.init_values is None:
+                return y
+            g = self.param(name, nn.initializers.constant(self.init_values),
+                           (c,), self.param_dtype)
+            return y * g.astype(y.dtype)
+
         shortcut = x
         y = ln(name="norm1")(x)
-        qkv = dense(3 * self.dim, name="qkv")(y)
-        qkv = qkv.reshape(b, hh, ww, 3, self.dim)
         outs = []
-        for gi, (pf, mf, nm) in enumerate(
-                [(_block_partition, _block_merge, "win"),
-                 (_grid_partition, _grid_merge, "grid")]):
-            sl = slice(gi * half, (gi + 1) * half)
-            q = pf(qkv[..., 0, sl], p)
-            k = pf(qkv[..., 1, sl], p)
-            v = pf(qkv[..., 2, sl], p)
-            nb, n, _ = q.shape
-            hh2 = (heads + 1) // 2 if heads > 1 else 1
+        for pf, mf, nm in [(_block_partition, _block_merge, "win"),
+                           (_grid_partition, _grid_merge, "grid")]:
+            yp = pf(y, p)
+            nb, n, _ = yp.shape
+            hh2 = max(1, half // self.dim_head)
             hd = half // hh2
+            qkv = dense(3 * half, name=f"qkv_{nm}")(yp)
+            qkv = qkv.reshape(nb, n, 3, hh2, hd)
             bias = _RelPos(hh2, mode=self.rel_pos,
                            mlp_dim=self.rel_pos_dim, dtype=self.dtype,
                            param_dtype=self.param_dtype,
                            name=f"rel_pos_{nm}")(p, p)
-            o = _attn(q.reshape(nb, n, hh2, hd), k.reshape(nb, n, hh2, hd),
-                      v.reshape(nb, n, hh2, hd), bias)
-            outs.append(mf(o.reshape(nb, n, half), p, hh, ww))
-        o = dense(self.dim, name="proj")(jnp.concatenate(outs, axis=-1))
+            o = _attn(qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2], bias)
+            o = dense(half, name=f"proj_{nm}")(o.reshape(nb, n, half))
+            outs.append(mf(o, p, hh, ww))
+        o = jnp.concatenate(outs, axis=-1)
         rng = None if deterministic or self.drop_path_rate == 0 else \
             self.make_rng("droppath")
-        x = shortcut + drop_path(o, self.drop_path_rate, deterministic, rng)
+        x = shortcut + drop_path(ls(o, "ls1"), self.drop_path_rate,
+                                 deterministic, rng)
         y = ln(name="norm2")(x)
         hid = int(self.dim * self.expand_ratio)
         y = dense(hid, name="mlp_fc1")(y)
@@ -254,7 +261,8 @@ class _ParallelPartitionAttn(nn.Module):
         y = dense(self.dim, name="mlp_fc2")(y)
         rng = None if deterministic or self.drop_path_rate == 0 else \
             self.make_rng("droppath")
-        return x + drop_path(y, self.drop_path_rate, deterministic, rng)
+        return x + drop_path(ls(y, "ls2"), self.drop_path_rate,
+                             deterministic, rng)
 
 
 class MaxxVit(nn.Module):
@@ -277,9 +285,11 @@ class MaxxVit(nn.Module):
     conv_attn_act: str = "silu"
     conv_act: str = "gelu"
     conv_norm: str = "bn"                # 'bn' | 'ln'
+    conv_norm_eps: Optional[float] = None  # None -> 1e-5 bn / 1e-6 ln
     conv_init_values: Optional[float] = 1e-6  # convnext layer scale
     # transformer cfg
     dim_head: int = 32
+    expand_first: bool = True  # T-block channel expand in qkv vs out proj
     expand_ratio: float = 4.0
     rel_pos: str = "bias"
     rel_pos_dim: int = 512
@@ -289,6 +299,8 @@ class MaxxVit(nn.Module):
     init_values: Optional[float] = None
     txf_act: str = "gelu"
     txf_norm: str = "ln2d"               # T-block norm: 'ln2d' | 'bn'
+    txf_norm_eps: float = 1e-6
+    txf_shortcut_bias: bool = True
     pool_type: str = "avg2"              # 'avg2' | 'max'
     num_classes: int = 1000
     drop_rate: float = 0.0
@@ -298,18 +310,30 @@ class MaxxVit(nn.Module):
     dtype: Any = jnp.bfloat16
     param_dtype: Any = jnp.float32
 
-    def _norm(self, x, name, det, kind=None):
+    def _norm(self, x, name, det, kind=None, eps=None):
         kind = kind or self.conv_norm
         if kind == "bn":
             return nn.BatchNorm(use_running_average=det, momentum=0.9,
-                                epsilon=1e-5, dtype=self.dtype,
+                                epsilon=eps or self.conv_norm_eps or 1e-5,
+                                dtype=self.dtype,
                                 param_dtype=self.param_dtype, name=name)(x)
-        return nn.LayerNorm(epsilon=1e-6, dtype=self.dtype,
+        return nn.LayerNorm(epsilon=eps or self.conv_norm_eps or 1e-6,
+                            dtype=self.dtype,
                             param_dtype=self.param_dtype, name=name)(x)
 
     def _pool2(self, x):
+        """reference Downsample2d pool kinds (maxxvit.py:373-382):
+        'avg2'/'max2' are 2x2 stride-2; 'avg'/'max' are 3x3 stride-2 pad 1
+        (avg without counting the padding)."""
         if self.pool_type == "max":
+            return nn.max_pool(x, (3, 3), strides=(2, 2),
+                               padding=((1, 1), (1, 1)))
+        if self.pool_type == "max2":
             return nn.max_pool(x, (2, 2), strides=(2, 2))
+        if self.pool_type == "avg":
+            return nn.avg_pool(x, (3, 3), strides=(2, 2),
+                               padding=((1, 1), (1, 1)),
+                               count_include_pad=False)
         return nn.avg_pool(x, (2, 2), strides=(2, 2))
 
     def _mbconv(self, x, out, stride, name, det):
@@ -322,9 +346,12 @@ class MaxxVit(nn.Module):
         act = _ACTS[self.conv_act]
         shortcut = x
         if stride > 1:
+            # reference Downsample2d (maxxvit.py:384-387): pool always,
+            # 1x1 expand conv ONLY when channels change
             shortcut = self._pool2(shortcut)
-            shortcut = conv(out, (1, 1), use_bias=self.conv_output_bias,
-                            name=f"{name}_short")(shortcut)
+            if in_ch != out:
+                shortcut = conv(out, (1, 1), use_bias=self.conv_output_bias,
+                                name=f"{name}_short")(shortcut)
         y = self._norm(x, f"{name}_prenorm", det)
         if self.conv_pre_norm_act:
             y = act(y)
@@ -367,21 +394,37 @@ class MaxxVit(nn.Module):
         return y * s
 
     def _convnext(self, x, out, stride, name, det):
+        """reference ConvNeXtBlock (maxxvit.py:655-715): shortcut from the
+        ORIGINAL input (Downsample2d at stride 2, plain 1x1 conv on channel
+        change, identity otherwise); main path is pool? -> depthwise
+        in->out conv (channel multiplier) -> LN -> 1x1 mlp."""
         conv = partial(nn.Conv, padding="SAME", dtype=self.dtype,
                        param_dtype=self.param_dtype)
+        in_ch = x.shape[-1]
+        if stride > 1:
+            shortcut = self._pool2(x)
+            if in_ch != out:
+                shortcut = conv(out, (1, 1), use_bias=self.conv_output_bias,
+                                name=f"{name}_short")(shortcut)
+        elif in_ch != out:
+            shortcut = conv(out, (1, 1), use_bias=self.conv_output_bias,
+                            name=f"{name}_short")(x)
+        else:
+            shortcut = x
         y = x
-        if stride > 1 or x.shape[-1] != out:
-            if stride > 1:
-                y = self._pool2(y)
-            y = conv(out, (1, 1), name=f"{name}_down")(y)
-        shortcut = y
-        y = conv(out, (7, 7), feature_group_count=out,
-                 name=f"{name}_dw")(y)
+        if stride > 1 and self.conv_stride_mode == "pool":
+            y = self._pool2(y)
+            dw_stride = 1
+        else:
+            dw_stride = stride
+        y = conv(out, (7, 7), strides=dw_stride, feature_group_count=in_ch,
+                 use_bias=self.conv_output_bias, name=f"{name}_dw")(y)
         y = self._norm(y, f"{name}_norm", det, kind="ln")
         y = conv(int(out * self.conv_expand), (1, 1),
-                 name=f"{name}_mlp1")(y)
+                 use_bias=self.conv_output_bias, name=f"{name}_mlp1")(y)
         y = _ACTS[self.conv_act](y)
-        y = conv(out, (1, 1), name=f"{name}_mlp2")(y)
+        y = conv(out, (1, 1), use_bias=self.conv_output_bias,
+                 name=f"{name}_mlp2")(y)
         if self.conv_init_values is not None:
             g = self.param(f"{name}_ls",
                            nn.initializers.constant(self.conv_init_values),
@@ -396,21 +439,30 @@ class MaxxVit(nn.Module):
                         param_dtype=self.param_dtype)
         shortcut = x
         if stride > 1:
+            # reference TransformerBlock2d shortcut = Downsample2d
+            # (maxxvit.py:453-455): expand conv only on channel change
             shortcut = self._pool2(shortcut)
-            shortcut = dense(out, name=f"{name}_short")(shortcut)
+            if x.shape[-1] != out:
+                shortcut = dense(out, use_bias=self.txf_shortcut_bias,
+                                 name=f"{name}_short")(shortcut)
         y = self._norm(x, f"{name}_norm1", det,
-                       kind="bn" if self.txf_norm == "bn" else "ln")
+                       kind="bn" if self.txf_norm == "bn" else "ln",
+                       eps=self.txf_norm_eps)
         if stride > 1:
             y = self._pool2(y)
         b, hh, ww, _ = y.shape
-        heads = out // self.dim_head
-        qkv = dense(3 * out, name=f"{name}_qkv")(y.reshape(b, hh * ww, -1))
+        # reference Attention2d (maxxvit.py:177-187): dim_attn = dim_out
+        # when expand_first else dim (rw models expand via the out proj)
+        dim_attn = out if self.expand_first else y.shape[-1]
+        heads = dim_attn // self.dim_head
+        qkv = dense(3 * dim_attn,
+                    name=f"{name}_qkv")(y.reshape(b, hh * ww, -1))
         qkv = qkv.reshape(b, hh * ww, 3, heads, self.dim_head)
         bias = _RelPos(heads, mode=self.rel_pos, mlp_dim=self.rel_pos_dim,
                        dtype=self.dtype, param_dtype=self.param_dtype,
                        name=f"{name}_rel_pos")(hh, ww)
         o = _attn(qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2], bias)
-        o = dense(out, name=f"{name}_proj")(o.reshape(b, hh * ww, out))
+        o = dense(out, name=f"{name}_proj")(o.reshape(b, hh * ww, dim_attn))
         o = o.reshape(b, hh, ww, out)
         if self.init_values is not None:
             g = self.param(f"{name}_ls1",
@@ -421,7 +473,8 @@ class MaxxVit(nn.Module):
             self.make_rng("droppath")
         x = shortcut + drop_path(o, dpr, deterministic, rng)
         y = self._norm(x, f"{name}_norm2", det,
-                       kind="bn" if self.txf_norm == "bn" else "ln")
+                       kind="bn" if self.txf_norm == "bn" else "ln",
+                       eps=self.txf_norm_eps)
         y = dense(int(out * self.expand_ratio), name=f"{name}_mlp1")(y)
         y = _ACTS[self.txf_act](y)
         y = dense(out, name=f"{name}_mlp2")(y)
@@ -480,6 +533,7 @@ class MaxxVit(nn.Module):
                                 init_values=self.init_values,
                                 expand_ratio=self.expand_ratio,
                                 act=self.txf_act, drop_path_rate=dpr,
+                                norm_eps=self.txf_norm_eps,
                                 dtype=self.dtype,
                                 param_dtype=self.param_dtype,
                                 name=f"{name}_win")(x, p, det)
@@ -490,6 +544,7 @@ class MaxxVit(nn.Module):
                             init_values=self.init_values,
                             expand_ratio=self.expand_ratio,
                             act=self.txf_act, drop_path_rate=dpr,
+                            norm_eps=self.txf_norm_eps,
                             dtype=self.dtype,
                             param_dtype=self.param_dtype,
                             name=f"{name}_grid")(x, p, det)
@@ -500,6 +555,7 @@ class MaxxVit(nn.Module):
                             init_values=self.init_values,
                             expand_ratio=self.expand_ratio,
                             act=self.txf_act, drop_path_rate=dpr,
+                            norm_eps=self.txf_norm_eps,
                             dtype=self.dtype,
                             param_dtype=self.param_dtype,
                             name=f"{name}_pm")(x, p, det)
@@ -509,7 +565,7 @@ class MaxxVit(nn.Module):
 
         if self.head_hidden_size:
             x = x.mean(axis=(1, 2))
-            x = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype,
+            x = nn.LayerNorm(epsilon=self.txf_norm_eps, dtype=self.dtype,
                              param_dtype=self.param_dtype,
                              name="head_norm")(x)
             x = nn.Dense(self.head_hidden_size, dtype=self.dtype,
@@ -517,7 +573,7 @@ class MaxxVit(nn.Module):
                          name="head_pre_logits")(x)
             x = jnp.tanh(x)
         else:
-            x = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype,
+            x = nn.LayerNorm(epsilon=self.txf_norm_eps, dtype=self.dtype,
                              param_dtype=self.param_dtype,
                              name="final_norm")(x)
             x = x.mean(axis=(1, 2))
@@ -536,13 +592,14 @@ class MaxxVit(nn.Module):
 
 def _rw_coat(stride_mode="pool", pool_type="avg2", conv_output_bias=False,
              conv_attn_early=False, conv_attn_act="relu",
-             init_values=None, rel_pos="bias", rel_pos_dim=512,
-             txf_norm="ln2d"):
+             txf_shortcut_bias=True, init_values=None, rel_pos="bias",
+             rel_pos_dim=512, txf_norm="ln2d"):
     return dict(conv_stride_mode=stride_mode, pool_type=pool_type,
                 conv_pre_norm_act=True, conv_expand_output=False,
                 conv_output_bias=conv_output_bias,
                 conv_attn_early=conv_attn_early,
                 conv_attn_act=conv_attn_act, conv_act="silu",
+                expand_first=False, txf_shortcut_bias=txf_shortcut_bias,
                 init_values=init_values, rel_pos=rel_pos,
                 rel_pos_dim=rel_pos_dim, txf_norm=txf_norm)
 
@@ -554,6 +611,7 @@ def _rw_max(stride_mode="dw", pool_type="avg2", conv_output_bias=False,
                 conv_expand_output=False,
                 conv_output_bias=conv_output_bias,
                 conv_attn_ratio=conv_attn_ratio, conv_act="silu",
+                expand_first=False,
                 window_size=window_size, dim_head=dim_head,
                 init_values=init_values, rel_pos=rel_pos,
                 rel_pos_dim=rel_pos_dim)
@@ -565,14 +623,17 @@ def _next(stride_mode="dw", pool_type="avg2", window_size=None,
     return dict(conv_block="convnext", conv_stride_mode=stride_mode,
                 pool_type=pool_type, conv_expand_output=False,
                 conv_init_values=init_values[0], conv_norm="ln",
+                expand_first=False,
                 window_size=window_size, no_block_attn=no_block_attn,
                 init_values=init_values[1], rel_pos=rel_pos,
                 rel_pos_dim=rel_pos_dim)
 
 
 def _tf():
+    # reference _tf_cfg (maxxvit.py:1651-1666): conv BN eps 1e-3,
+    # transformer LN eps 1e-5
     return dict(conv_act="gelu_tanh", txf_act="gelu_tanh",
-                rel_pos="bias_tf")
+                rel_pos="bias_tf", conv_norm_eps=1e-3, txf_norm_eps=1e-5)
 
 
 _M4 = dict(block_type=("M",) * 4)
@@ -622,6 +683,7 @@ CFGS = {
                               depths=(2, 6, 14, 2), stem_width=(32, 64),
                               **_rw_coat(pool_type="max",
                                          conv_attn_early=True,
+                                         txf_shortcut_bias=False,
                                          rel_pos="mlp",
                                          rel_pos_dim=384)),
     "coatnet_rmlp_1_rw2": dict(embed_dim=(96, 192, 384, 768),
