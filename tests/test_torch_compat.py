@@ -655,6 +655,11 @@ def _rand_variables(model, img=64):
     ("resnetv2_50x1_bit", "resnetv2"),
     ("resnetv2_50d", "resnetv2"),
     ("resnetv2_18", "resnetv2"),
+    ("maxvit_pico_rw_256", "maxxvit"),
+    ("coatnet_pico_rw_224", "maxxvit"),
+    ("coatnet_nano_cc_224", "maxxvit"),
+    ("maxvit_tiny_pm_256", "maxxvit"),
+    ("maxxvit_rmlp_nano_rw_256", "maxxvit"),
 ])
 def test_export_import_roundtrip(name, arch):
     """export -> timm names -> convert must reproduce the flax tree exactly,
@@ -682,6 +687,7 @@ def test_export_import_roundtrip(name, arch):
         "densenet": tc.convert_densenet_state_dict,
         "ghostnet": tc.convert_ghostnet_state_dict,
         "resnetv2": tc.convert_resnetv2_state_dict,
+        "maxxvit": tc.convert_maxxvit_state_dict,
     }[arch](sd)
     if arch == "swin":
         _assert_same_tree(out, variables["params"], f"{name} params")
@@ -1110,3 +1116,50 @@ def test_eva_plain_mlp_and_attn_pool_roundtrip():
     assert "patch_embed.proj.bias" not in sd  # pre-norm trunk: bias-free
     out = tc.convert_eva_state_dict(sd)
     _assert_same_tree(out, variables["params"], "vit_pe params")
+
+
+def test_maxvit_tf_layout_roundtrip():
+    """tf variants: head_first=False qkv rows + RelPosBiasTf (heads, L)
+    table orientation, auto-detected by the importer from the table."""
+    from vision_transformers_torch_xla_tpu.ckpt.torch_compat import (
+        convert_maxxvit_state_dict,
+    )
+    from vision_transformers_torch_xla_tpu.ckpt.torch_export import (
+        export_maxxvit_state_dict,
+    )
+    from vision_transformers_torch_xla_tpu.models.factory import create_model
+
+    m = create_model("maxvit_tiny_tf_224", num_classes=10,
+                     dtype=jnp.float32)
+    variables = _rand_variables(m, img=64)
+    sd = {k: torch.from_numpy(v) for k, v in
+          export_maxxvit_state_dict(variables, tf=True).items()}
+    # tf table orientation: (heads, L) — transposed vs our (L, heads)
+    k0 = "stages.0.blocks.0.attn_block.attn.rel_pos." \
+         "relative_position_bias_table"
+    flax_t = variables["params"]["s0_b0_win"]["rel_pos"]["rel_pos_table"]
+    np.testing.assert_allclose(sd[k0].numpy(), np.asarray(flax_t).T)
+    out = convert_maxxvit_state_dict(sd)
+    _assert_same_tree(out["params"], variables["params"], "tf params")
+    _assert_same_tree(out.get("batch_stats") or {},
+                      variables.get("batch_stats") or {}, "tf stats")
+
+
+def test_coatnet_se_early_export_naming():
+    """conv_attn_early coatnets name the SE module `se_early` in timm."""
+    from vision_transformers_torch_xla_tpu.ckpt.torch_compat import (
+        convert_maxxvit_state_dict,
+    )
+    from vision_transformers_torch_xla_tpu.ckpt.torch_export import (
+        export_maxxvit_state_dict,
+    )
+    from vision_transformers_torch_xla_tpu.models.factory import create_model
+
+    m = create_model("coatnet_0_rw_224", num_classes=10, dtype=jnp.float32)
+    variables = _rand_variables(m, img=64)
+    sd = export_maxxvit_state_dict(variables, se_early=True)
+    assert any(".se_early.fc1.weight" in k for k in sd)
+    assert not any(".se.fc1" in k for k in sd)
+    out = convert_maxxvit_state_dict(
+        {k: torch.from_numpy(v) for k, v in sd.items()})
+    _assert_same_tree(out["params"], variables["params"], "se_early params")

@@ -10,7 +10,7 @@ variants, BatchNorm running stats -> the flax 'batch_stats' collection),
 Swin (incl. the PatchMerging channel-order permutation), EfficientNet
 superfamily, MobileNetV3/LCNet, MLP-Mixer family, RegNet X/Y/V/Z, BEiT v1/v2, CaiT, XCiT,
 PVTv2, SwinV2, ConvNeXt-V2, EVA/EVA-02, VGG, DenseNet, GhostNet v1/v2,
-ResNetV2/BiT.
+ResNetV2/BiT, MaxxVit (maxvit/coatnet/maxxvit).
 Architecture is auto-detected from the state-dict key shapes.
 
 torch is used only here (CPU wheel, read-only unpickling).
@@ -246,6 +246,212 @@ def convert_resnetv2_state_dict(sd: Dict[str, Any]) -> Dict[str, Any]:
                 _put_in(params, ("head", "bias"), w)
         else:
             log.warning("unmapped resnetv2 param %s (shape %s)",
+                        name, w.shape)
+    return {"params": params, "batch_stats": stats}
+
+
+def _qkv_headfirst_to_3hd(w: np.ndarray, dim_head: int = 32) -> np.ndarray:
+    """Reorder fused-qkv output rows from timm's head-first layout
+    (heads, 3, dim_head — reference maxxvit.py Attention2d/AttentionCl
+    forward with head_first=True) to our (3, heads, dim_head) layout.
+    Works on (R, C) weights and (R,) biases; identity when heads == 1."""
+    r = w.shape[0]
+    heads = max(1, r // 3 // dim_head)
+    hd = r // 3 // heads
+    idx = np.arange(r).reshape(heads, 3, hd).transpose(1, 0, 2).reshape(-1)
+    return w[idx]
+
+
+def convert_maxxvit_state_dict(sd: Dict[str, Any],
+                               dim_head: int = 32) -> Dict[str, Any]:
+    """timm MaxxVit (maxvit/coatnet/maxxvit) state_dict ->
+    {'params', 'batch_stats'} (models/maxvit.py).
+
+    timm naming (reference maxxvit.py:1289-1382): `stem.{conv1,norm1,conv2}`;
+    `stages.{s}.blocks.{b}.` with four block shapes — MBConv/ConvNeXt under
+    `conv.`, MaxVit window+grid attention under `attn_block.`/`attn_grid.`,
+    parallel attention under `attn.attn_block.`/`attn.attn_grid.`, and flat
+    CoAtNet TransformerBlock2d (`norm1[.norm]`, `shortcut.expand`,
+    `attn.{qkv,rel_pos,proj}` as 1x1 convs, `mlp.fc*` ConvMlp); head is
+    either top-level `norm` + `head.fc` or NormMlp (`head.norm`,
+    `head.pre_logits.fc`, `head.fc`).
+
+    qkv rows are re-ordered from head-first to (3, heads, dim_head) unless
+    the checkpoint is a tf variant (detected from the transposed
+    `relative_position_bias_table` orientation — RelPosBiasTf stores
+    (heads, L), RelPosBias (L, heads); tf models also use
+    head_first=False so no row permutation applies)."""
+    params: Dict[str, Any] = {}
+    stats: Dict[str, Any] = {}
+
+    # Global layout detection from rel-pos table orientation. heads vary
+    # across stages while the table length L=(2p-1)^2 is shared, so the
+    # axis with MORE distinct sizes across tables is the heads axis;
+    # tie-break on a single table by L > heads (true at any real
+    # resolution: L=169 at 224px).
+    shapes = [tuple(_t(v).shape) for k, v in sd.items()
+              if k.endswith("relative_position_bias_table")]
+    if shapes:
+        d0 = len({s[0] for s in shapes})
+        d1 = len({s[1] for s in shapes})
+        if d0 != d1:
+            tf_tables = d0 > d1  # heads (varying) first => RelPosBiasTf
+        else:
+            tf_tables = shapes[0][0] < shapes[0][1]
+        head_first = not tf_tables
+    else:
+        tf_tables, head_first = False, True  # rel_pos='mlp' models are rw
+
+    def put_norm(path, kind, w):
+        if kind == "weight":
+            _put_in(params, path + ("scale",), w)
+        elif kind == "running_mean":
+            _put_in(stats, path + ("mean",), w)
+        elif kind == "running_var":
+            _put_in(stats, path + ("var",), w)
+        else:
+            _put_in(params, path + (kind,), w)
+
+    def put_dense(path, kind, w, qkv=False):
+        """torch Linear OR 1x1 Conv2d -> flax Dense kernel/bias."""
+        if kind == "weight":
+            if w.ndim == 4:
+                w = w[:, :, 0, 0]
+            if qkv and head_first:
+                w = _qkv_headfirst_to_3hd(w, dim_head)
+            _put_in(params, path + ("kernel",), w.T)
+        else:
+            if qkv and head_first:
+                w = _qkv_headfirst_to_3hd(w, dim_head)
+            _put_in(params, path + ("bias",), w)
+
+    def put_relpos(base, rest, w):
+        # base: flax rel_pos module path tuple; rest: timm sub-key
+        if rest == "relative_position_bias_table":
+            if tf_tables:  # tf (heads, L) -> (L, heads)
+                w = w.T
+            _put_in(params, base + ("rel_pos_table",), w)
+        elif m := re.match(r"mlp\.fc(1|2)\.(weight|bias)", rest):
+            put_dense(base + (f"fc{m.group(1)}",), m.group(2), w)
+        else:
+            log.warning("unmapped maxxvit rel_pos key %s under %s",
+                        rest, base)
+
+    def put_attn_cl(base, rest, w):
+        """AttentionCl / PartitionAttentionCl sub-keys -> flax module
+        children at `base` (names norm1/qkv/rel_pos/proj/ls1/...)."""
+        if m := re.match(r"norm(\d)\.(.+)", rest):
+            put_norm(base + (f"norm{m.group(1)}",), m.group(2), w)
+        elif m := re.match(r"attn\.qkv\.(weight|bias)", rest):
+            put_dense(base + ("qkv",), m.group(1), w, qkv=True)
+        elif m := re.match(r"attn\.proj\.(weight|bias)", rest):
+            put_dense(base + ("proj",), m.group(1), w)
+        elif m := re.match(r"attn\.rel_pos\.(.+)", rest):
+            put_relpos(base + ("rel_pos",), m.group(1), w)
+        elif m := re.match(r"ls(\d)\.gamma", rest):
+            _put_in(params, base + (f"ls{m.group(1)}",), w)
+        elif m := re.match(r"mlp\.fc(1|2)\.(weight|bias)", rest):
+            put_dense(base + (f"mlp_fc{m.group(1)}",), m.group(2), w)
+        else:
+            log.warning("unmapped maxxvit attn key %s under %s", rest, base)
+
+    def put_conv_block(pre, rest, w):
+        """MBConv / ConvNeXt sub-keys (timm `conv.`) -> flat flax names
+        `{pre}_conv_*`."""
+        conv_map = {"conv1_1x1": "conv1", "conv2_kxk": "conv2_dw",
+                    "conv3_1x1": "conv3", "conv_dw": "dw"}
+        if m := re.match(r"(conv1_1x1|conv2_kxk|conv3_1x1|conv_dw)"
+                         r"\.(weight|bias)", rest):
+            tgt = f"{pre}_conv_{conv_map[m.group(1)]}"
+            _put_in(params, (tgt, "kernel" if m.group(2) == "weight"
+                             else "bias"),
+                    _conv_hwio(w) if m.group(2) == "weight" else w)
+        elif m := re.match(r"pre_norm\.(.+)", rest):
+            put_norm((f"{pre}_conv_prenorm",), m.group(1), w)
+        elif m := re.match(r"norm(\d?)\.(.+)", rest):
+            put_norm((f"{pre}_conv_norm{m.group(1)}",), m.group(2), w)
+        elif m := re.match(r"(?:se|se_early)\.fc(1|2)\.(weight|bias)", rest):
+            _put_in(params, (f"{pre}_conv_se_fc{m.group(1)}",
+                             "kernel" if m.group(2) == "weight" else "bias"),
+                    _conv_hwio(w) if m.group(2) == "weight" else w)
+        elif m := re.match(r"shortcut(?:\.expand)?\.(weight|bias)", rest):
+            _put_in(params, (f"{pre}_conv_short",
+                             "kernel" if m.group(1) == "weight" else "bias"),
+                    _conv_hwio(w) if m.group(1) == "weight" else w)
+        elif m := re.match(r"mlp\.fc(1|2)\.(weight|bias)", rest):
+            # ConvNeXt block ConvMlp: 1x1 convs in both frameworks
+            _put_in(params, (f"{pre}_conv_mlp{m.group(1)}",
+                             "kernel" if m.group(2) == "weight" else "bias"),
+                    _conv_hwio(w) if m.group(2) == "weight" else w)
+        elif rest == "ls.gamma":
+            params[f"{pre}_conv_ls"] = w
+        else:
+            log.warning("unmapped maxxvit conv key %s under %s", rest, pre)
+
+    for name, w in sd.items():
+        if name.endswith("num_batches_tracked"):
+            continue
+        w = _t(w)
+        if m := re.match(r"stem\.conv(\d)\.(weight|bias)", name):
+            _put_in(params, (f"stem_conv{m.group(1)}",
+                             "kernel" if m.group(2) == "weight" else "bias"),
+                    _conv_hwio(w) if m.group(2) == "weight" else w)
+        elif m := re.match(r"stem\.norm1\.(.+)", name):
+            put_norm(("stem_norm1",), m.group(1), w)
+        elif m := re.match(r"stages\.(\d+)\.blocks\.(\d+)\.(.+)", name):
+            pre = f"s{m.group(1)}_b{m.group(2)}"
+            rest = m.group(3)
+            if m2 := re.match(r"conv\.(.+)", rest):
+                put_conv_block(pre, m2.group(1), w)
+            elif m2 := re.match(r"attn_(block|grid)\.(.+)", rest):
+                sub = "win" if m2.group(1) == "block" else "grid"
+                put_attn_cl((f"{pre}_{sub}",), m2.group(2), w)
+            elif m2 := re.match(r"attn\.(norm\d|ls\d\.gamma|mlp\.fc\d\."
+                                r"(?:weight|bias))(.*)", rest):
+                # ParallelMaxxVitBlock: shared norm/ls/mlp under `attn.`
+                put_attn_cl((f"{pre}_pm",), m2.group(1) + m2.group(2), w)
+            elif m2 := re.match(r"attn\.attn_(block|grid)\.(.+)", rest):
+                sub = "win" if m2.group(1) == "block" else "grid"
+                r2 = m2.group(2)
+                if m3 := re.match(r"qkv\.(weight|bias)", r2):
+                    put_dense((f"{pre}_pm", f"qkv_{sub}"), m3.group(1), w,
+                              qkv=True)
+                elif m3 := re.match(r"proj\.(weight|bias)", r2):
+                    put_dense((f"{pre}_pm", f"proj_{sub}"), m3.group(1), w)
+                elif m3 := re.match(r"rel_pos\.(.+)", r2):
+                    put_relpos((f"{pre}_pm", f"rel_pos_{sub}"),
+                               m3.group(1), w)
+                else:
+                    log.warning("unmapped maxxvit pm key %s", name)
+            # CoAtNet TransformerBlock2d (flat)
+            elif m2 := re.match(r"norm1\.norm\.(.+)", rest):
+                put_norm((f"{pre}_norm1",), m2.group(1), w)
+            elif m2 := re.match(r"norm(\d)\.(.+)", rest):
+                put_norm((f"{pre}_norm{m2.group(1)}",), m2.group(2), w)
+            elif m2 := re.match(r"shortcut\.expand\.(weight|bias)", rest):
+                put_dense((f"{pre}_short",), m2.group(1), w)
+            elif m2 := re.match(r"attn\.qkv\.(weight|bias)", rest):
+                put_dense((f"{pre}_qkv",), m2.group(1), w, qkv=True)
+            elif m2 := re.match(r"attn\.proj\.(weight|bias)", rest):
+                put_dense((f"{pre}_proj",), m2.group(1), w)
+            elif m2 := re.match(r"attn\.rel_pos\.(.+)", rest):
+                put_relpos((f"{pre}_rel_pos",), m2.group(1), w)
+            elif m2 := re.match(r"ls(\d)\.gamma", rest):
+                params[f"{pre}_ls{m2.group(1)}"] = w
+            elif m2 := re.match(r"mlp\.fc(1|2)\.(weight|bias)", rest):
+                put_dense((f"{pre}_mlp{m2.group(1)}",), m2.group(2), w)
+            else:
+                log.warning("unmapped maxxvit block key %s", name)
+        elif m := re.match(r"norm\.(.+)", name):
+            put_norm(("final_norm",), m.group(1), w)
+        elif m := re.match(r"head\.norm\.(.+)", name):
+            put_norm(("head_norm",), m.group(1), w)
+        elif m := re.match(r"head\.pre_logits\.fc\.(weight|bias)", name):
+            put_dense(("head_pre_logits",), m.group(1), w)
+        elif m := re.match(r"head\.fc\.(weight|bias)", name):
+            put_dense(("classifier",), m.group(1), w)
+        else:
+            log.warning("unmapped maxxvit param %s (shape %s)",
                         name, w.shape)
     return {"params": params, "batch_stats": stats}
 
@@ -1488,6 +1694,10 @@ def detect_architecture(sd: Dict[str, Any]) -> str:
         return "pvt2"
     if any(k.startswith("blocks_token_only.") for k in keys):
         return "cait"
+    if any(".attn_block." in k or ".attn_grid." in k
+           or re.search(r"stages\.\d+\.blocks\.\d+\.conv\.", k)
+           for k in keys):
+        return "maxxvit"  # before swin: maxvit also has rel-pos tables
     if any("cpb_mlp" in k for k in keys):
         return "swinv2"  # before beit: both carry attn.q_bias
     if any(k.endswith("attn.q_bias") for k in keys) \
@@ -1592,6 +1802,8 @@ def load_reference_checkpoint(path: str, model_key: str = "model|module",
         return convert_resnet_state_dict(sd)
     if arch == "resnetv2":
         return convert_resnetv2_state_dict(sd)
+    if arch == "maxxvit":
+        return convert_maxxvit_state_dict(sd)
     if arch == "efficientnet":
         return convert_efficientnet_state_dict(sd)
     if arch == "mobilenetv3":

@@ -12,7 +12,7 @@ stats from the 'batch_stats' collection), Swin (incl. the PatchMerging
 channel-order permutation), EfficientNet superfamily, MobileNetV3/LCNet,
 MLP-Mixer family, RegNet X/Y/V/Z, BEiT v1/v2, CaiT, XCiT,
 PVTv2, SwinV2, ConvNeXt-V2, EVA/EVA-02, VGG, DenseNet, GhostNet v1/v2,
-ResNetV2/BiT.
+ResNetV2/BiT, MaxxVit (maxvit/coatnet/maxxvit).
 Architecture is inferred from the flax tree's top-level names.
 
 Only `save_torch_checkpoint` imports torch (CPU wheel); the exporters
@@ -84,6 +84,9 @@ def detect_flax_architecture(params: Dict[str, Any]) -> str:
     if any(re.match(r"stem_conv\d?$", k) for k in keys) \
             and any(re.match(r"stages_\d+_blocks_\d+", k) for k in keys):
         return "resnet"
+    if any(re.match(r"s\d+_b\d+_(win|grid|pm|conv_prenorm|conv_dw)$", k)
+           for k in keys):
+        return "maxxvit"  # before efficientnet: shares the s{i}_b{j} style
     if any(re.match(r"s\d+_b\d+_", k) for k in keys):
         return "efficientnet"
     if any(re.match(r"blocks_\d+_(dw|pw_exp)$", k) for k in keys):
@@ -263,6 +266,173 @@ def export_resnet_state_dict(variables: Dict[str, Any]) -> Dict[str, np.ndarray]
                 sd[f"maxpool.1.{kind}"] = w
             else:
                 raise ValueError(f"resnet export: unmapped {path}")
+    return sd
+
+
+def _qkv_3hd_to_headfirst(w: np.ndarray, dim_head: int = 32) -> np.ndarray:
+    """Inverse of torch_compat._qkv_headfirst_to_3hd: (3, heads, dim_head)
+    fused-qkv rows -> timm head-first (heads, 3, dim_head) order."""
+    r = w.shape[0]
+    heads = max(1, r // 3 // dim_head)
+    hd = r // 3 // heads
+    idx = np.arange(r).reshape(3, heads, hd).transpose(1, 0, 2).reshape(-1)
+    return w[idx]
+
+
+def export_maxxvit_state_dict(variables: Dict[str, Any],
+                              tf: bool = False,
+                              se_early: bool = False,
+                              dim_head: int = 32) -> Dict[str, np.ndarray]:
+    """Our flax MaxxVit tree (+batch_stats) -> timm maxxvit state_dict
+    (inverse of convert_maxxvit_state_dict; reference maxxvit.py naming).
+
+    tf=True emits the TF-ported layout (head_first=False qkv rows kept
+    as-is, RelPosBiasTf table transposed to (heads, L)); default emits
+    the rw layout (head-first qkv rows, (L, heads) bias table).
+    se_early=True names the MBConv SE module `se_early` (the
+    conv_attn_early coatnet variants)."""
+    sd: Dict[str, np.ndarray] = {}
+    se_name = "se_early" if se_early else "se"
+
+    def put_dense_as_conv(dst, path, w, qkv=False):
+        if path[-1] == "kernel":
+            w = np.asarray(w).T
+            if qkv and not tf:
+                w = _qkv_3hd_to_headfirst(w, dim_head)
+            sd[f"{dst}.weight"] = w[:, :, None, None]
+        else:
+            w = np.asarray(w)
+            if qkv and not tf:
+                w = _qkv_3hd_to_headfirst(w, dim_head)
+            sd[f"{dst}.bias"] = w
+
+    def put_dense(dst, path, w, qkv=False):
+        if path[-1] == "kernel":
+            w = np.asarray(w).T
+            if qkv and not tf:
+                w = _qkv_3hd_to_headfirst(w, dim_head)
+            sd[f"{dst}.weight"] = w
+        else:
+            w = np.asarray(w)
+            if qkv and not tf:
+                w = _qkv_3hd_to_headfirst(w, dim_head)
+            sd[f"{dst}.bias"] = w
+
+    def put_relpos(dst, path, w):
+        if path[1] == "rel_pos_table":
+            sd[f"{dst}.relative_position_bias_table"] = \
+                np.asarray(w).T if tf else np.asarray(w)
+        else:  # fc1/fc2 Dense
+            put_dense(f"{dst}.mlp.{path[1]}", path, w)
+
+    def put_attn_cl(dst, path, w):
+        """flax _PartitionAttn children -> AttentionCl-holder keys."""
+        mod = path[1]
+        kind = _NORM_T.get(path[-1], path[-1])
+        if mod in ("norm1", "norm2"):
+            sd[f"{dst}.{mod}.{kind}"] = w
+        elif mod == "qkv":
+            put_dense(f"{dst}.attn.qkv", path, w, qkv=True)
+        elif mod == "proj":
+            put_dense(f"{dst}.attn.proj", path, w)
+        elif mod == "rel_pos":
+            put_relpos(f"{dst}.attn.rel_pos", path[1:], w)
+        elif mod in ("ls1", "ls2"):
+            sd[f"{dst}.{mod}.gamma"] = w
+        elif mod in ("mlp_fc1", "mlp_fc2"):
+            put_dense(f"{dst}.mlp.fc{mod[-1]}", path, w)
+        else:
+            raise ValueError(f"maxxvit export: unmapped attn {path}")
+
+    for coll in ("params", "batch_stats"):
+        for path, w in _flatten(variables.get(coll, {})).items():
+            top = path[0]
+            kind = _NORM_T.get(path[-1], path[-1])
+            w = np.asarray(w)
+            if m := re.match(r"stem_conv(\d)$", top):
+                sd[f"stem.conv{m.group(1)}."
+                   + ("weight" if path[-1] == "kernel" else "bias")] = \
+                    _oihw(w) if path[-1] == "kernel" else w
+            elif top == "stem_norm1":
+                sd[f"stem.norm1.{kind}"] = w
+            elif m := re.match(r"s(\d+)_b(\d+)_(.+)", top):
+                pre = f"stages.{m.group(1)}.blocks.{m.group(2)}"
+                tail = m.group(3)
+                if m2 := re.match(r"conv_(prenorm|norm\d?)$", tail):
+                    tn = ("pre_norm" if m2.group(1) == "prenorm"
+                          else m2.group(1))
+                    sd[f"{pre}.conv.{tn}.{kind}"] = w
+                elif m2 := re.match(r"conv_(conv1|conv2_dw|conv3|dw)$",
+                                    tail):
+                    tn = {"conv1": "conv1_1x1", "conv2_dw": "conv2_kxk",
+                          "conv3": "conv3_1x1", "dw": "conv_dw"}[m2.group(1)]
+                    sd[f"{pre}.conv.{tn}."
+                       + ("weight" if path[-1] == "kernel" else "bias")] = \
+                        _oihw(w) if path[-1] == "kernel" else w
+                elif m2 := re.match(r"conv_mlp(1|2)$", tail):
+                    sd[f"{pre}.conv.mlp.fc{m2.group(1)}."
+                       + ("weight" if path[-1] == "kernel" else "bias")] = \
+                        _oihw(w) if path[-1] == "kernel" else w
+                elif m2 := re.match(r"conv_se_fc(1|2)$", tail):
+                    sd[f"{pre}.conv.{se_name}.fc{m2.group(1)}."
+                       + ("weight" if path[-1] == "kernel" else "bias")] = \
+                        _oihw(w) if path[-1] == "kernel" else w
+                elif tail == "conv_short":
+                    sd[f"{pre}.conv.shortcut.expand."
+                       + ("weight" if path[-1] == "kernel" else "bias")] = \
+                        _oihw(w) if path[-1] == "kernel" else w
+                elif tail == "conv_ls":
+                    sd[f"{pre}.conv.ls.gamma"] = w
+                elif tail in ("win", "grid"):
+                    dst = (f"{pre}.attn_block" if tail == "win"
+                           else f"{pre}.attn_grid")
+                    put_attn_cl(dst, path, w)
+                elif tail == "pm":
+                    mod = path[1]
+                    if m3 := re.match(r"(qkv|proj|rel_pos)_(win|grid)$",
+                                      mod):
+                        dst = (f"{pre}.attn.attn_block"
+                               if m3.group(2) == "win"
+                               else f"{pre}.attn.attn_grid")
+                        if m3.group(1) == "qkv":
+                            put_dense(f"{dst}.qkv", path, w, qkv=True)
+                        elif m3.group(1) == "proj":
+                            put_dense(f"{dst}.proj", path, w)
+                        else:
+                            put_relpos(f"{dst}.rel_pos", path[1:], w)
+                    else:
+                        put_attn_cl(f"{pre}.attn", path, w)
+                # CoAtNet TransformerBlock2d (flat flax names)
+                elif tail == "norm1":
+                    # stride-2 first blocks wrap norm1 in a Sequential
+                    wrap = ".norm" if m.group(2) == "0" else ""
+                    sd[f"{pre}.norm1{wrap}.{kind}"] = w
+                elif tail == "norm2":
+                    sd[f"{pre}.norm2.{kind}"] = w
+                elif tail == "short":
+                    put_dense_as_conv(f"{pre}.shortcut.expand", path, w)
+                elif tail == "qkv":
+                    put_dense_as_conv(f"{pre}.attn.qkv", path, w, qkv=True)
+                elif tail == "proj":
+                    put_dense_as_conv(f"{pre}.attn.proj", path, w)
+                elif tail == "rel_pos":
+                    put_relpos(f"{pre}.attn.rel_pos", path, w)
+                elif tail in ("ls1", "ls2"):
+                    sd[f"{pre}.{tail}.gamma"] = w
+                elif m2 := re.match(r"mlp(1|2)$", tail):
+                    put_dense_as_conv(f"{pre}.mlp.fc{m2.group(1)}", path, w)
+                else:
+                    raise ValueError(f"maxxvit export: unmapped {path}")
+            elif top == "final_norm":
+                sd[f"norm.{kind}"] = w
+            elif top == "head_norm":
+                sd[f"head.norm.{kind}"] = w
+            elif top == "head_pre_logits":
+                put_dense("head.pre_logits.fc", path, w)
+            elif top == "classifier":
+                put_dense("head.fc", path, w)
+            else:
+                raise ValueError(f"maxxvit export: unmapped {path}")
     return sd
 
 
@@ -1224,6 +1394,7 @@ _EXPORTERS = {
     "densenet": export_densenet_state_dict,
     "ghostnet": export_ghostnet_state_dict,
     "resnetv2": export_resnetv2_state_dict,
+    "maxxvit": export_maxxvit_state_dict,
 }
 
 
