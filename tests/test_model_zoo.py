@@ -35,6 +35,13 @@ FAMILIES = [
                                    num_heads=2), 56),
     ("vit_medium_patch16_rope_reg1_gap_256",
      dict(img_size=64, embed_dim=64, depth=2, num_heads=2), 64),
+    # metaformer family: v1 (pool/GroupNorm1/LayerScale), v2 StarReLU
+    # variants incl. the sep+attn caformer path with ResScale + MlpHead
+    ("poolformer_s12", dict(depths=(1, 1, 1, 1),
+                            dims=(16, 32, 48, 64)), 64),
+    ("poolformerv2_s12", dict(depths=(1, 1, 1, 1),
+                              dims=(16, 32, 48, 64)), 64),
+    ("caformer_s18", dict(depths=(1, 1, 1, 1), dims=(16, 32, 64, 128)), 64),
     ("nfnet_f0", dict(depths=(1, 1, 1, 1)), 64),
     ("eca_nfnet_l0", dict(depths=(1, 1, 1, 1)), 64),
     ("nf_seresnet26", dict(depths=(1, 1, 1, 1)), 64),
@@ -158,7 +165,7 @@ CORE = {
     "my_vit_ti", "convnext_atto", "mixer_s32_224",
     "cait_xxs24_224", "xcit_nano_12_p16_224",
     "swinv2_tiny_window8_256", "eva02_tiny_patch14_224", "nfnet_f0",
-    "hiera_tiny_224", "volo_d1_224",
+    "hiera_tiny_224", "volo_d1_224", "poolformer_s12", "caformer_s18",
     "resnet18d", "cspresnet50", "tresnet_m",
     "hgnetv2_b0", "repvgg_a0", "halonet26t", "tf_efficientnetv2_b0",
     "vit_medium_patch16_rope_reg1_gap_256",
