@@ -79,13 +79,16 @@ def _fc2_bwd_kernel(dy_ref, w2_ref, h_ref, dh_ref, a_ref, db1_ref):
     dh_ref[...] = dh.astype(dh_ref.dtype)
     a_ref[...] = a.astype(a_ref.dtype)
     # fp32 partial of db1 for this program, parked in the image-block's
-    # first row of the (B, K) partial buffer (other rows zero) — XLA sums
-    # the tiny buffer afterwards. Keeps the 'b' batch factor literal in
-    # every output so the sharding rule stays consistent.
+    # first row of the (B, 1, K) partial buffer (other rows zero) — XLA
+    # sums the tiny buffer afterwards. Keeps the 'b' batch factor literal
+    # in every output so the sharding rule stays consistent; the singleton
+    # middle dim makes the block's last-two dims equal the array's, which
+    # satisfies Mosaic's (8, 128) tiling rule for any image-block size g.
     partial = jnp.sum(dh, axis=(0, 1))                            # (K,)
     g = dh.shape[0]
-    row = jax.lax.broadcasted_iota(jnp.int32, (g, partial.shape[0]), 0)
-    db1_ref[...] = jnp.where(row == 0, partial[None, :], 0.0)
+    row = jax.lax.broadcasted_iota(
+        jnp.int32, (g, 1, partial.shape[0]), 0)
+    db1_ref[...] = jnp.where(row == 0, partial[None, None, :], 0.0)
 
 
 def _pick_g(b: int, s: int, k: int, budget: int = 24 * 1024 * 1024) -> int:
@@ -107,7 +110,7 @@ def _fc2_bwd_call(dy: jax.Array, w2: jax.Array, h: jax.Array):
                            memory_space=pltpu.VMEM)
     h_spec = pl.BlockSpec((g, s, k), lambda i: (i, 0, 0),
                           memory_space=pltpu.VMEM)
-    db1_spec = pl.BlockSpec((g, k), lambda i: (i, 0),
+    db1_spec = pl.BlockSpec((g, 1, k), lambda i: (i, 0, 0),
                             memory_space=pltpu.VMEM)
     return pl.pallas_call(
         _fc2_bwd_kernel,
@@ -116,7 +119,7 @@ def _fc2_bwd_call(dy: jax.Array, w2: jax.Array, h: jax.Array):
         out_specs=(h_spec, h_spec, db1_spec),
         out_shape=(jax.ShapeDtypeStruct((b, s, k), h.dtype),
                    jax.ShapeDtypeStruct((b, s, k), h.dtype),
-                   jax.ShapeDtypeStruct((b, k), jnp.float32)),
+                   jax.ShapeDtypeStruct((b, 1, k), jnp.float32)),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         cost_estimate=pl.CostEstimate(
@@ -139,8 +142,8 @@ def _mlp_gelu(use_bias: bool):
     """
     bwd_p = _batch_partitioned(
         _fc2_bwd_call,
-        out_rank=3, rule="b s o, k o, b s k -> b s k, b s k, b k",
-        repl=("s", "o", "k"), arg_batch_dims=(0, None, 0),
+        out_rank=3, rule="b s o, k o, b s k -> b s k, b s k, b u k",
+        repl=("s", "o", "k", "u"), arg_batch_dims=(0, None, 0),
         out_batch_dims=(0, 0, 0))
 
     def fwd_math(x, w1, b1, w2, b2):
@@ -170,7 +173,7 @@ def _mlp_gelu(use_bias: bool):
                          preferred_element_type=jnp.float32).astype(w2.dtype)
         if not use_bias:
             return dx, dw1, dw2
-        db1 = jnp.sum(db1_rows, axis=0)
+        db1 = jnp.sum(db1_rows, axis=(0, 1))
         db2 = jnp.sum(dy.astype(jnp.float32), axis=(0, 1))
         return dx, dw1, db1, dw2, db2
 
