@@ -660,6 +660,11 @@ def _rand_variables(model, img=64):
     ("coatnet_nano_cc_224", "maxxvit"),
     ("maxvit_tiny_pm_256", "maxxvit"),
     ("maxxvit_rmlp_nano_rw_256", "maxxvit"),
+    # metaformer: v1 (GroupNorm1+LayerScale), poolformerv2 (ResScale,
+    # plain head), caformer (sep+attn mixers, MlpHead, downsample norms)
+    ("poolformer_s12", "metaformer"),
+    ("poolformerv2_s12", "metaformer"),
+    ("caformer_s18", "metaformer"),
 ])
 def test_export_import_roundtrip(name, arch):
     """export -> timm names -> convert must reproduce the flax tree exactly,
@@ -688,8 +693,9 @@ def test_export_import_roundtrip(name, arch):
         "ghostnet": tc.convert_ghostnet_state_dict,
         "resnetv2": tc.convert_resnetv2_state_dict,
         "maxxvit": tc.convert_maxxvit_state_dict,
+        "metaformer": tc.convert_metaformer_state_dict,
     }[arch](sd)
-    if arch == "swin":
+    if arch in ("swin", "metaformer"):  # bare-params converters
         _assert_same_tree(out, variables["params"], f"{name} params")
     else:
         _assert_same_tree(out["params"], variables["params"], f"{name} params")

@@ -1686,6 +1686,95 @@ def convert_ghostnet_state_dict(sd: Dict[str, Any]) -> Dict[str, Any]:
     return {"params": params, "batch_stats": stats}
 
 
+def convert_metaformer_state_dict(sd: Dict[str, Any]) -> Dict[str, Any]:
+    """timm MetaFormer (poolformer v1/v2, convformer, caformer) state_dict
+    -> our flax params (models/metaformer.py).
+
+    Reference models/metaformer.py naming: stem.conv(+norm), per-stage
+    stages.{i}.downsample.{norm,conv} (norm BEFORE conv, :78-105),
+    blocks stages.{i}.blocks.{j} with norm1/token_mixer/layer_scale1/
+    res_scale1/norm2/mlp/layer_scale2/res_scale2 (:321-376). Token mixers:
+    Pooling (no params), SepConv pwconv1/act1/dwconv/pwconv2 (:240-271),
+    Attention qkv/proj (:159-215). MLPs are 1x1 convs in conv stages
+    (use_nchw) and Linears in attention stages — both collapse to Dense
+    kernels here. Head: head.norm + head.fc (plain Linear or MlpHead
+    fc1/norm/fc2, :290-318). StarReLU scalars (1,) -> ().
+    """
+    params: Dict[str, Any] = {}
+
+    def lin(w):  # Linear (out,in) or 1x1 conv (out,in,1,1) -> (in,out)
+        return (w[:, :, 0, 0] if w.ndim == 4 else w).T
+
+    for name, w in sd.items():
+        w = _t(w)
+        if name == "stem.conv.weight":
+            _put_in(params, ("downsample_0", "kernel"), _conv_hwio(w))
+        elif name == "stem.conv.bias":
+            _put_in(params, ("downsample_0", "bias"), w)
+        elif name == "stem.norm.weight":
+            _put_in(params, ("downsample_0_norm", "scale"), w)
+        elif m := re.match(r"stages\.(\d+)\.downsample\.norm\.weight", name):
+            _put_in(params, (f"downsample_{m.group(1)}_norm", "scale"), w)
+        elif m := re.match(r"stages\.(\d+)\.downsample\.conv\.(weight|bias)",
+                           name):
+            _put_in(params, (f"downsample_{m.group(1)}",
+                             "kernel" if m.group(2) == "weight" else "bias"),
+                    _conv_hwio(w) if m.group(2) == "weight" else w)
+        elif m := re.match(r"stages\.(\d+)\.blocks\.(\d+)\.(.+)", name):
+            blk = f"stages_{m.group(1)}_blocks_{m.group(2)}"
+            rest = m.group(3)
+            if m2 := re.match(r"(norm1|norm2)\.(weight|bias)", rest):
+                _put_in(params, (blk, m2.group(1),
+                                 "scale" if m2.group(2) == "weight"
+                                 else "bias"), w)
+            elif m2 := re.match(r"(layer|res)_scale(\d)\.scale", rest):
+                tag = "ls" if m2.group(1) == "layer" else "rs"
+                _put_in(params, (blk, f"{tag}{m2.group(2)}"), w.reshape(-1))
+            elif m2 := re.match(r"token_mixer\.pwconv(\d)\.weight", rest):
+                _put_in(params, (blk, f"mix_pw{m2.group(1)}", "kernel"),
+                        lin(w))
+            elif rest == "token_mixer.dwconv.weight":
+                _put_in(params, (blk, "mix_dw", "kernel"), _conv_hwio(w))
+            elif m2 := re.match(r"token_mixer\.act1\.(scale|bias)", rest):
+                _put_in(params, (blk, "mix_act", m2.group(1)),
+                        w.reshape(()))
+            elif rest == "token_mixer.qkv.weight":
+                _put_in(params, (blk, "mix_qkv", "kernel"), w.T)
+            elif rest == "token_mixer.proj.weight":
+                _put_in(params, (blk, "mix_proj", "kernel"), w.T)
+            elif m2 := re.match(r"mlp\.fc(\d)\.(weight|bias)", rest):
+                _put_in(params, (blk, f"mlp_fc{m2.group(1)}",
+                                 "kernel" if m2.group(2) == "weight"
+                                 else "bias"),
+                        lin(w) if m2.group(2) == "weight"
+                        else w.reshape(-1))
+            elif m2 := re.match(r"mlp\.act\.(scale|bias)", rest):
+                _put_in(params, (blk, "mlp_act", m2.group(1)),
+                        w.reshape(()))
+            else:
+                log.warning("unmapped metaformer block param %s", name)
+        elif m := re.match(r"head\.norm\.(weight|bias)", name):
+            _put_in(params, ("norm",
+                             "scale" if m.group(1) == "weight" else "bias"),
+                    w)
+        elif m := re.match(r"head\.fc\.(weight|bias)", name):
+            _put_in(params, ("head",
+                             "kernel" if m.group(1) == "weight" else "bias"),
+                    w.T if m.group(1) == "weight" else w)
+        elif m := re.match(r"head\.fc\.fc(\d)\.(weight|bias)", name):
+            _put_in(params, (f"head_fc{m.group(1)}",
+                             "kernel" if m.group(2) == "weight" else "bias"),
+                    w.T if m.group(2) == "weight" else w)
+        elif m := re.match(r"head\.fc\.norm\.(weight|bias)", name):
+            _put_in(params, ("head_norm",
+                             "scale" if m.group(1) == "weight" else "bias"),
+                    w)
+        else:
+            log.warning("unmapped metaformer param %s (shape %s)",
+                        name, w.shape)
+    return params
+
+
 def detect_architecture(sd: Dict[str, Any]) -> str:
     keys = list(sd)
     if any(k.startswith("cls_attn_blocks.") for k in keys):
@@ -1713,6 +1802,13 @@ def detect_architecture(sd: Dict[str, Any]) -> str:
         return "regnet"
     if any(re.match(r"layer\d+\.\d+\.conv\d\.weight", k) for k in keys):
         return "resnet"
+    if any("token_mixer." in k or ".res_scale1." in k
+           or ".layer_scale1." in k or ".mlp.act.scale" in k for k in keys) \
+            and "stem.conv.weight" in keys:
+        # before resnetv2: metaformer also has stages.N.blocks.M.norm1 +
+        # stem.conv; pool mixers are param-free so v1 is keyed off
+        # layer_scale1, v2 off res_scale1/StarReLU scalars
+        return "metaformer"
     if any(re.match(r"stages\.\d+\.blocks\.\d+\.norm1\.", k) for k in keys) \
             and ("stem.conv.weight" in keys or "stem.conv1.weight" in keys):
         return "resnetv2"  # pre-act: norm1 BEFORE conv1 inside the block
@@ -1816,6 +1912,8 @@ def load_reference_checkpoint(path: str, model_key: str = "model|module",
         return convert_vgg_state_dict(sd)
     if arch == "convnext":
         return convert_convnext_state_dict(sd)
+    if arch == "metaformer":
+        return convert_metaformer_state_dict(sd)
     if arch == "mixer":
         return convert_mixer_state_dict(sd)
     return convert_vit_state_dict(sd)

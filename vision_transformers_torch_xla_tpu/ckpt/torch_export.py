@@ -67,6 +67,12 @@ def detect_flax_architecture(params: Dict[str, Any]) -> str:
     if any(re.match(r"stages_\d+_blocks_\d+", k) and "attn" in params[k]
            and "logit_scale" in params[k]["attn"] for k in keys):
         return "swinv2"
+    # metaformer: flattened stage blocks with Dense MLPs + a downsample_0
+    # stem conv (before regnet/resnetv2, whose blocks also carry normN)
+    if "downsample_0" in keys and any(
+            re.match(r"stages_\d+_blocks_\d+$", k) and "mlp_fc1" in params[k]
+            for k in keys):
+        return "metaformer"
     # resnetv2: pre-act blocks (normN children like regnet's) but a
     # top-level final pre-act `norm` that regnet/resnet never have
     if "norm" in keys and any(re.match(r"stem_conv\d?$", k) for k in keys) \
@@ -1375,6 +1381,81 @@ def export_ghostnet_state_dict(
     return sd
 
 
+def export_metaformer_state_dict(
+        variables: Dict[str, Any]) -> Dict[str, np.ndarray]:
+    """Our flax MetaFormer tree -> timm state_dict (inverse of
+    torch_compat.convert_metaformer_state_dict).
+
+    MLP fc weights export as 1x1 convs in conv-mixer stages (timm
+    use_nchw) and as Linears in attention stages — which form a block uses
+    is recovered from whether it carries mix_qkv. StarReLU scalars
+    re-expand () -> (1,)."""
+    params = variables["params"]
+    sd: Dict[str, np.ndarray] = {}
+    for path, w in _flatten(params).items():
+        top = path[0]
+        if top == "downsample_0":
+            sd["stem.conv." + ("weight" if path[1] == "kernel"
+                               else "bias")] = \
+                _oihw(w) if path[1] == "kernel" else w
+        elif top == "downsample_0_norm":
+            sd["stem.norm.weight"] = w
+        elif m := re.match(r"downsample_(\d+)_norm$", top):
+            sd[f"stages.{m.group(1)}.downsample.norm.weight"] = w
+        elif m := re.match(r"downsample_(\d+)$", top):
+            sd[f"stages.{m.group(1)}.downsample.conv."
+               + ("weight" if path[1] == "kernel" else "bias")] = \
+                _oihw(w) if path[1] == "kernel" else w
+        elif m := re.match(r"stages_(\d+)_blocks_(\d+)$", top):
+            pre = f"stages.{m.group(1)}.blocks.{m.group(2)}."
+            attn = "mix_qkv" in params[top]
+            mod = path[1]
+            if mod in ("norm1", "norm2"):
+                sd[pre + f"{mod}." + ("weight" if path[2] == "scale"
+                                      else "bias")] = w
+            elif m2 := re.match(r"(ls|rs)(\d)$", mod):
+                tag = "layer_scale" if m2.group(1) == "ls" else "res_scale"
+                sd[pre + f"{tag}{m2.group(2)}.scale"] = w
+            elif m2 := re.match(r"mix_pw(\d)$", mod):
+                sd[pre + f"token_mixer.pwconv{m2.group(1)}.weight"] = \
+                    w.T[:, :, None, None]
+            elif mod == "mix_dw":
+                sd[pre + "token_mixer.dwconv.weight"] = _oihw(w)
+            elif mod == "mix_act":
+                sd[pre + f"token_mixer.act1.{path[2]}"] = w.reshape(1)
+            elif mod == "mix_qkv":
+                sd[pre + "token_mixer.qkv.weight"] = w.T
+            elif mod == "mix_proj":
+                sd[pre + "token_mixer.proj.weight"] = w.T
+            elif m2 := re.match(r"mlp_fc(\d)$", mod):
+                if path[2] == "kernel":
+                    wt = w.T
+                    sd[pre + f"mlp.fc{m2.group(1)}.weight"] = \
+                        wt if attn else wt[:, :, None, None]
+                else:
+                    sd[pre + f"mlp.fc{m2.group(1)}.bias"] = w
+            elif mod == "mlp_act":
+                sd[pre + f"mlp.act.{path[2]}"] = w.reshape(1)
+            else:
+                raise ValueError(f"metaformer export: unmapped {path}")
+        elif top == "norm":
+            sd["head.norm." + ("weight" if path[1] == "scale"
+                               else "bias")] = w
+        elif top == "head":
+            sd["head.fc." + ("weight" if path[1] == "kernel" else "bias")] \
+                = w.T if path[1] == "kernel" else w
+        elif m := re.match(r"head_fc(\d)$", top):
+            sd[f"head.fc.fc{m.group(1)}."
+               + ("weight" if path[1] == "kernel" else "bias")] = \
+                w.T if path[1] == "kernel" else w
+        elif top == "head_norm":
+            sd["head.fc.norm." + ("weight" if path[1] == "scale"
+                                  else "bias")] = w
+        else:
+            raise ValueError(f"metaformer export: unmapped {path}")
+    return sd
+
+
 _EXPORTERS = {
     "vit": export_vit_state_dict,
     "convnext": export_convnext_state_dict,
@@ -1395,6 +1476,7 @@ _EXPORTERS = {
     "ghostnet": export_ghostnet_state_dict,
     "resnetv2": export_resnetv2_state_dict,
     "maxxvit": export_maxxvit_state_dict,
+    "metaformer": export_metaformer_state_dict,
 }
 
 
