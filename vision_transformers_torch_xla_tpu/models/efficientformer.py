@@ -149,7 +149,9 @@ class EfficientFormer(nn.Module):
     vit_num: int = 1  # trailing attention blocks in the final stage
     v2: bool = False  # mid-dw MLPs + attention in last two stages
     num_classes: int = 1000
-    distillation: bool = False
+    # the reference constructs head_dist unconditionally
+    # (efficientformer.py:419); published counts include it
+    distillation: bool = True
     drop_path_rate: float = 0.0
     img_size: int = 224
     dtype: jnp.dtype = jnp.bfloat16

@@ -72,6 +72,7 @@ class LevitAttention(nn.Module):
     resolution: int
     stride: int = 1  # 2 -> shrink attention (downsample block)
     out_dim: int = 0
+    act: str = "hswish"
     dtype: jnp.dtype = jnp.bfloat16
     param_dtype: jnp.dtype = jnp.float32
 
@@ -104,7 +105,7 @@ class LevitAttention(nn.Module):
         out = jnp.einsum("bhqk,bkhd->bqhd", attn.astype(v.dtype), v,
                          preferred_element_type=jnp.float32)
         out = out.reshape(b, -1, h * vd).astype(x.dtype)
-        out = _hswish(out)
+        out = _hswish(out) if self.act == "hswish" else nn.silu(out)
         return lin(self.out_dim or self.dim, name="proj")(out, deterministic)
 
 
@@ -120,16 +121,29 @@ class Levit(nn.Module):
     attn_ratio: float = 2.0
     mlp_ratio: float = 2.0
     num_classes: int = 1000
-    distillation: bool = False
+    # the reference builds LevitDistilled by default (create_levit
+    # distilled=True, levit.py:822) — timm's pretrained weights and
+    # published param counts all include the head/head_dist pair
+    distillation: bool = True
+    act: str = "hswish"                # 'silu' for the 512/256d experiments
     stem_stride: int = 16              # 16: 4-conv stem; 8: 3-conv stem
     img_size: int = 224
     drop_path_rate: float = 0.0
     dtype: jnp.dtype = jnp.bfloat16
     param_dtype: jnp.dtype = jnp.float32
 
+    def _head(self, x, deterministic, name):
+        # NormLinear (reference levit.py:93-120): BN1d then biased Linear
+        x = nn.BatchNorm(use_running_average=deterministic, momentum=0.9,
+                         epsilon=1e-5, dtype=self.dtype,
+                         param_dtype=self.param_dtype, name=f"{name}_bn")(x)
+        return nn.Dense(self.num_classes, dtype=self.dtype,
+                        param_dtype=self.param_dtype, name=name)(x)
+
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
         x = x.astype(self.dtype)
+        act = _hswish if self.act == "hswish" else nn.silu
         c0 = self.embed_dims[0]
         # 4-conv stride-16 stem (reference levit.py stem_b16); the _s8
         # names use a 3-conv stride-8 stem
@@ -144,7 +158,7 @@ class Levit(nn.Module):
                              param_dtype=self.param_dtype,
                              name=f"stem_bn{i}")(x)
             if i < len(plan) - 1:
-                x = _hswish(x)
+                x = act(x)
         b, hh, ww, _ = x.shape
         x = x.reshape(b, hh * ww, c0)
         r = hh
@@ -154,38 +168,38 @@ class Levit(nn.Module):
                                                      self.num_heads,
                                                      self.depths)):
             if si > 0:
-                # shrink attention downsample: r -> r//2, dim up
+                # shrink attention downsample: r -> r//2, dim up (reference
+                # LevitDownsample: attn_ratio 4, mlp_ratio 2,
+                # heads = in_dim // key_dim; levit.py:483-496)
                 x = LevitAttention(
                     self.embed_dims[si - 1], self.key_dim,
                     self.embed_dims[si - 1] // self.key_dim,
                     attn_ratio=4.0, resolution=r, stride=2, out_dim=dim,
+                    act=self.act,
                     dtype=self.dtype, param_dtype=self.param_dtype,
                     name=f"downsample_{si}_attn")(x, deterministic)
                 r = (r + 1) // 2
-                y = lin(int(dim * self.mlp_ratio),
+                y = lin(int(dim * 2.0),
                         name=f"downsample_{si}_mlp_fc1")(x, deterministic)
                 x = x + lin(dim, name=f"downsample_{si}_mlp_fc2")(
-                    _hswish(y), deterministic)
+                    act(y), deterministic)
             for blk in range(depth):
                 name = f"stages_{si}_blocks_{blk}"
                 x = x + LevitAttention(dim, self.key_dim, heads,
-                                       self.attn_ratio, r, dtype=self.dtype,
+                                       self.attn_ratio, r, act=self.act,
+                                       dtype=self.dtype,
                                        param_dtype=self.param_dtype,
                                        name=f"{name}_attn")(x, deterministic)
                 y = lin(int(dim * self.mlp_ratio),
                         name=f"{name}_mlp_fc1")(x, deterministic)
-                x = x + lin(dim, name=f"{name}_mlp_fc2")(_hswish(y),
+                x = x + lin(dim, name=f"{name}_mlp_fc2")(act(y),
                                                          deterministic)
         x = x.mean(axis=1)
         if self.num_classes == 0:
             return x
-        head = nn.Dense(self.num_classes, dtype=self.dtype,
-                        param_dtype=self.param_dtype, name="head")(x)
+        head = self._head(x, deterministic, "head")
         if self.distillation:
-            head_d = nn.Dense(self.num_classes, dtype=self.dtype,
-                              param_dtype=self.param_dtype,
-                              name="head_dist")(x)
-            head = (head + head_d) / 2
+            head = (head + self._head(x, deterministic, "head_dist")) / 2
         return head.astype(jnp.float32)
 
 
@@ -201,28 +215,32 @@ def _levit(cfg):
     return build
 
 
+# reference model_cfgs (levit.py:783-812): key_dim is per-variant (16 for
+# the 128s/128, 32 for 192/256/384, 64 for the 512 experiments) and the
+# 512_s8/512d experiments use narrower later stages than the plain 512
 _VARIANTS = {
     "levit_128s": dict(embed_dims=(128, 256, 384), num_heads=(4, 6, 8),
-                       depths=(2, 3, 4)),
+                       depths=(2, 3, 4), key_dim=16),
     "levit_128": dict(embed_dims=(128, 256, 384), num_heads=(4, 8, 12),
-                      depths=(4, 4, 4)),
+                      depths=(4, 4, 4), key_dim=16),
     "levit_192": dict(embed_dims=(192, 288, 384), num_heads=(3, 5, 6),
-                      depths=(4, 4, 4)),
+                      depths=(4, 4, 4), key_dim=32),
     "levit_256": dict(embed_dims=(256, 384, 512), num_heads=(4, 6, 8),
-                      depths=(4, 4, 4)),
+                      depths=(4, 4, 4), key_dim=32),
     "levit_384": dict(embed_dims=(384, 512, 768), num_heads=(6, 9, 12),
-                      depths=(4, 4, 4)),
+                      depths=(4, 4, 4), key_dim=32),
     "levit_256d": dict(embed_dims=(256, 384, 512), num_heads=(4, 6, 8),
-                       depths=(4, 8, 6)),
+                       depths=(4, 8, 6), key_dim=32, act="silu"),
     "levit_512": dict(embed_dims=(512, 768, 1024), num_heads=(8, 12, 16),
-                      depths=(4, 4, 4)),
-    "levit_512d": dict(embed_dims=(512, 768, 1024), num_heads=(8, 12, 16),
-                       depths=(4, 8, 6)),
+                      depths=(4, 4, 4), key_dim=64, act="silu"),
+    "levit_512d": dict(embed_dims=(512, 640, 768), num_heads=(8, 10, 12),
+                       depths=(4, 8, 6), key_dim=64, act="silu"),
     "levit_384_s8": dict(embed_dims=(384, 512, 768), num_heads=(6, 9, 12),
-                         depths=(4, 4, 4), stem_stride=8),
-    "levit_512_s8": dict(embed_dims=(512, 768, 1024),
-                         num_heads=(8, 12, 16), depths=(4, 4, 4),
+                         depths=(4, 4, 4), key_dim=32, act="silu",
                          stem_stride=8),
+    "levit_512_s8": dict(embed_dims=(512, 640, 896),
+                         num_heads=(8, 10, 14), depths=(4, 4, 4),
+                         key_dim=64, act="silu", stem_stride=8),
 }
 
 import sys  # noqa: E402

@@ -71,11 +71,15 @@ class Nest(nn.Module):
             hh = x.shape[1]
             t = _window_partition(x, min(ws, hh))  # (B*nb, ws*ws, dim)
             n = t.shape[1]
+            nb = t.shape[0] // b
+            # per-block AND per-position pos embed (reference nest.py
+            # NestLevel: (1, num_blocks, seq_length, dim))
             pos = self.param(f"pos_embed_{li}",
                              nn.with_logical_partitioning(
-                                 trunc_init, (None, None, "embed")),
-                             (1, n, dim), self.param_dtype)
-            t = t + pos.astype(t.dtype)
+                                 trunc_init, (None, None, None, "embed")),
+                             (1, nb, n, dim), self.param_dtype)
+            t = (t.reshape(b, nb, n, dim) + pos.astype(t.dtype)).reshape(
+                b * nb, n, dim)
             for blk in range(depth):
                 t = Block(heads, self.mlp_ratio,
                           drop_path_rate=float(dpr[bi]), dtype=self.dtype,

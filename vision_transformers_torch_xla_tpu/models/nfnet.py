@@ -26,16 +26,25 @@ import jax.numpy as jnp
 import numpy as np
 from flax import linen as nn
 
+from vision_transformers_torch_xla_tpu.models.effnet_builder import (
+    make_divisible,
+)
 from vision_transformers_torch_xla_tpu.models.layers import drop_path
 from vision_transformers_torch_xla_tpu.models.registry import register_model
 
 __all__ = []
 
-_GAMMA_GELU = 1.7015043497085571  # variance-preserving gelu scale
+# variance-preserving activation gains (deepmind nfnets constants,
+# reference nfnet.py _nonlin_gamma)
+_GAMMA = {"gelu": 1.7015043497085571, "relu": 1.7139588594436646,
+          "silu": 1.7881293296813965}
 
 
-def _act(x):
-    return nn.gelu(x, approximate=False) * _GAMMA_GELU
+def _make_act(kind: str):
+    fn = {"gelu": lambda x: nn.gelu(x, approximate=False),
+          "relu": nn.relu, "silu": nn.silu}[kind]
+    g = _GAMMA[kind]
+    return lambda x: fn(x) * g
 
 
 class WSConv(nn.Module):
@@ -45,6 +54,7 @@ class WSConv(nn.Module):
     strides: int = 1
     groups: int = 1
     use_bias: bool = True
+    gain_init: float = 1.0  # conv3 is zero-gain-init unless skipinit
     dtype: jnp.dtype = jnp.bfloat16
     param_dtype: jnp.dtype = jnp.float32
 
@@ -57,7 +67,8 @@ class WSConv(nn.Module):
         fan_in = kh * kw * cin
         mean = w.mean(axis=(0, 1, 2), keepdims=True)
         var = w.var(axis=(0, 1, 2), keepdims=True)
-        gain = self.param("gain", nn.initializers.ones,
+        gain = self.param("gain",
+                          nn.initializers.constant(self.gain_init),
                           (self.features,), self.param_dtype)
         w = (w - mean) * jax.lax.rsqrt(var * fan_in + 1e-8) * gain
         y = jax.lax.conv_general_dilated(
@@ -104,8 +115,15 @@ class NfBlock(nn.Module):
     group_size: Optional[int]  # None -> plain conv
     bottle_ratio: float
     attn: str  # 'se' | 'eca' | ''
+    # SE reduction: rd = make_divisible(chs * se_ratio, se_divisor), taken
+    # from the attention input width — out_chs for the post-conv3 SE
+    # (ResNet/NFNet-F position), mid_chs for reg variants (reference
+    # nfnet.py:232-241)
     se_ratio: float = 0.5
+    se_divisor: int = 8
     reg: bool = False  # nf_regnet: expand-from-input, mid-SE, no conv2b
+    skipinit: bool = False  # dm_nfnet: learned scalar skip gain
+    act: str = "gelu"
     drop_path_rate: float = 0.0
     dtype: jnp.dtype = jnp.bfloat16
     param_dtype: jnp.dtype = jnp.float32
@@ -113,38 +131,47 @@ class NfBlock(nn.Module):
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
         conv = partial(WSConv, dtype=self.dtype, param_dtype=self.param_dtype)
+        act = _make_act(self.act)
         base = x.shape[-1] if self.reg else self.out_ch
-        mid = int(base * self.bottle_ratio)
+        mid = make_divisible(base * self.bottle_ratio)
         groups = 1
         if self.group_size:
             groups = max(mid // self.group_size, 1)
             mid = groups * self.group_size
-        y = _act(x) * self.beta
+        y = act(x) * self.beta
         shortcut = x
         if self.stride > 1 or x.shape[-1] != self.out_ch:
             s = y
             if self.stride > 1:
-                s = nn.avg_pool(s, (2, 2), strides=(2, 2))
+                # torch AvgPool2d(2, 2, ceil_mode=True,
+                # count_include_pad=False) parity for odd inputs
+                ph, pw = s.shape[1] % 2, s.shape[2] % 2
+                s = nn.avg_pool(s, (2, 2), strides=(2, 2),
+                                padding=((0, ph), (0, pw)),
+                                count_include_pad=False)
             shortcut = conv(self.out_ch, (1, 1), name="downsample")(s)
-        y = _act(conv(mid, (1, 1), name="conv1")(y))
-        y = _act(conv(mid, (3, 3), strides=self.stride, groups=groups,
-                      name="conv2")(y))
+        y = act(conv(mid, (1, 1), name="conv1")(y))
+        y = act(conv(mid, (3, 3), strides=self.stride, groups=groups,
+                     name="conv2")(y))
         if self.group_size and not self.reg:  # NFNet-F second grouped 3x3
-            y = _act(conv(mid, (3, 3), groups=groups, name="conv2b")(y))
+            y = act(conv(mid, (3, 3), groups=groups, name="conv2b")(y))
         if self.reg and self.attn == "se":
             # reg variants apply SE at the expanded mid chs
-            y = _se(y, max(1, int(mid * self.se_ratio)), self.dtype,
-                    self.param_dtype, "se")
-        y = conv(self.out_ch, (1, 1), name="conv3")(y)
+            y = _se(y, make_divisible(mid * self.se_ratio, self.se_divisor),
+                    self.dtype, self.param_dtype, "se")
+        y = conv(self.out_ch, (1, 1),
+                 gain_init=1.0 if self.skipinit else 0.0, name="conv3")(y)
         if self.attn == "se" and not self.reg:
-            y = _se(y, max(1, int(self.out_ch * self.se_ratio * self.bottle_ratio)),
+            y = _se(y, make_divisible(self.out_ch * self.se_ratio,
+                                      self.se_divisor),
                     self.dtype, self.param_dtype, "se")
         elif self.attn == "eca":
             y = Eca(dtype=self.dtype, param_dtype=self.param_dtype,
                     name="eca")(y)
-        skip_gain = self.param("skip_gain", nn.initializers.zeros,
-                               (), self.param_dtype)
-        y = y * skip_gain.astype(y.dtype)
+        if self.skipinit:
+            skip_gain = self.param("skip_gain", nn.initializers.zeros,
+                                   (), self.param_dtype)
+            y = y * skip_gain.astype(y.dtype)
         rng = None if deterministic or self.drop_path_rate == 0 else \
             self.make_rng("droppath")
         return shortcut + self.alpha * drop_path(y, self.drop_path_rate,
@@ -159,11 +186,14 @@ class NormFreeNet(nn.Module):
     attn: str = "se"
     alpha: float = 0.2
     stem_type: str = "deep_quad"  # 'deep_quad'|'7x7'|'3x3' (nf_regnet)
-    final_mult: int = 2  # final conv = final_mult * last channels (0 = none)
-    num_features: int = 0  # absolute final-conv width (nf_regnet); wins
+    final_mult: float = 2.  # final conv = final_mult * last chs (0 = none)
+    num_features: int = 0  # final-conv width pre-width_factor (nf_regnet)
     width_factor: float = 1.0
     reg: bool = False
     se_ratio: float = 0.5
+    se_divisor: int = 8
+    skipinit: bool = False
+    act: str = "gelu"
     num_classes: int = 1000
     drop_path_rate: float = 0.1
     drop_rate: float = 0.0
@@ -174,30 +204,43 @@ class NormFreeNet(nn.Module):
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
         conv = partial(WSConv, dtype=self.dtype, param_dtype=self.param_dtype)
+        act = _make_act(self.act)
         x = x.astype(self.dtype)
-        chs = [int(round(c * self.width_factor / 8) * 8) or 8
-               for c in self.channels]
+        chs = [make_divisible(c * self.width_factor) for c in self.channels]
         if self.stem_type == "deep_quad":
-            x = _act(conv(16, (3, 3), strides=2, name="stem_conv1")(x))
-            x = _act(conv(32, (3, 3), name="stem_conv2")(x))
-            x = _act(conv(64, (3, 3), name="stem_conv3")(x))
-            x = conv(128, (3, 3), strides=2, name="stem_conv4")(x)
+            sc = make_divisible(128 * self.width_factor)
+            x = act(conv(sc // 8, (3, 3), strides=2, name="stem_conv1")(x))
+            x = act(conv(sc // 4, (3, 3), name="stem_conv2")(x))
+            x = act(conv(sc // 2, (3, 3), name="stem_conv3")(x))
+            x = conv(sc, (3, 3), strides=2, name="stem_conv4")(x)
         elif self.stem_type == "3x3":
             x = conv(chs[0], (3, 3), strides=2, name="stem_conv")(x)
         else:
             x = conv(64, (7, 7), strides=2, name="stem_conv")(x)
-            x = nn.max_pool(_act(x), (3, 3), strides=(2, 2), padding="SAME")
+            x = nn.max_pool(act(x), (3, 3), strides=(2, 2), padding="SAME")
 
         total = sum(self.depths)
         dpr = np.linspace(0, self.drop_path_rate, total)
+        # stems with net stride 2 (the reg '3x3') put a stride-2 transition
+        # in stage 0; stride-4 stems (deep_quad, 7x7_pool) do not
+        stage0_stride = 2 if self.stem_type == "3x3" else 1
         expected_var, bi = 1.0, 0
         for si, (depth, ch) in enumerate(zip(self.depths, chs)):
             for blk in range(depth):
                 beta = 1.0 / math.sqrt(expected_var)
-                x = NfBlock(ch, 2 if (blk == 0 and si > 0) else 1, beta,
-                            self.alpha, self.group_size, self.bottle_ratio,
+                first = si == 0 and blk == 0
+                x = NfBlock(ch,
+                            (stage0_stride if si == 0 else 2)
+                            if blk == 0 else 1, beta,
+                            self.alpha, self.group_size,
+                            # reg nets run the very first block unexpanded
+                            # (reference nfnet.py:456)
+                            1.0 if (self.reg and first)
+                            else self.bottle_ratio,
                             self.attn, se_ratio=self.se_ratio,
-                            reg=self.reg, drop_path_rate=float(dpr[bi]),
+                            se_divisor=self.se_divisor,
+                            reg=self.reg, skipinit=self.skipinit,
+                            act=self.act, drop_path_rate=float(dpr[bi]),
                             dtype=self.dtype, param_dtype=self.param_dtype,
                             name=f"stages_{si}_blocks_{blk}")(x, deterministic)
                 # variance reset after a transition block, else accumulate
@@ -205,11 +248,12 @@ class NormFreeNet(nn.Module):
                     + self.alpha ** 2
                 bi += 1
         if self.num_features:
-            x = conv(self.num_features, (1, 1), name="final_conv")(x)
+            x = conv(make_divisible(self.num_features * self.width_factor),
+                     (1, 1), name="final_conv")(x)
         elif self.final_mult:
-            x = conv(self.final_mult * self.channels[-1], (1, 1),
+            x = conv(int(self.final_mult * self.channels[-1]), (1, 1),
                      name="final_conv")(x)
-        x = _act(x)
+        x = act(x)
         x = x.mean(axis=(1, 2))
         if self.drop_rate:
             x = nn.Dropout(self.drop_rate)(x, deterministic=deterministic)
@@ -237,7 +281,9 @@ def _f_depths(n):  # NFNet-Fn: (n+1) x (1, 2, 6, 3)
 
 
 _NFNET_CH = (256, 512, 1536, 1536)
-_RESNET = dict(group_size=None, bottle_ratio=0.25, alpha=1.0,
+# reference _nfres_cfg (nfnet.py:580-613): alpha stays at the 0.2 default,
+# relu act, 7x7+pool stem, no final conv
+_RESNET = dict(group_size=None, bottle_ratio=0.25, act="relu",
                stem_type="7x7", final_mult=0, attn="",
                channels=(256, 512, 1024, 2048))
 
@@ -245,19 +291,24 @@ _VARIANTS = {}
 for _n in range(8):
     _VARIANTS[f"nfnet_f{_n}"] = dict(depths=_f_depths(_n),
                                      channels=_NFNET_CH)
-for _n in range(7):  # DeepMind-released weights variant (same arch)
+for _n in range(7):  # DeepMind-released weights variant (+skipinit gains)
     _VARIANTS[f"dm_nfnet_f{_n}"] = dict(depths=_f_depths(_n),
-                                        channels=_NFNET_CH)
+                                        channels=_NFNET_CH, skipinit=True)
+# 'light' NFNets (reference nfnet.py:744-759): narrower bottleneck, SiLU,
+# 1.5x final conv on l0, 2x on l1-l3
 _VARIANTS["nfnet_l0"] = dict(depths=(1, 2, 6, 3), channels=_NFNET_CH,
-                             bottle_ratio=0.25, group_size=64)
+                             bottle_ratio=0.25, group_size=64,
+                             se_ratio=0.25, act="silu", final_mult=1.5)
 for _n, _mult in zip(range(4), (1, 2, 3, 4)):
     _VARIANTS[f"eca_nfnet_l{_n}"] = dict(
         depths=tuple(_mult * d for d in (1, 2, 6, 3)), channels=_NFNET_CH,
-        bottle_ratio=0.25, group_size=64, attn="eca")
+        bottle_ratio=0.25, group_size=64, attn="eca", act="silu",
+        final_mult=1.5 if _n == 0 else 2.0)
 for _d, _depths in (("26", (2, 2, 2, 2)), ("50", (3, 4, 6, 3)),
                     ("101", (3, 4, 23, 3))):
     _VARIANTS[f"nf_resnet{_d}"] = dict(_RESNET, depths=_depths)
-    _VARIANTS[f"nf_seresnet{_d}"] = dict(_RESNET, depths=_depths, attn="se")
+    _VARIANTS[f"nf_seresnet{_d}"] = dict(_RESNET, depths=_depths, attn="se",
+                                         se_ratio=1 / 16)
     _VARIANTS[f"nf_ecaresnet{_d}"] = dict(_RESNET, depths=_depths, attn="eca")
 
 # nf_regnet_b0-b5 (reference nfnet.py:618-643, 763-768): EfficientNet-like
@@ -265,7 +316,7 @@ for _d, _depths in (("26", (2, 2, 2, 2)), ("50", (3, 4, 6, 3)),
 # bottle 2.25, group size 8, mid-SE rd 0.5, absolute final-conv width
 _REG = dict(stem_type="3x3", group_size=8, width_factor=0.75,
             bottle_ratio=2.25, reg=True, attn="se", se_ratio=0.5,
-            alpha=0.2, final_mult=0)
+            act="silu", alpha=0.2, final_mult=0)
 for _n, (_depths, _chs) in {
         "b0": ((1, 3, 6, 6), (48, 104, 208, 440)),
         "b1": ((2, 4, 7, 7), (48, 104, 208, 440)),
@@ -279,8 +330,8 @@ for _n, (_depths, _chs) in {
 _VARIANTS["test_nfnet"] = dict(depths=(1, 1, 1, 1),
                                channels=(32, 64, 96, 128),
                                group_size=8, bottle_ratio=0.25,
-                               se_ratio=0.25, final_mult=0,
-                               num_features=192, stem_type="3x3")
+                               se_ratio=0.25, act="silu", final_mult=0,
+                               num_features=192, stem_type="deep_quad")
 
 import sys  # noqa: E402
 

@@ -23,6 +23,38 @@ from vision_transformers_torch_xla_tpu.models.registry import register_model
 __all__ = []
 
 
+class _LSTMCell(nn.RNNCellBase):
+    """LSTM cell with torch nn.LSTM parameterization: separate input and
+    hidden projections, EACH with a bias (b_ih + b_hh — redundant
+    numerically, but it's what torch checkpoints carry), torch gate order
+    (i, f, g, o)."""
+
+    hidden: int
+    dtype: jnp.dtype = jnp.bfloat16
+    param_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, carry, x):
+        c, h = carry
+        z = nn.Dense(4 * self.hidden, dtype=self.dtype,
+                     param_dtype=self.param_dtype, name="ih")(x) \
+            + nn.Dense(4 * self.hidden, dtype=self.dtype,
+                       param_dtype=self.param_dtype, name="hh")(h)
+        i, f, g, o = jnp.split(z, 4, axis=-1)
+        c2 = nn.sigmoid(f) * c + nn.sigmoid(i) * jnp.tanh(g)
+        h2 = nn.sigmoid(o) * jnp.tanh(c2)
+        return (c2, h2), h2
+
+    @nn.nowrap
+    def initialize_carry(self, rng, input_shape):
+        shape = input_shape[:-1] + (self.hidden,)
+        return (jnp.zeros(shape, self.dtype), jnp.zeros(shape, self.dtype))
+
+    @property
+    def num_feature_axes(self) -> int:
+        return 1
+
+
 class _BiLSTM(nn.Module):
     """Bidirectional LSTM over axis 1 of (N, T, C); concat outputs."""
 
@@ -32,10 +64,10 @@ class _BiLSTM(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        fwd = nn.RNN(nn.OptimizedLSTMCell(
+        fwd = nn.RNN(_LSTMCell(
             self.hidden, dtype=self.dtype, param_dtype=self.param_dtype),
             name="fwd")(x)
-        bwd = nn.RNN(nn.OptimizedLSTMCell(
+        bwd = nn.RNN(_LSTMCell(
             self.hidden, dtype=self.dtype, param_dtype=self.param_dtype),
             name="bwd")(x[:, ::-1])[:, ::-1]
         return jnp.concatenate([fwd, bwd], axis=-1)
@@ -62,9 +94,11 @@ class Sequencer2d(nn.Module):
         for si, depth in enumerate(self.layers):
             ps = self.patch_sizes[si]
             dim = self.embed_dims[si]
-            if ps > 1 or x.shape[-1] != dim:
-                x = nn.Conv(dim, (ps, ps), strides=(ps, ps),
-                            padding="VALID", name=f"embed_{si}", **p)(x)
+            # reference Sequencer2dStage: downsample=i>0 ALWAYS builds a
+            # Downsample2d conv — a 1x1 dim->dim conv for the ps=1 stages
+            # (sequencer.py:245-284); the stem PatchEmbed covers stage 0
+            x = nn.Conv(dim, (ps, ps), strides=(ps, ps),
+                        padding="VALID", name=f"embed_{si}", **p)(x)
             hid = self.hidden_sizes[si]
             for j in range(depth):
                 nm = f"s{si}_b{j}"

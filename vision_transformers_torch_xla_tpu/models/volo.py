@@ -6,12 +6,12 @@ downsample to stride 16, then standard transformer blocks, a class token
 appended for two final class-attention ("post") blocks, and a token +
 cls fused head.
 
-Outlook attention note: the reference generates a k^2 x k^2 attention
-matrix per position and folds overlapping windows back; here the dynamic
-weights (a linear projection of the token) aggregate the k^2 neighborhood
-values per position directly — the involution-style formulation of the
-same dynamic-local-aggregation idea, chosen because scatter-fold lowers
-poorly on TPU while gather-style neighborhoods vectorize cleanly.
+Outlook attention (reference volo.py OutlookAttention, stride 2): a
+k^2 x k^2 attention matrix per pooled position re-weights the unfolded
+k^2 value neighborhood, and overlapping windows fold back additively.
+The torch F.fold scatter is expressed here as k^2 static strided adds
+into a dilated canvas (q = p*stride - pad + offset), which XLA lowers to
+interior-padded adds — no dynamic scatter on TPU.
 """
 from __future__ import annotations
 
@@ -34,34 +34,58 @@ __all__ = []
 
 
 class OutlookAttention(nn.Module):
+    """Reference volo.py:33-115: v-unfold, k^4 dynamic attention from the
+    stride-pooled tokens, attn @ v, additive fold back to full resolution.
+    """
     dim: int
     num_heads: int
     kernel: int = 3
+    stride: int = 2
     dtype: jnp.dtype = jnp.bfloat16
     param_dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x):
         b, hh, ww, c = x.shape
-        h, k = self.num_heads, self.kernel
+        h, k, s = self.num_heads, self.kernel, self.stride
+        pad = k // 2
         hd = c // h
+        gh, gw = -(-hh // s), -(-ww // s)  # ceil
         v = nn.Dense(c, use_bias=False, dtype=self.dtype,
                      param_dtype=self.param_dtype, name="v")(x)
-        # neighborhoods: (b, hh, ww, k*k*c) -> (b, hh, ww, k*k, h, hd)
+        # strided unfold: (b, gh, gw, k*k, h, hd); patch channels are
+        # ordered (c, kh, kw) by conv_general_dilated_patches
         patches = jax.lax.conv_general_dilated_patches(
-            v.transpose(0, 3, 1, 2), (k, k), (1, 1),
-            padding=[(k // 2, k // 2)] * 2)
-        # output channels are ordered (c, kh, kw) -> put k*k before c
-        patches = patches.reshape(b, c, k * k, hh, ww)
+            v.transpose(0, 3, 1, 2), (k, k), (s, s),
+            padding=[(pad, pad + (gh * s - hh)), (pad, pad + (gw * s - ww))])
+        patches = patches.reshape(b, c, k * k, gh, gw)
         patches = patches.transpose(0, 3, 4, 2, 1).reshape(
-            b, hh, ww, k * k, h, hd)
-        attn = nn.Dense(h * k * k, dtype=self.dtype,
-                        param_dtype=self.param_dtype, name="attn")(x)
-        attn = attn.reshape(b, hh, ww, k * k, h)
-        attn = jax.nn.softmax(attn.astype(jnp.float32), axis=3)
-        out = jnp.einsum("bxykh,bxykhd->bxyhd", attn.astype(patches.dtype),
+            b, gh, gw, k * k, h, hd)
+        # attention from the stride-pooled map: (gh, gw, h, k^2(q), k^2(k))
+        a_in = x
+        if s > 1:
+            ph, pw = gh * s - hh, gw * s - ww  # ceil-mode avg pool
+            a_in = nn.avg_pool(x, (s, s), strides=(s, s),
+                               padding=((0, ph), (0, pw)),
+                               count_include_pad=False)
+        attn = nn.Dense(h * k ** 4, dtype=self.dtype,
+                        param_dtype=self.param_dtype, name="attn")(a_in)
+        attn = attn.reshape(b, gh, gw, h, k * k, k * k) * (hd ** -0.5)
+        attn = jax.nn.softmax(attn.astype(jnp.float32), axis=-1)
+        # (b, gh, gw, k*k(q), h, hd)
+        out = jnp.einsum("bxyhqk,bxykhd->bxyqhd", attn.astype(patches.dtype),
                          patches, preferred_element_type=jnp.float32)
-        out = out.reshape(b, hh, ww, c).astype(x.dtype)
+        out = out.reshape(b, gh, gw, k * k, c).astype(x.dtype)
+        # fold: out[q] = sum over (p, offset) with q = p*s - pad + offset,
+        # as k^2 static strided adds into a padded canvas
+        canvas = jnp.zeros((b, s * (gh - 1) + k, s * (gw - 1) + k, c),
+                           out.dtype)
+        for ki in range(k):
+            for kj in range(k):
+                canvas = canvas.at[:, ki:ki + s * (gh - 1) + 1:s,
+                                   kj:kj + s * (gw - 1) + 1:s, :].add(
+                    out[:, :, :, ki * k + kj, :])
+        out = canvas[:, pad:pad + hh, pad:pad + ww, :]
         return nn.Dense(c, dtype=self.dtype, param_dtype=self.param_dtype,
                         name="proj")(out)
 
@@ -98,6 +122,7 @@ class Volo(nn.Module):
     depths: Sequence[int] = (4, 14)  # (outlooker, transformer)
     num_heads: Sequence[int] = (6, 12)
     post_blocks: int = 2  # class-attention blocks
+    stem_hidden: int = 64  # 128 for d5 (reference volo.py:1312)
     mlp_ratio: float = 3.0
     num_classes: int = 1000
     drop_path_rate: float = 0.0
@@ -109,15 +134,21 @@ class Volo(nn.Module):
     def __call__(self, x, deterministic: bool = True):
         b = x.shape[0]
         x = x.astype(self.dtype)
-        # conv stem to stride 8
+        # 3-conv stem to stride 2 + k4/s4 proj -> stride 8 (reference
+        # volo.py PatchEmbed:474-519: hidden_dim convs 7/2, 3/1, 3/1,
+        # each BN+ReLU, bias-free)
         c0 = self.embed_dims[0]
-        x = nn.Conv(c0 // 2, (7, 7), strides=2, padding=3, use_bias=False,
-                    dtype=self.dtype, param_dtype=self.param_dtype,
-                    name="stem_conv1")(x)
-        x = nn.BatchNorm(use_running_average=deterministic, momentum=0.9,
-                         epsilon=1e-5, dtype=self.dtype,
-                         param_dtype=self.param_dtype, name="stem_bn")(x)
-        x = nn.relu(x)
+        hid = self.stem_hidden
+        for i, (kk, ss) in enumerate(((7, 2), (3, 1), (3, 1))):
+            x = nn.Conv(hid, (kk, kk), strides=ss, padding=kk // 2,
+                        use_bias=False, dtype=self.dtype,
+                        param_dtype=self.param_dtype,
+                        name=f"stem_conv{i + 1}")(x)
+            x = nn.BatchNorm(use_running_average=deterministic, momentum=0.9,
+                             epsilon=1e-5, dtype=self.dtype,
+                             param_dtype=self.param_dtype,
+                             name=f"stem_bn{i + 1}")(x)
+            x = nn.relu(x)
         x = nn.Conv(c0, (4, 4), strides=4, dtype=self.dtype,
                     param_dtype=self.param_dtype, name="stem_proj")(x)
 
@@ -213,7 +244,8 @@ _D1 = dict(embed_dims=(192, 384), depths=(4, 14), num_heads=(6, 12))
 _D2 = dict(embed_dims=(256, 512), depths=(6, 18), num_heads=(8, 16))
 _D3 = dict(embed_dims=(256, 512), depths=(8, 28), num_heads=(8, 16))
 _D4 = dict(embed_dims=(384, 768), depths=(8, 28), num_heads=(12, 16))
-_D5 = dict(embed_dims=(384, 768), depths=(12, 36), num_heads=(12, 16))
+_D5 = dict(embed_dims=(384, 768), depths=(12, 36), num_heads=(12, 16),
+           mlp_ratio=4.0, stem_hidden=128)
 
 _VARIANTS = {
     "volo_d1_224": dict(_D1, img_size=224),
