@@ -162,15 +162,18 @@ def main():
     # (ops/mlp_fused.py, opt-in) vs XLA's fusion of the same ops. Measured
     # here rather than hard-coded because the winner is hardware-dependent;
     # any failure in the experimental kernel falls back to the XLA path.
+    import sys
+
     mlp_variant = "xla"
     t_xla, _ = timed_run(model, 8)
     best_t = t_xla
     try:
         t_pallas, _ = timed_run(model.clone(use_pallas_mlp=True), 8)
+        print(f"bench: mlp autotune xla={t_xla * 1e3:.2f}ms "
+              f"pallas={t_pallas * 1e3:.2f}ms", file=sys.stderr)
         if t_pallas < t_xla:
             mlp_variant, best_t = "pallas", t_pallas
     except Exception as e:  # noqa: BLE001 — bench must always report
-        import sys
         print(f"bench: pallas_mlp variant failed ({type(e).__name__}: {e}); "
               "using the XLA MLP path", file=sys.stderr)
 
