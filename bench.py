@@ -1,9 +1,11 @@
-"""Headline benchmark: ViT-B/16 training throughput on one TPU chip.
+"""Headline benchmark: ViT training throughput on one TPU chip.
 
 Measures the full jitted train step (mixup + fwd + bwd + clip + AdamW + EMA,
 bf16 compute / fp32 params) on synthetic data — the flagship configuration
 of the reference (ViT-B/16, reference run_train.sh:14-15; EMA on, mixup 0.8 /
-cutmix 1.0, AdamW, cosine schedule, reference main.py:169-230).
+cutmix 1.0, AdamW, cosine schedule, reference main.py:169-230). Also records
+ViT-L/16 @ batch 64 so the large-model regime (where remat/scan choices bite)
+is driver-visible, as extra fields on the same JSON line.
 
 The reference publishes no numbers (BASELINE.md), so `vs_baseline` is
 reported against the rebuild's north-star target of 40% MFU (BASELINE.json):
@@ -14,6 +16,8 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...extras}.
 from __future__ import annotations
 
 import json
+import os
+import sys
 import time
 
 import jax
@@ -58,8 +62,6 @@ def _init_devices_bounded(timeout_s: float = 180.0):
     message (exiting is the only reliable cancel — the blocked init holds
     a C-level call that Python can't interrupt). Normal init is <5 s; the
     deadline only trips when the chip is unreachable."""
-    import os
-    import sys
     import threading
 
     out: list = []
@@ -75,9 +77,91 @@ def _init_devices_bounded(timeout_s: float = 180.0):
     return out[0]
 
 
-def main():
-    import os
+class _ModelBench:
+    """One model's bench harness: state factory + timed step runner."""
 
+    def __init__(self, name: str, batch: int, img: int, *, smoke: bool,
+                 **model_kw):
+        from flax import linen as nn
+
+        from vision_transformers_torch_xla_tpu import create_model
+        from vision_transformers_torch_xla_tpu.train.mixup import MixupConfig
+        from vision_transformers_torch_xla_tpu.train.optim import (
+            maybe_fused_optimizer,
+        )
+        from vision_transformers_torch_xla_tpu.train.schedules import (
+            cosine_schedule_fn,
+        )
+        from vision_transformers_torch_xla_tpu.train.state import (
+            create_train_state,
+        )
+        from vision_transformers_torch_xla_tpu.train.steps import (
+            StepConfig, make_train_step,
+        )
+
+        self.batch = batch
+        # head-pair Pallas attention kernel: reads the fused qkv projection
+        # output in place (no head transposes); +28% step throughput on v5e
+        # vs the XLA attention path (tools/bench_attn.py A/B)
+        self.model = create_model(name, drop_path_rate=0.1,
+                                  use_pallas_attn=not smoke, **model_kw)
+        images_host = jnp.zeros((batch, img, img, 3), jnp.float32)
+        self._init_fn = jax.jit(
+            lambda k: nn.meta.unbox(
+                self.model.init(k, images_host, True))["params"])
+        params = self._init_fn({"params": jax.random.key(0)})
+
+        lr_fn = cosine_schedule_fn(4e-3, 1e-6, 300, 300, warmup_epochs=20)
+        # single-HBM-pass AdamW+EMA+grad-norm (train/fused.py): guarantees one
+        # multi-output elementwise fusion per leaf instead of relying on XLA
+        # to fuse the optax chain (measured ~0.4 ms/step on v5e — XLA already
+        # fuses most of it; kept because the guarantee is free)
+        self.tx = maybe_fused_optimizer("adamw", lr_fn, params,
+                                        weight_decay=0.05, clip_grad=None,
+                                        ema_decay=0.9999)
+        assert self.tx is not None
+        del params
+        self.cfg = StepConfig(mixup=MixupConfig(num_classes=1000),
+                              num_classes=1000, ema_decay=0.9999,
+                              lr_schedule=None)
+        self._make_train_step = make_train_step
+        self._create_train_state = create_train_state
+
+        import numpy as np
+
+        rng = np.random.default_rng(0)
+        self.images = jnp.asarray(rng.normal(size=(batch, img, img, 3)),
+                                  jnp.float32)
+        self.labels = jnp.asarray(rng.integers(0, 1000, batch), jnp.int32)
+        self.key = jax.random.key(0)
+
+    def timed_run(self, variant_model, iters):
+        """Fresh state -> warmup -> timed loop. Returns (step_time, loss).
+
+        NOTE: on this image's relay backend jax.block_until_ready does not
+        actually block, so synchronization is an explicit host read of a
+        scalar that depends on every step.
+        """
+        step = jax.jit(
+            self._make_train_step(variant_model.apply, self.tx, self.cfg),
+            donate_argnums=(0,))
+        # fresh params every run: the step donates the state, whose leaves
+        # alias the params buffers — reusing them across runs would read
+        # donated (invalidated) arrays. _init_fn is jitted + cached.
+        state = self._create_train_state(
+            self._init_fn({"params": jax.random.key(0)}), self.tx,
+            with_ema=True)
+        for _ in range(3):
+            state, metrics = step(state, self.images, self.labels, self.key)
+        float(metrics["loss"])
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            state, metrics = step(state, self.images, self.labels, self.key)
+        loss = float(metrics["loss"])  # forces the whole chain
+        return (time.perf_counter() - t0) / iters, loss
+
+
+def main():
     # VTX_BENCH_CPU_SMOKE=1: tiny-model CPU run exercising the full bench
     # code path (incl. the MLP autotune + donation-safe rerun logic) when
     # the chip is unreachable. Numbers are meaningless; exercised by
@@ -86,115 +170,77 @@ def main():
     if smoke:
         jax.config.update("jax_platforms", "cpu")
 
-    from flax import linen as nn
-
-    from vision_transformers_torch_xla_tpu.core.cache import enable_persistent_cache
+    from vision_transformers_torch_xla_tpu.core.cache import (
+        enable_persistent_cache,
+    )
 
     enable_persistent_cache()
 
-    from vision_transformers_torch_xla_tpu import create_model
-    from vision_transformers_torch_xla_tpu.train.mixup import MixupConfig
-    from vision_transformers_torch_xla_tpu.train.optim import create_optimizer
-    from vision_transformers_torch_xla_tpu.train.schedules import cosine_schedule_fn
-    from vision_transformers_torch_xla_tpu.train.state import create_train_state
-    from vision_transformers_torch_xla_tpu.train.steps import StepConfig, make_train_step
-
     device = jax.devices()[0] if smoke else _init_devices_bounded()[0]
-    batch = 8 if smoke else 128
-    img = 64 if smoke else 224
-    # head-pair Pallas attention kernel: reads the fused qkv projection
-    # output in place (no head transposes); +28% step throughput on v5e
-    # vs the XLA attention path (tools/bench_attn.py A/B)
-    model = create_model("my_vit_mini" if smoke else "my_vit_b",
-                         drop_path_rate=0.1, use_pallas_attn=not smoke,
-                         **({"img_size": img, "depth": 2} if smoke else {}))
 
-    images_host = jnp.zeros((batch, img, img, 3), jnp.float32)
-    init_fn = jax.jit(
-        lambda k: nn.meta.unbox(model.init(k, images_host, True))["params"])
-    params = init_fn({"params": jax.random.key(0)})
-    del images_host
-
-    lr_fn = cosine_schedule_fn(4e-3, 1e-6, 300, 300, warmup_epochs=20)
-    # single-HBM-pass AdamW+EMA+grad-norm (train/fused.py): guarantees one
-    # multi-output elementwise fusion per leaf instead of relying on XLA to
-    # fuse the optax chain (measured ~0.4 ms/step on v5e — XLA already fuses
-    # most of it; kept because the guarantee is free and recipe-portable)
-    from vision_transformers_torch_xla_tpu.train.optim import maybe_fused_optimizer
-
-    tx = maybe_fused_optimizer("adamw", lr_fn, params, weight_decay=0.05,
-                               clip_grad=None, ema_decay=0.9999)
-    assert tx is not None
-    cfg = StepConfig(mixup=MixupConfig(num_classes=1000), num_classes=1000,
-                     ema_decay=0.9999, lr_schedule=None)
-
-    import numpy as np
-
-    rng = np.random.default_rng(0)
-    images = jnp.asarray(rng.normal(size=(batch, img, img, 3)), jnp.float32)
-    labels = jnp.asarray(rng.integers(0, 1000, batch), jnp.int32)
-    key = jax.random.key(0)
-
-    def timed_run(variant_model, iters):
-        """Fresh state -> warmup -> timed loop. Returns (step_time, loss).
-
-        NOTE: on this image's relay backend jax.block_until_ready does not
-        actually block, so synchronization is an explicit host read of a
-        scalar that depends on every step.
-        """
-        step = jax.jit(make_train_step(variant_model.apply, tx, cfg),
-                       donate_argnums=(0,))
-        # fresh params every run: the step donates the state, whose leaves
-        # alias the params buffers — reusing them across runs would read
-        # donated (invalidated) arrays. init_fn is jitted + cached.
-        state = create_train_state(init_fn({"params": jax.random.key(0)}),
-                                   tx, with_ema=True)
-        for _ in range(3):
-            state, metrics = step(state, images, labels, key)
-        float(metrics["loss"])
-        t0 = time.perf_counter()
-        for _ in range(iters):
-            state, metrics = step(state, images, labels, key)
-        loss = float(metrics["loss"])  # forces the whole chain
-        return (time.perf_counter() - t0) / iters, loss
+    b = _ModelBench("my_vit_mini" if smoke else "my_vit_b",
+                    batch=8 if smoke else 128, img=64 if smoke else 224,
+                    smoke=smoke,
+                    **({"img_size": 64, "depth": 2} if smoke else {}))
 
     # Autotune the MLP path: the fused-backward Pallas MLP kernel
     # (ops/mlp_fused.py, opt-in) vs XLA's fusion of the same ops. Measured
     # here rather than hard-coded because the winner is hardware-dependent;
     # any failure in the experimental kernel falls back to the XLA path.
-    import sys
-
     mlp_variant = "xla"
-    t_xla, _ = timed_run(model, 8)
-    best_t = t_xla
+    t_xla, _ = b.timed_run(b.model, 8)
     try:
-        t_pallas, _ = timed_run(model.clone(use_pallas_mlp=True), 8)
+        t_pallas, _ = b.timed_run(b.model.clone(use_pallas_mlp=True), 8)
         print(f"bench: mlp autotune xla={t_xla * 1e3:.2f}ms "
               f"pallas={t_pallas * 1e3:.2f}ms", file=sys.stderr)
         if t_pallas < t_xla:
-            mlp_variant, best_t = "pallas", t_pallas
+            mlp_variant = "pallas"
     except Exception as e:  # noqa: BLE001 — bench must always report
         print(f"bench: pallas_mlp variant failed ({type(e).__name__}: {e}); "
               "using the XLA MLP path", file=sys.stderr)
 
-    bench_model = model.clone(use_pallas_mlp=True) if mlp_variant == "pallas" \
-        else model
-    step_time, final_loss = timed_run(bench_model, 20)
-    ips = batch / step_time
-    mfu = ips * vit_train_flops_per_image() / _peak_flops_per_sec(device)
+    bench_model = (b.model.clone(use_pallas_mlp=True)
+                   if mlp_variant == "pallas" else b.model)
+    step_time, final_loss = b.timed_run(bench_model, 20)
+    ips = b.batch / step_time
+    flops_b = vit_train_flops_per_image(img=64 if smoke else 224,
+                                        dim=b.model.embed_dim,
+                                        depth=b.model.depth)
+    mfu = ips * flops_b / _peak_flops_per_sec(device)
 
-    print(json.dumps({
+    result = {
         "metric": "vit_b16_train_images_per_sec_per_chip",
         "value": round(ips, 2),
         "unit": "images/sec/chip",
         "vs_baseline": round(mfu / 0.40, 4),
         "step_time_ms": round(step_time * 1e3, 2),
         "mfu": round(mfu, 4),
-        "batch": batch,
+        "batch": b.batch,
         "device": str(getattr(device, "device_kind", device)),
         "loss": round(final_loss, 4),
         "mlp_variant": mlp_variant,
-    }))
+    }
+
+    # Large-model regime (VERDICT r3 task 8): ViT-L/16 @ batch 64, same
+    # step, recorded on the same line so the driver artifact carries it.
+    if not smoke:
+        try:
+            bl = _ModelBench("my_vit_l", batch=64, img=224, smoke=False)
+            lt, _ = bl.timed_run(bl.model, 10)
+            l_ips = bl.batch / lt
+            l_mfu = (l_ips * vit_train_flops_per_image(dim=1024, depth=24)
+                     / _peak_flops_per_sec(device))
+            result.update({
+                "vit_l16_images_per_sec": round(l_ips, 2),
+                "vit_l16_step_time_ms": round(lt * 1e3, 2),
+                "vit_l16_mfu": round(l_mfu, 4),
+                "vit_l16_batch": bl.batch,
+            })
+        except Exception as e:  # noqa: BLE001 — never lose the headline
+            print(f"bench: ViT-L pass failed ({type(e).__name__}: {e})",
+                  file=sys.stderr)
+
+    print(json.dumps(result))
 
 
 if __name__ == "__main__":
