@@ -104,7 +104,7 @@ class TrainConfig:
     eval_data_path: str = ""
     nb_classes: int = 1000
     imagenet_default_mean_and_std: bool = True
-    data_set: str = "synthetic"          # synthetic | tfds | folder
+    data_set: str = "synthetic"          # synthetic | tfds | tfrecord | folder | wds
     tfds_name: str = "imagenet2012"
     tfds_data_dir: str = ""
     train_split: str = "train"

@@ -110,13 +110,39 @@ class SyntheticDataset:
             yield images.astype(np.float32), labels.astype(np.int32)
 
 
+def _finalize_tf_pipeline(ds, cfg, is_train: bool, pp_spec: str,
+                          batch_size: int, epoch_seed: int):
+    """Shared tf.data tail for EVERY tf-backed source (tfds, tfrecord):
+    host options -> [cache] -> [shuffle] -> map(pp DSL) -> batch -> prefetch
+    (reference datasets.py:209-237 order). One epoch = one pass — the
+    reference does not `.repeat()` (datasets.py:178-247); per-epoch
+    re-iteration rebuilds the pipeline with a fresh seed."""
+    import tensorflow as tf
+
+    from vision_transformers_torch_xla_tpu.data.pp_builder import get_preprocess_fn
+
+    # host options (reference datasets.py:70-77)
+    opts = tf.data.Options()
+    opts.threading.private_threadpool_size = 48
+    opts.threading.max_intra_op_parallelism = 1
+    opts.experimental_optimization.inject_prefetch = False
+    ds = ds.with_options(opts)
+
+    if is_train:
+        if cfg.cache_raw:
+            ds = ds.cache()
+        ds = ds.shuffle(cfg.shuffle_buffer, seed=epoch_seed)
+    pp_fn = get_preprocess_fn(pp_spec)
+    ds = ds.map(pp_fn, num_parallel_calls=cfg.num_parallel_calls)
+    ds = ds.batch(batch_size, drop_remainder=is_train)
+    ds = ds.prefetch(cfg.prefetch)
+    return ds
+
+
 def _tfds_dataset(cfg, is_train: bool, pp_spec: str, batch_size: int,
                   epoch_seed: int = 0):
     """TFDS -> tf.data pipeline (reference datasets.py:178-247 semantics)."""
-    import tensorflow as tf
     import tensorflow_datasets as tfds
-
-    from vision_transformers_torch_xla_tpu.data.pp_builder import get_preprocess_fn
 
     builder = tfds.builder(cfg.tfds_name,
                            data_dir=cfg.tfds_data_dir or None)
@@ -133,48 +159,89 @@ def _tfds_dataset(cfg, is_train: bool, pp_spec: str, batch_size: int,
         split=split, shuffle_files=is_train, read_config=read_config,
         decoders={"image": tfds.decode.SkipDecoding()})
 
-    # host options (reference datasets.py:70-77)
-    opts = tf.data.Options()
-    opts.threading.private_threadpool_size = 48
-    opts.threading.max_intra_op_parallelism = 1
-    opts.experimental_optimization.inject_prefetch = False
-    ds = ds.with_options(opts)
-
-    if is_train:
-        if cfg.cache_raw:
-            ds = ds.cache()
-        ds = ds.repeat()
-        ds = ds.shuffle(cfg.shuffle_buffer, seed=epoch_seed)
-    pp_fn = get_preprocess_fn(pp_spec)
-    ds = ds.map(pp_fn, num_parallel_calls=cfg.num_parallel_calls)
-    ds = ds.batch(batch_size, drop_remainder=is_train)
-    ds = ds.prefetch(cfg.prefetch)
+    ds = _finalize_tf_pipeline(ds, cfg, is_train, pp_spec, batch_size,
+                               epoch_seed)
     return ds, DatasetInfo(num_examples, num_classes)
 
 
-class TfdsDataset:
+class _TfBackedDataset:
+    """Per-epoch-reseeded tf.data wrapper (reference datasets.py:254-322):
+    each `iter()` rebuilds the pipeline with seed + epoch, pulls numpy
+    batches, and applies host normalization unless stats are identity
+    (the device_augment raw-[0,1] contract)."""
+
     def __init__(self, cfg, is_train: bool, pp_spec: str, batch_size: int,
                  mean=IMAGENET_DEFAULT_MEAN, std=IMAGENET_DEFAULT_STD):
         self.cfg, self.is_train = cfg, is_train
         self.pp_spec, self.batch_size = pp_spec, batch_size
         self._epoch = -1
-        # identity (0,1) stats (device_augment contract) skip the host pass
         self._mean = np.asarray(mean, np.float32)
         self._std = np.asarray(std, np.float32)
         self._identity = bool(np.all(self._mean == 0) and np.all(self._std == 1))
-        _, self.info = _tfds_dataset(cfg, is_train, pp_spec, batch_size)
+        self.info = self._build_info()
+
+    def _build_info(self) -> DatasetInfo:
+        raise NotImplementedError
+
+    def _build(self, epoch_seed: int):
+        raise NotImplementedError
 
     def __iter__(self):
         # per-epoch reseed (reference datasets.py:258-261)
         self._epoch += 1
-        ds, _ = _tfds_dataset(self.cfg, self.is_train, self.pp_spec,
-                              self.batch_size,
-                              epoch_seed=self.cfg.seed + self._epoch)
+        ds = self._build(epoch_seed=self.cfg.seed + self._epoch)
         for batch in ds.as_numpy_iterator():
             images = batch["image"].astype(np.float32)
             if not self._identity:
                 images = (images - self._mean) / self._std
             yield images, batch["label"].astype(np.int32)
+
+
+class TfdsDataset(_TfBackedDataset):
+    def _build_info(self) -> DatasetInfo:
+        _, info = _tfds_dataset(self.cfg, self.is_train, self.pp_spec,
+                                self.batch_size)
+        return info
+
+    def _build(self, epoch_seed: int):
+        ds, _ = _tfds_dataset(self.cfg, self.is_train, self.pp_spec,
+                              self.batch_size, epoch_seed=epoch_seed)
+        return ds
+
+
+class TFRecordDataset(_TfBackedDataset):
+    """`--data_set tfrecord`: raw Example shards through the SAME pipeline
+    tail as the tfds branch (see data/tfrecord.py for schema + sharding)."""
+
+    def __init__(self, cfg, is_train: bool, pp_spec: str, batch_size: int,
+                 mean=IMAGENET_DEFAULT_MEAN, std=IMAGENET_DEFAULT_STD,
+                 process_index: Optional[int] = None,
+                 process_count: Optional[int] = None):
+        self._pi = jax.process_index() if process_index is None else process_index
+        self._pc = jax.process_count() if process_count is None else process_count
+        self._pattern = (cfg.data_path if is_train
+                         else (cfg.eval_data_path or cfg.data_path))
+        super().__init__(cfg, is_train, pp_spec, batch_size,
+                         mean=mean, std=std)
+
+    def _build_info(self) -> DatasetInfo:
+        from vision_transformers_torch_xla_tpu.data import tfrecord as tfr
+
+        meta = tfr.load_metadata(self._pattern)
+        if meta is not None:
+            return DatasetInfo(meta["num_examples"],
+                               meta.get("num_classes") or self.cfg.nb_classes)
+        return DatasetInfo(tfr.count_examples(self._pattern),
+                           self.cfg.nb_classes)
+
+    def _build(self, epoch_seed: int):
+        from vision_transformers_torch_xla_tpu.data import tfrecord as tfr
+
+        ds = tfr.tfrecord_source(self._pattern, self.is_train, epoch_seed,
+                                 self._pi, self._pc)
+        return _finalize_tf_pipeline(ds, self.cfg, self.is_train,
+                                     self.pp_spec, self.batch_size,
+                                     epoch_seed)
 
 
 class FolderDataset:
@@ -258,6 +325,11 @@ def build_dataset(cfg, is_train: bool):
         pp = (cfg.pp_train or DEFAULT_PP_TRAIN) if is_train else \
             (cfg.pp_eval or DEFAULT_PP_EVAL)
         ds = TfdsDataset(cfg, is_train, pp, batch, mean=mean, std=std)
+        return ds, ds.info
+    if cfg.data_set == "tfrecord":
+        pp = (cfg.pp_train or DEFAULT_PP_TRAIN) if is_train else \
+            (cfg.pp_eval or DEFAULT_PP_EVAL)
+        ds = TFRecordDataset(cfg, is_train, pp, batch, mean=mean, std=std)
         return ds, ds.info
     if cfg.data_set in ("wds", "IMNET_WDS"):
         from vision_transformers_torch_xla_tpu.data.wds import WdsDataset
