@@ -50,8 +50,14 @@ def vit_layer_id(path_name: str, depth: int) -> int:
     """Layer id for layer-decay: embeddings 0, block i -> i+1, rest depth+1.
 
     Mirrors the assignment logic of reference optim_factory.py:29-67 applied
-    to a ViT trunk.
+    to a ViT trunk. Refuses stage-structured paths (`stages_N_blocks_M`):
+    their `blocks_M` suffix would silently land in the wrong depth group —
+    those trees take `convnext_layer_id` (auto-detected).
     """
+    if "stages_" in path_name:
+        raise ValueError(
+            f"vit_layer_id got stage-structured param {path_name!r}; "
+            "use convnext_layer_id / layer-decay kind='convnext'")
     if any(k in path_name for k in ("patch_embed", "cls_token", "pos_embed", "reg_token")):
         return 0
     m = re.search(r"blocks_(\d+)", path_name)
@@ -60,26 +66,81 @@ def vit_layer_id(path_name: str, depth: int) -> int:
     return depth + 1
 
 
-def scale_by_layer_decay(decay: float, depth: int) -> optax.GradientTransformation:
+#: group count of the reference's ConvNeXt assigner (optim_factory.py:35)
+CONVNEXT_NUM_GROUPS = 12
+
+
+def convnext_layer_id(path_name: str) -> int:
+    """Stage-structured layer id, parity with the reference's
+    `get_num_layer_for_convnext` (reference optim_factory.py:29-57):
+    12 groups — stem 0, stage0 blocks 1, stage1 blocks 2, stage2 block b ->
+    3 + b//3, stage3 -> 12; downsamples ride their following stage; head 13.
+
+    Keyed on this repo's flax naming: `stem*`, `downsample_{norm,proj}_N`,
+    `stages_N_blocks_M`.
+    """
+    if path_name.startswith("stem") or "/stem" in path_name:
+        return 0
+    m = re.search(r"downsample_(?:norm|proj)_(\d+)", path_name)
+    if m:
+        stage = int(m.group(1))
+        return {0: 0, 1: 2, 2: 3, 3: CONVNEXT_NUM_GROUPS}.get(
+            stage, CONVNEXT_NUM_GROUPS)
+    m = re.search(r"stages_(\d+)_blocks_(\d+)", path_name)
+    if m is None:
+        m = re.search(r"stages_(\d+)/blocks_(\d+)", path_name)
+    if m:
+        stage, block = int(m.group(1)), int(m.group(2))
+        if stage in (0, 1):
+            return stage + 1
+        if stage == 2:
+            return 3 + block // 3
+        return CONVNEXT_NUM_GROUPS
+    return CONVNEXT_NUM_GROUPS + 1
+
+
+def detect_layer_id_kind(params) -> str:
+    """'convnext' for stage-structured trees (`stages_N...`), else 'vit'."""
+    names = []
+    jax.tree_util.tree_map_with_path(
+        lambda path, leaf: names.append(
+            "/".join(str(getattr(p, "key", getattr(p, "idx", p)))
+                     for p in path)),
+        params)
+    return "convnext" if any("stages_" in n for n in names) else "vit"
+
+
+def scale_by_layer_decay(decay: float, depth: int,
+                         kind: str = "auto") -> optax.GradientTransformation:
     """Multiply updates by decay^(num_layers - 1 - layer_id).
 
     Equivalent to the reference's per-group `lr_scale`
-    (optim_factory.py:59-67 + engine.py:101).
+    (optim_factory.py:59-67 + engine.py:101). `kind`: 'vit' (flat
+    `blocks_N` trunk), 'convnext' (stage-structured, reference
+    optim_factory.py:29-57 groups), or 'auto' (detect from the param tree).
+    Note the reference BEYOND-BUGFIX: its assigner is ConvNeXt-only, so
+    `--layer_decay` on a reference ViT silently no-ops; here ViT gets real
+    per-block decay.
     """
-    num_layers = depth + 2
 
     def scales(params):
         import numpy as np
 
+        k = detect_layer_id_kind(params) if kind == "auto" else kind
+        # vit: groups 0..depth+1; convnext: groups 0..13 w/ scale
+        # decay^(13 - lid) (reference main.py:823-826 values)
+        num_layers = depth + 2 if k == "vit" else CONVNEXT_NUM_GROUPS + 2
+
         def leaf_scale(path, leaf):
             name = "/".join(str(getattr(p, "key", getattr(p, "idx", p))) for p in path)
-            if "blocks_stacked" in name:
+            if k == "vit" and "blocks_stacked" in name:
                 # scan_blocks: leaf carries all layers on axis 0 -> per-layer
                 # scale vector broadcast over the stacked axis
                 lids = np.arange(leaf.shape[0]) + 1
                 vec = decay ** (num_layers - 1 - lids)
                 return vec.reshape((-1,) + (1,) * (leaf.ndim - 1)).astype(np.float32)
-            lid = vit_layer_id(name, depth)
+            lid = convnext_layer_id(name) if k == "convnext" \
+                else vit_layer_id(name, depth)
             return decay ** (num_layers - 1 - lid)
 
         return jax.tree_util.tree_map_with_path(leaf_scale, params)
