@@ -603,6 +603,8 @@ class ByobNet(nn.Module):
                                              b, bk, model_sa, name, dpr,
                                              det)
                 bi += 1
+            # stage-boundary feature tap (models/features.py)
+            self.sow("intermediates", f"stage_{si}", x)
 
         # ----------------------------------------------------------- head
         if self.num_features:

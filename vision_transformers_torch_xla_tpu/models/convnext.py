@@ -171,6 +171,9 @@ class ConvNeXt(nn.Module):
                     param_dtype=self.param_dtype,
                     name=f"stages_{stage}_blocks_{blk}")(x, deterministic)
             cur += depth
+            # stage-boundary feature tap (models/features.py; parity with
+            # reference _features.py FeatureInfo out_indices)
+            self.sow("intermediates", f"stage_{stage}", x)
         if self.head_norm_first:
             x = _cnx_norm(self.norm_kind, self.dtype, self.param_dtype,
                           "norm", self.norm_eps)(x)

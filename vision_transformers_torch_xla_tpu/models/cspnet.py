@@ -192,6 +192,8 @@ class CspNet(nn.Module):
                 x = _ConvBnAct(out, 1, name=f"{nm}_trans",
                                **p)(jnp.concatenate([xs, xb], axis=-1),
                                     det)
+                # stage-boundary feature tap (models/features.py)
+                self.sow("intermediates", f"stage_{si}", x)
                 continue
             if self.cross:
                 exp = int(round(out * self.expand_ratio))
@@ -228,6 +230,8 @@ class CspNet(nn.Module):
                         if self.block_type != "bottleneck" else block_cls(
                             out, self.bottle_ratio, g,
                             name=f"{nm}_b{j}", **p)(x, det)
+            # stage-boundary feature tap (models/features.py)
+            self.sow("intermediates", f"stage_{si}", x)
 
         x = jnp.mean(x, axis=(1, 2))
         if self.num_classes == 0:

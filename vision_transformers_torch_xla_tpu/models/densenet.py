@@ -62,6 +62,9 @@ class DenseNet(nn.Module):
                 y = nn.relu(bn(f"db{bi}_l{li}_bn2")(y))
                 y = conv(k, 3, 1, f"db{bi}_l{li}_conv2")(y)
                 x = jnp.concatenate([x, y], axis=-1)
+            # stage-boundary feature tap (models/features.py): dense-block
+            # output pre-transition, matching timm densenet feature_info
+            self.sow("intermediates", f"stage_{bi}", x)
             if bi != len(self.block_config) - 1:
                 x = nn.relu(bn(f"tr{bi}_bn")(x))
                 x = conv(x.shape[-1] // 2, 1, 1, f"tr{bi}_conv")(x)

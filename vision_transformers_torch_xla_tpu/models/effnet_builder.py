@@ -751,6 +751,8 @@ class EffNet(nn.Module):
                 x, in_ch = y, out_ch
                 bi += 1
             stage_outs.append(x)
+            # stage-boundary feature tap (models/features.py)
+            self.sow("intermediates", f"stage_{si}", x)
 
         # ------------------------------------------------------------ head
         if self.head_style == "msfa":

@@ -30,7 +30,9 @@ def parse_model_name(model_name: str):
 
 def create_model(model_name: str, pretrained: bool = False,
                  pretrained_cfg: Any = None,
-                 pretrained_cfg_overlay: Any = None, **kwargs: Any):
+                 pretrained_cfg_overlay: Any = None,
+                 features_only: bool = False,
+                 out_indices: Any = None, **kwargs: Any):
     """Build a model module by registry name.
 
     kwargs whose value is None are dropped (parity with
@@ -75,4 +77,14 @@ def create_model(model_name: str, pretrained: bool = False,
                 f"'local-dir:<dir>'.")
         loaded = P.load_state_dict(str(path), model_name=name)
         P.attach_pretrained(module, loaded, cfg)
+    if features_only:
+        # reference _factory.py features_only path (via _builder.py's
+        # FeatureListNet wrap): return the functional wrapper whose apply
+        # yields the selected feature-pyramid list instead of logits.
+        # Wrapped after the pretrained attach so loaded weights ride the
+        # inner trunk, exactly where apply_pretrained expects them.
+        from vision_transformers_torch_xla_tpu.models.features import (
+            FeatureListNet,
+        )
+        module = FeatureListNet(module, out_indices=out_indices)
     return module

@@ -562,6 +562,8 @@ class MaxxVit(nn.Module):
                 else:  # 'T'
                     x = self._coat_txf(x, dim, stride, name, det, dpr, det)
                 bi += 1
+            # stage-boundary feature tap (models/features.py)
+            self.sow("intermediates", f"stage_{si}", x)
 
         if self.head_hidden_size:
             x = x.mean(axis=(1, 2))

@@ -224,6 +224,8 @@ class MetaFormer(nn.Module):
                                     name=f"stages_{si}_blocks_{blk}")(
                     x, deterministic)
                 bi += 1
+            # stage-boundary feature tap (models/features.py)
+            self.sow("intermediates", f"stage_{si}", x)
         x = x.mean(axis=(1, 2))
         # head: pool -> output_norm (LayerNorm2d, biased, eps 1e-6) -> fc
         x = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype,

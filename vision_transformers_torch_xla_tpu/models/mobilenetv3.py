@@ -104,6 +104,7 @@ class MobileNetV3(nn.Module):
 
         dpr = np.linspace(0, self.drop_path_rate, len(self.blocks))
         in_ch = stem
+        si = 0
         for bi, spec in enumerate(self.blocks):
             if self.lcnet:
                 k, out, stride, se = spec
@@ -114,6 +115,11 @@ class MobileNetV3(nn.Module):
             if self.minimal:
                 k, se = 3, False
             out = _round_ch(out * self.width_mult)
+            if stride > 1:
+                # stage-boundary feature tap (models/features.py): last
+                # activation of each resolution, pre-downsample
+                self.sow("intermediates", f"stage_{si}", x)
+                si += 1
             shortcut = x
             name = f"blocks_{bi}"
             y = x
@@ -148,6 +154,9 @@ class MobileNetV3(nn.Module):
         if not self.lcnet:
             x = conv(head, (1, 1), name="head_conv")(x)
             x = self._act(bn(name="head_bn")(x), "hs")
+        # final stage tap (deepest resolution, post head conv — timm folds
+        # this conv into `blocks`, so its output is the last feature hook)
+        self.sow("intermediates", f"stage_{si}", x)
         x = x.mean(axis=(1, 2), keepdims=True)
         x = se_conv(self.head_hidden, (1, 1), name="head_fc")(x)
         x = self._act(x, "hs")[:, 0, 0]

@@ -247,6 +247,8 @@ class NormFreeNet(nn.Module):
                 expected_var = (1.0 if (blk == 0) else expected_var) \
                     + self.alpha ** 2
                 bi += 1
+            # stage-boundary feature tap (models/features.py)
+            self.sow("intermediates", f"stage_{si}", x)
         if self.num_features:
             x = conv(make_divisible(self.num_features * self.width_factor),
                      (1, 1), name="final_conv")(x)

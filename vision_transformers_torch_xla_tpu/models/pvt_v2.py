@@ -157,6 +157,9 @@ class PvtV2(nn.Module):
             cur += depth
             x = _layer_norm(self.dtype, self.param_dtype,
                             f"stage_norm_{si}")(x)
+            # stage-boundary feature tap (models/features.py): spatial grid
+            self.sow("intermediates", f"stage_{si}",
+                     x.reshape(b, hh, ww, c))
             if si < len(self.depths) - 1:
                 x = x.reshape(b, hh, ww, c)
         x = x.mean(axis=1)

@@ -194,6 +194,8 @@ class RegNet(nn.Module):
                            dtype=self.dtype,
                            param_dtype=self.param_dtype,
                            name=f"stages_{si}_blocks_{bi}")(x, det)
+            # stage-boundary feature tap (models/features.py)
+            self.sow("intermediates", f"stage_{si}", x)
         if self.num_features:
             x = nn.Conv(self.num_features, (1, 1), use_bias=False,
                         dtype=self.dtype, param_dtype=self.param_dtype,

@@ -257,6 +257,8 @@ class ResNet(nn.Module):
                     x = Bottleneck(feats, cardinality=self.cardinality,
                                    base_width=self.base_width,
                                    **kwargs)(x, deterministic)
+            # stage-boundary feature tap (models/features.py)
+            self.sow("intermediates", f"stage_{stage}", x)
         x = x.mean(axis=(1, 2))
         if self.num_classes == 0:
             return x

@@ -182,6 +182,8 @@ class ResNetV2(nn.Module):
                     bit=self.bit, basic=self.basic, norm=self.norm,
                     avg_down=self.avg_down, **p,
                     name=f"stages_{si}_blocks_{bi}")(x, det)
+            # stage-boundary feature tap (models/features.py)
+            self.sow("intermediates", f"stage_{si}", x)
 
         if self.bit or self.norm == "gn":
             x = nn.relu(nn.GroupNorm(num_groups=32, epsilon=1e-5, **p,

@@ -209,6 +209,8 @@ class SwinTransformer(nn.Module):
                               param_dtype=self.param_dtype,
                               name=f"stages_{stage}_blocks_{blk}")(x, deterministic)
             cur += depth
+            # stage-boundary feature tap (models/features.py)
+            self.sow("intermediates", f"stage_{stage}", x)
         x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype,
                          param_dtype=self.param_dtype, name="norm")(x)
         x = x.mean(axis=(1, 2))

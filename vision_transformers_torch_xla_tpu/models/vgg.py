@@ -45,8 +45,13 @@ class VGG(nn.Module):
     def __call__(self, x, deterministic: bool = True):
         x = x.astype(self.dtype)
         li = 0
+        si = 0
         for v in self.cfg:
             if v == "M":
+                # stage-boundary feature tap (models/features.py): conv
+                # output just before each downsampling max-pool
+                self.sow("intermediates", f"stage_{si}", x)
+                si += 1
                 x = nn.max_pool(x, (2, 2), strides=(2, 2))
                 continue
             x = nn.Conv(int(v), (3, 3), padding=((1, 1), (1, 1)),

@@ -127,6 +127,8 @@ class VovNet(nn.Module):
                 if self.residual and bi > 0:
                     y = y + inp
                 x = y
+            # stage-boundary feature tap (models/features.py)
+            self.sow("intermediates", f"stage_{si}", x)
 
         x = jnp.mean(x, axis=(1, 2))
         if self.num_classes == 0:
