@@ -136,3 +136,38 @@ def test_zero_match_raises(tmp_path):
         pretrained_cfg_overlay=dict(file=str(tmp_path / "junk.npz")))
     with pytest.raises(ValueError, match="matched 0"):
         apply_pretrained(model, _init(model))
+
+
+def test_push_to_hf_hub_local_roundtrip(monkeypatch, tmp_path):
+    """push_to_hf_hub into a local fake hub (reference _hub.py:396-457),
+    then load back via create_model('hf-hub:...', pretrained=True)."""
+    from vision_transformers_torch_xla_tpu.models import push_to_hf_hub
+    from vision_transformers_torch_xla_tpu.models.pretrained import (
+        pretrained_state,
+    )
+
+    monkeypatch.setenv("VTX_HUB_CACHE", str(tmp_path))
+    model = create_model("vit_tiny_patch16_224", img_size=64, num_classes=10)
+    params = _init(model, seed=3)
+    dest = push_to_hf_hub(
+        params, "vit_tiny_patch16_224", "vtx-test/vit-tiny-push",
+        model_args=dict(img_size=64, num_classes=10),
+        model_card=dict(description="test push",
+                        details={"Dataset": "imagenet-1k"}))
+    assert os.path.isdir(dest)
+    readme = open(os.path.join(dest, "README.md")).read()
+    assert "image-classification" in readme and "imagenet-1k" in readme
+    m2 = create_model("hf-hub:vtx-test/vit-tiny-push", pretrained=True)
+    assert pretrained_state(m2) is not None
+    p2 = apply_pretrained(m2, _init(m2, seed=9))
+    _trees_equal(params, p2)
+
+
+def test_push_to_hf_hub_no_cache_raises(monkeypatch):
+    from vision_transformers_torch_xla_tpu.models import push_to_hf_hub
+
+    monkeypatch.delenv("VTX_HUB_CACHE", raising=False)
+    monkeypatch.delenv("HF_TOKEN", raising=False)
+    with pytest.raises(RuntimeError, match="VTX_HUB_CACHE"):
+        push_to_hf_hub({"w": np.ones((2, 2))}, "vit_tiny_patch16_224",
+                       "org/repo")

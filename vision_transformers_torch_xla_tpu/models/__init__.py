@@ -15,6 +15,7 @@ from vision_transformers_torch_xla_tpu.models.registry import (  # noqa: F401
 from vision_transformers_torch_xla_tpu.models.factory import create_model  # noqa: F401
 from vision_transformers_torch_xla_tpu.models.pretrained import (  # noqa: F401
     apply_pretrained,
+    push_to_hf_hub,
     save_local_dir,
 )
 from vision_transformers_torch_xla_tpu.models.vit import (  # noqa: F401

@@ -243,6 +243,88 @@ def save_local_dir(path: str, architecture: str, params: Any,
     return path
 
 
+def generate_readme(model_card: dict, model_name: str) -> str:
+    """Model-card README text (reference _hub.py:460-520 generate_readme
+    front-matter semantics: tags, library, license, datasets, sections)."""
+    card = model_card or {}
+    tags = card.get("tags") or ["image-classification", "vtx"]
+    lines = ["---"]
+    lines += ["tags:"] + [f"- {t}" for t in tags]
+    lines.append(f"library_name: {card.get('library_name', 'vtx')}")
+    lines.append(f"license: {card.get('license', 'apache-2.0')}")
+    details = card.get("details", {})
+    ds = details.get("Dataset")
+    if ds:
+        lines.append("datasets:")
+        for d in ds if isinstance(ds, (tuple, list)) else [ds]:
+            lines.append(f"- {d.lower()}")
+    lines.append("---")
+    lines.append(f"# Model card for {model_name}")
+    if "description" in card:
+        lines.append("")
+        lines.append(card["description"])
+    if details:
+        lines.append("")
+        lines.append("## Model Details")
+        for k, v in details.items():
+            lines.append(f"- **{k}:** {v}")
+    return "\n".join(lines) + "\n"
+
+
+def push_to_hf_hub(params: Any, architecture: str, repo_id: str,
+                   commit_message: str = "Add model",
+                   token: Optional[str] = None,
+                   private: bool = False,
+                   model_config: Optional[dict] = None,
+                   model_card: Optional[dict] = None,
+                   model_args: Optional[dict] = None,
+                   pretrained_cfg: Optional[dict] = None) -> str:
+    """Publish weights + config + model card to the HF hub (reference
+    _hub.py:396-457 push_to_hf_hub).
+
+    Two transports, picked automatically:
+      * ``huggingface_hub`` importable AND a token available — real push
+        via create_repo + upload_folder.
+      * otherwise (this image has zero egress) — "push" into the local
+        HF-style cache that ``hf-hub:`` loading resolves from:
+        $VTX_HUB_CACHE/<org--repo>/. The result round-trips through
+        ``create_model('hf-hub:org/repo', pretrained=True)``.
+
+    Returns the destination (repo URL or local path).
+    """
+    import tempfile
+
+    cfg = dict(pretrained_cfg or {})
+    cfg.update(model_config or {})
+    staging = tempfile.mkdtemp(prefix="vtx_hub_push_")
+    save_local_dir(staging, architecture, params,
+                   model_args=model_args, pretrained_cfg=cfg)
+    with open(os.path.join(staging, "README.md"), "w") as f:
+        f.write(generate_readme(model_card or {}, architecture))
+    try:
+        import huggingface_hub as hfh  # type: ignore
+        tok = token or os.environ.get("HF_TOKEN")
+        if tok:
+            url = hfh.create_repo(repo_id, token=tok, private=private,
+                                  exist_ok=True)
+            hfh.upload_folder(repo_id=repo_id, folder_path=staging,
+                              token=tok, commit_message=commit_message)
+            return str(url)
+    except ImportError:
+        pass
+    cache = os.environ.get("VTX_HUB_CACHE")
+    if not cache:
+        raise RuntimeError(
+            "push_to_hf_hub: no huggingface_hub+token for a real push and "
+            "no $VTX_HUB_CACHE for a local one. Set VTX_HUB_CACHE to a "
+            "directory to publish into the local hub cache.")
+    dest = os.path.join(cache, repo_id.replace("/", "--"))
+    os.makedirs(dest, exist_ok=True)
+    for fn in os.listdir(staging):
+        os.replace(os.path.join(staging, fn), os.path.join(dest, fn))
+    return dest
+
+
 def resolve_pretrained_cfg(model_name: str,
                            pretrained_cfg: Optional[dict] = None,
                            pretrained_cfg_overlay: Optional[dict] = None,
