@@ -1,4 +1,17 @@
-"""One-forward-per-family zoo coverage (small inputs keep CPU compiles fast)."""
+"""One-forward-per-family zoo coverage (small inputs keep CPU compiles fast).
+
+Each family forward is also pinned against a golden-logits snapshot
+(tests/golden_logits.json — VERDICT r3 task 4b): deterministic weights +
+input, full 10-class logits stored fp64, so a refactor that silently
+changes any family's semantics (stride placement, pool position, norm
+site, activation) fails the comparison. Regenerate after an INTENDED
+semantic change with:
+
+    VTX_WRITE_GOLDEN_LOGITS=1 python -m pytest tests/test_model_zoo.py --full-zoo
+"""
+import json
+import os
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -6,6 +19,9 @@ import pytest
 from flax import linen as nn
 
 from vision_transformers_torch_xla_tpu import create_model, list_models
+
+GOLDEN_LOGITS_PATH = os.path.join(os.path.dirname(__file__),
+                                  "golden_logits.json")
 
 # (name, kwargs, input hw)
 FAMILIES = [
@@ -182,6 +198,38 @@ _PARAMS = [
 ]
 
 
+def _load_golden_logits():
+    if not os.path.exists(GOLDEN_LOGITS_PATH):
+        return {}
+    with open(GOLDEN_LOGITS_PATH) as f:
+        return json.load(f)
+
+
+def _check_golden_logits(name, y):
+    """Pin family logits to the recorded snapshot (or record them).
+
+    rtol 1e-3 absorbs legitimate fp reassociation across XLA versions;
+    a semantic change moves logits wholesale, far beyond it.
+    """
+    got = np.asarray(y[0], np.float64)
+    if os.environ.get("VTX_WRITE_GOLDEN_LOGITS"):
+        golden = _load_golden_logits()
+        golden[name] = [float(v) for v in got]
+        with open(GOLDEN_LOGITS_PATH, "w") as f:
+            json.dump(golden, f, indent=0, sort_keys=True)
+        return
+    golden = _load_golden_logits()
+    if name not in golden:
+        return  # not yet recorded (new family) — param/shape audits still apply
+    want = np.asarray(golden[name], np.float64)
+    scale = max(1e-6, float(np.abs(want).max()))
+    np.testing.assert_allclose(
+        got, want, rtol=1e-3, atol=1e-3 * scale,
+        err_msg=f"{name}: logits drifted from tests/golden_logits.json — "
+                f"if the semantic change is intended, regenerate with "
+                f"VTX_WRITE_GOLDEN_LOGITS=1")
+
+
 @pytest.mark.parametrize("name,kwargs,hw", _PARAMS,
                          ids=[f[0] for f in FAMILIES])
 def test_family_forward(name, kwargs, hw):
@@ -200,6 +248,7 @@ def test_family_forward(name, kwargs, hw):
     y = m.apply(vs, x, True)
     assert y.shape == (1, 10)
     assert y.dtype == jnp.float32
+    _check_golden_logits(name, y)
     # train mode (deterministic=False): catches inverted train/deterministic
     # conventions and exercises BN batch-stats updates + dropout rng wiring
     rngs = {"dropout": jax.random.key(1), "droppath": jax.random.key(2)}

@@ -192,6 +192,31 @@ def get_feature_info(model, variables, input_shape: Sequence[int],
     return FeatureInfo(info, out_indices)
 
 
+def shape_signature(model, hw: int):
+    """Structural fingerprint of a model at input (1, hw, hw, 3): per-tap
+    feature shapes plus the logits shape, derived with jax.eval_shape
+    (zero compiles, zero FLOPs).
+
+    Used by the golden-shape audit (tools/gen_golden_shapes.py /
+    tests/test_shape_audit.py): a misplaced stride, pool, or downsample
+    changes a tap or logits shape even when the param count is untouched.
+    Returns [hw, [[tap shape...], ...], [logits shape]]; the tap list is
+    empty for trunks that sow no stage/block intermediates.
+    """
+    x = jax.ShapeDtypeStruct((1, hw, hw, 3), jnp.float32)
+    vs = jax.eval_shape(lambda xx: model.init(
+        {"params": jax.random.key(0), "droppath": jax.random.key(1)},
+        xx, True), x)
+    try:
+        y, taps = jax.eval_shape(
+            lambda v, xx: _run_with_taps(model, v, xx, True), vs, x)
+        tap_shapes = [list(t.shape) for t in taps]
+    except ValueError:          # no taps sown in this trunk
+        y = jax.eval_shape(lambda v, xx: model.apply(v, xx, True), vs, x)
+        tap_shapes = []
+    return [hw, tap_shapes, list(y.shape)]
+
+
 class FeatureListNet:
     """features_only wrapper (reference models/_features.py FeatureListNet).
 
