@@ -46,11 +46,14 @@ t_compile = time.time() - t_start
 for _ in range(2):
     state, m = step(state, images, labels, key)
 float(m["loss"])
-t0 = time.perf_counter()
-for _ in range(args.iters):
-    state, m = step(state, images, labels, key)
-float(m["loss"])
-dt = (time.perf_counter()-t0)/args.iters
+# best-of-3 chunks: drops one-off host jitter from the A/B number
+dt = float("inf")
+for _ in range(3):
+    t0 = time.perf_counter()
+    for _ in range(args.iters):
+        state, m = step(state, images, labels, key)
+    float(m["loss"])
+    dt = min(dt, (time.perf_counter()-t0)/args.iters)
 print(f"{args.model} b{args.batch} scan={args.scan} remat={args.remat} "
       f"pallas={args.pallas} pallas_mlp={args.pallas_mlp}: "
       f"setup+compile {t_compile:.0f}s, {dt*1e3:.1f} ms/step, {args.batch/dt:.0f} img/s", flush=True)

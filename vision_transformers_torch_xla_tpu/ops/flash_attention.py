@@ -486,8 +486,8 @@ def fused_attention_qkv_cols(qkv: jax.Array, num_heads: int,
     return o
 
 
-def _hp_bwd_pi_kernel(q_ref, k_ref, v_ref, do_ref, o_ref, st_ref, dpi_ref, *,
-                      scale: float, seq_len: int, d: int):
+def _hp_bwd_pi_kernel(q_ref, k_ref, v_ref, do_ref, o_ref, st_ref, dpi_ref,
+                      dbp_ref, *, scale: float, seq_len: int, d: int):
     """Backward head-pair program writing ONE pair-interleaved output block.
 
     dpi block = (G, Sp, 6D) columns [dq_pair | dk_pair | dv_pair] (2D lanes
@@ -503,7 +503,17 @@ def _hp_bwd_pi_kernel(q_ref, k_ref, v_ref, do_ref, o_ref, st_ref, dpi_ref, *,
     (Sq, Sk) matrix; the softmax-jacobian row term uses the flash identity
     rowsum(dP ⊙ P) = rowsum(dO ⊙ O) on (Sq, D) data (requires the fwd
     output O, which autodiff already keeps alive as the input of the
-    output projection — zero extra residual memory)."""
+    output projection — zero extra residual memory).
+
+    dbp is the qkv-bias gradient reduced over the SEQUENCE axis only:
+    (H/2, B, 6D) f32 per-sample partials in pair-interleaved column order
+    (same as dpi). dqkv is already in VMEM here, so the per-row sums are a
+    few VPU reductions — versus the ~1.4 GB/step HBM re-read (measured
+    2.0 ms on v5e at 82% of HBM peak, i.e. unclaimable by any
+    reduce-to-dot rewrite) that a downstream jnp.sum over dpi costs. The
+    caller finishes with a tiny (H/2, B, 6D) -> (3HD,) sum+unpermute in
+    XLA; keeping the batch axis un-reduced keeps the output shardable
+    exactly like st."""
     g, sq = q_ref.shape[0], q_ref.shape[1]
     # bool keep-mask + select (NOT an additive bias — see _hp_fwd_kernel)
     col = jax.lax.broadcasted_iota(jnp.int32, (g, sq, sq), 2)
@@ -551,6 +561,14 @@ def _hp_bwd_pi_kernel(q_ref, k_ref, v_ref, do_ref, o_ref, st_ref, dpi_ref, *,
             dk.astype(dt_)
         dpi_ref[:, :, 4 * d + half * d:4 * d + (half + 1) * d] = \
             dv.astype(dt_)
+        # per-sample qkv-bias partials: sum the fp32 gradients over the
+        # sequence axis while they are still VMEM-resident (see docstring).
+        # dq carries rinv*scale above; dk/dv folded their factors pre-dot.
+        dbp_ref[0, :, half * d:(half + 1) * d] = jnp.sum(dq, axis=1)
+        dbp_ref[0, :, 2 * d + half * d:2 * d + (half + 1) * d] = \
+            jnp.sum(dk, axis=1)
+        dbp_ref[0, :, 4 * d + half * d:4 * d + (half + 1) * d] = \
+            jnp.sum(dv, axis=1)
 
 
 def _hp_bwd_pi_call(qkv, do, o, st, scale, seq_len, h, d):
@@ -563,13 +581,17 @@ def _hp_bwd_pi_call(qkv, do, o, st, scale, seq_len, h, d):
                        memory_space=pltpu.VMEM)
     dpis = pl.BlockSpec((g, sp, 6 * d), lambda i, j: (i, 0, j),
                         memory_space=pltpu.VMEM)
+    # per-sample qkv-bias partials, head-pair-major like st: (H/2, B, 6D)
+    dbps = pl.BlockSpec((1, g, 6 * d), lambda i, j: (j, i, 0),
+                        memory_space=pltpu.VMEM)
     return pl.pallas_call(
         functools.partial(_hp_bwd_pi_kernel, scale=scale, seq_len=seq_len,
                           d=d),
         grid=(b // g, h // 2),
         in_specs=[qs, ks, vs, dos, dos, sts],
-        out_specs=dpis,
-        out_shape=jax.ShapeDtypeStruct((b, sp, 3 * h * d), qkv.dtype),
+        out_specs=(dpis, dbps),
+        out_shape=(jax.ShapeDtypeStruct((b, sp, 3 * h * d), qkv.dtype),
+                   jax.ShapeDtypeStruct((h // 2, b, 6 * d), jnp.float32)),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         cost_estimate=pl.CostEstimate(
@@ -615,8 +637,9 @@ def _qkv_proj_attention(scale: float, seq_len: int, h: int, d: int,
     bwd_p = _batch_partitioned(
         lambda qkv, do, o, st: _hp_bwd_pi_call(qkv, do, o, st, scale,
                                                seq_len, h, d),
-        out_rank=3, rule="b s c, b s o, b s o, p b s t -> b s c",
-        repl=("s", "c", "o", "t", "p"), arg_batch_dims=(0, 0, 0, 1))
+        out_rank=3, rule="b s c, b s o, b s o, p b s t -> b s c, p b v",
+        repl=("s", "c", "o", "t", "p", "v"), arg_batch_dims=(0, 0, 0, 1),
+        out_batch_dims=(0, 1))
     perm, inv = _pi_perm(h, d)
 
     def project(x, w, b):
@@ -639,7 +662,13 @@ def _qkv_proj_attention(scale: float, seq_len: int, h: int, d: int,
 
     def call_bwd(res, do):
         x, qkv, o, st, w = res
-        dpi = bwd_p(qkv, do, o, st)                # (B, S, 3HD) pair-interl.
+        # (B, S, 3HD) pair-interleaved + (H/2, B, 6D) per-sample db partials
+        dpi, dbp = bwd_p(qkv, do, o, st)
+        # pair-interleave W's columns with a static gather. (A/B'd against
+        # the reshape+transpose formulation on v5e: the gather fusion costs
+        # ~0.5 ms/step but the transpose variant regressed the whole step
+        # 104.8 -> 108.0 ms — XLA's layout choices around the transposed
+        # operand are worse than the gather.)
         wp = w[:, perm].astype(dpi.dtype)
         dx = jnp.einsum("bsc,dc->bsd", dpi, wp)
         dw_pi = jnp.einsum("bsd,bsc->dc", x, dpi,
@@ -647,7 +676,9 @@ def _qkv_proj_attention(scale: float, seq_len: int, h: int, d: int,
         dw = dw_pi[:, inv].astype(w.dtype)
         if not has_bias:
             return dx, dw
-        db = jnp.sum(dpi, axis=(0, 1), dtype=jnp.float32)[inv]
+        # finish the kernel's sequence-reduced partials: sum the batch axis
+        # (2.4 MB vs the 1.4 GB dpi re-read) and undo the pair interleave
+        db = jnp.sum(dbp, axis=1).reshape(3 * h * d)[inv]
         return dx, dw, db
 
     if has_bias:
