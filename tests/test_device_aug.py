@@ -113,3 +113,49 @@ def test_color_jitter_bounds_and_variability():
     # zero strength: identity
     c = color_jitter(jax.random.key(2), img, 0.0)
     np.testing.assert_allclose(np.asarray(c), np.asarray(img), atol=1e-6)
+
+
+def test_batched_geom_matches_per_image():
+    """Separable-matmul warps (batch path) vs the per-image gather warps:
+    shear/translate are exactly the same bilinear map (one pass each);
+    rotation is a 3-shear decomposition whose interior agrees to interp
+    tolerance."""
+    from vision_transformers_torch_xla_tpu.data.device_aug import (
+        _RA_BATCH_GEOM,
+        _shear_x,
+        _shear_y,
+        _translate_x,
+        _translate_y,
+        _rotate_batch,
+    )
+
+    imgs = jnp.asarray(np.random.default_rng(7).random((2, 24, 24, 3)),
+                       jnp.float32)
+    mag = 0.5
+    for f in (_shear_x, _shear_y, _translate_x, _translate_y):
+        got = _RA_BATCH_GEOM[f](imgs, mag)
+        want = jax.vmap(lambda im: f(im, mag))(imgs)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   atol=1e-4, err_msg=f.__name__)
+    # rotation on a SMOOTH image (random noise measures interp scheme
+    # differences, not correctness): interiors agree to interp tolerance
+    yy, xx = np.meshgrid(np.arange(24), np.arange(24), indexing="ij")
+    smooth = (np.sin(yy / 6.0) + np.cos(xx / 5.0) + 2) / 4.0
+    smooth = jnp.asarray(np.stack([smooth] * 3, -1), jnp.float32)[None]
+    a = 0.3
+    got = _rotate_batch(smooth, jnp.float32(a))
+    want = jax.vmap(lambda im: _rotate(im, a * 6 / np.pi))(smooth)
+    c = 6  # trim border (the 3-pass corners clip differently)
+    diff = np.abs(np.asarray(got) - np.asarray(want))[:, c:-c, c:-c]
+    assert diff.mean() < 5e-3 and diff.max() < 3e-2
+
+
+def test_rotate_batch_zero_is_identity():
+    from vision_transformers_torch_xla_tpu.data.device_aug import (
+        _rotate_batch,
+    )
+
+    imgs = jnp.asarray(np.random.default_rng(8).random((2, 16, 16, 3)),
+                       jnp.float32)
+    out = _rotate_batch(imgs, jnp.float32(0.0))
+    np.testing.assert_allclose(np.asarray(out), np.asarray(imgs), atol=1e-5)

@@ -13,7 +13,7 @@ from vision_transformers_torch_xla_tpu.train.state import create_train_state
 from vision_transformers_torch_xla_tpu.train.steps import StepConfig, make_train_step
 
 batch = 128
-model = create_model("my_vit_b", drop_path_rate=0.1)
+model = create_model("my_vit_b", drop_path_rate=0.1, use_pallas_attn=True)
 x = jnp.zeros((batch, 224, 224, 3), jnp.float32)
 init_fn = jax.jit(lambda k: nn.meta.unbox(model.init(k, x, True))["params"])
 params = init_fn({"params": jax.random.key(0)})
@@ -31,10 +31,12 @@ for aug in (None, DeviceAugConfig(out_size=224, randaug_layers=2)):
     labels = jnp.asarray(rng.integers(0, 1000, batch), jnp.int32)
     key = jax.random.key(0)
     state, m = step(state, images, labels, key); float(m["loss"])
-    t0 = time.perf_counter()
-    for _ in range(10):
-        state, m = step(state, images, labels, key)
-    float(m["loss"])
-    dt = (time.perf_counter() - t0) / 10
+    dt = float("inf")  # best-of-3 chunks: drops one-off host jitter
+    for _ in range(3):
+        t0 = time.perf_counter()
+        for _ in range(10):
+            state, m = step(state, images, labels, key)
+        float(m["loss"])
+        dt = min(dt, (time.perf_counter() - t0) / 10)
     print(f"device_aug={'on' if aug else 'off'}: {dt*1e3:.1f} ms/step "
           f"({batch/dt:.0f} img/s)", flush=True)

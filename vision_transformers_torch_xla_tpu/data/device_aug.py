@@ -148,6 +148,82 @@ _RA_OPS = (_rotate, _shear_x, _shear_y, _translate_x, _translate_y,
            _invert, _autocontrast, _sharpness)
 
 
+# ---------------------------------------------------------------------------
+# Batched geometric ops as separable MXU resampling
+#
+# map_coordinates lowers to gathers, which TPUs execute near-scalar: one
+# gather-warp over a ViT-B batch costs ~8 ms on v5e. A 1-D bilinear
+# resample along one axis is instead a small matmul with a weight matrix
+# built from iota — MXU work at streaming rate. Shears and translations
+# ARE single-axis resamples (per-row/per-column shifts), and a rotation
+# decomposes into three shears (Paeth): R(a) = Hx(tan a/2)·Hy(−sin a)·
+# Hx(tan a/2), applied as three resampling passes. Weight matrices depend
+# only on the per-BATCH magnitude, so they are built once per step and
+# shared across images and channels.
+# ---------------------------------------------------------------------------
+def _lerp_rows(src, n_in):
+    """Bilinear 1-D resampling weights: (..., n_out) source coords ->
+    (..., n_out, n_in). Coords outside [0, n_in-1] get all-zero rows,
+    matching map_coordinates' mode='constant' zero fill."""
+    i = jnp.arange(n_in, dtype=jnp.float32)
+    return jnp.maximum(0.0, 1.0 - jnp.abs(src[..., None] - i))
+
+
+def _shear_x_batch(imgs, s):
+    """out(y, x) = in(y, x + s·(y−cy)) for the whole (B,H,W,C) batch."""
+    _, h, w, _ = imgs.shape
+    y = jnp.arange(h, dtype=jnp.float32) - (h - 1) / 2.0
+    x = jnp.arange(w, dtype=jnp.float32)
+    wm = _lerp_rows(x[None, :] + s * y[:, None], w)        # (H, W, W)
+    return jnp.einsum("hoi,bhic->bhoc", wm.astype(imgs.dtype), imgs)
+
+
+def _shear_y_batch(imgs, s):
+    """out(y, x) = in(y + s·(x−cx), x)."""
+    _, h, w, _ = imgs.shape
+    x = jnp.arange(w, dtype=jnp.float32) - (w - 1) / 2.0
+    yv = jnp.arange(h, dtype=jnp.float32)
+    wm = _lerp_rows(yv[None, :] + s * x[:, None], h)       # (W, H, H)
+    return jnp.einsum("woi,biwc->bowc", wm.astype(imgs.dtype), imgs)
+
+
+def _translate_x_batch(imgs, frac):
+    """out(y, x) = in(y, x + frac·W): one (W, W) matrix for the batch."""
+    w = imgs.shape[2]
+    src = jnp.arange(w, dtype=jnp.float32) + frac * w
+    wm = _lerp_rows(src, w)
+    return jnp.einsum("oi,bhic->bhoc", wm.astype(imgs.dtype), imgs)
+
+
+def _translate_y_batch(imgs, frac):
+    h = imgs.shape[1]
+    src = jnp.arange(h, dtype=jnp.float32) + frac * h
+    wm = _lerp_rows(src, h)
+    return jnp.einsum("oi,bihc->bohc", wm.astype(imgs.dtype), imgs)
+
+
+def _rotate_batch(imgs, a):
+    """Paeth 3-shear rotation by angle a (same source map as _rotate):
+    f1 = Hx(tan a/2), f2 = Hy(−sin a), f3 = Hx(tan a/2) applied in order
+    gives source map Hx·Hy·Hx = R(a). One extra bilinear pass of blur vs
+    the direct 2-D warp — irrelevant for augmentation, ~10x cheaper."""
+    s1 = jnp.tan(a / 2.0)
+    imgs = _shear_x_batch(imgs, s1)
+    imgs = _shear_y_batch(imgs, -jnp.sin(a))
+    return _shear_x_batch(imgs, s1)
+
+
+# batched implementations for the geometric _RA_OPS entries (same op order
+# and magnitude scaling as the per-image versions; color ops just vmap)
+_RA_BATCH_GEOM = {
+    _rotate: lambda ims, mag: _rotate_batch(ims, mag * jnp.pi / 6),
+    _shear_x: lambda ims, mag: _shear_x_batch(ims, mag * 0.3),
+    _shear_y: lambda ims, mag: _shear_y_batch(ims, mag * 0.3),
+    _translate_x: lambda ims, mag: _translate_x_batch(ims, mag * 0.3),
+    _translate_y: lambda ims, mag: _translate_y_batch(ims, mag * 0.3),
+}
+
+
 def rand_augment(rng: jax.Array, image: jax.Array, num_layers: int = 2,
                  magnitude: float = 9.0, mag_std: float = 0.5) -> jax.Array:
     """timm-style 'rand-mN-mstdS' on device. image (H, W, C) in [0, 1].
@@ -176,8 +252,14 @@ def rand_augment_batch(rng: jax.Array, images: jax.Array,
     control flow (XLA executes exactly one branch at runtime). Trades
     per-image op diversity for a ~1000x step-cost reduction; per-image
     diversity still comes from RRC/flip and the per-batch re-draw each step.
+
+    Geometric ops run as separable MXU resampling (_RA_BATCH_GEOM) rather
+    than vmapped map_coordinates gathers — the per-batch magnitude makes
+    the resampling matrices batch-shared, so each pass is one matmul.
     """
     def batched(f):
+        if f in _RA_BATCH_GEOM:
+            return _RA_BATCH_GEOM[f]
         return lambda ims, mag: jax.vmap(lambda im: f(im, mag))(ims)
 
     ops = [batched(f) for f in _RA_OPS]
