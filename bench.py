@@ -81,7 +81,7 @@ class _ModelBench:
     """One model's bench harness: state factory + timed step runner."""
 
     def __init__(self, name: str, batch: int, img: int, *, smoke: bool,
-                 **model_kw):
+                 device_aug: bool = False, **model_kw):
         from flax import linen as nn
 
         from vision_transformers_torch_xla_tpu import create_model
@@ -121,17 +121,28 @@ class _ModelBench:
                                         ema_decay=0.9999)
         assert self.tx is not None
         del params
+        aug_cfg = None
+        if device_aug:
+            from vision_transformers_torch_xla_tpu.data.device_aug import (
+                DeviceAugConfig,
+            )
+
+            aug_cfg = DeviceAugConfig(out_size=img, randaug_layers=2)
         self.cfg = StepConfig(mixup=MixupConfig(num_classes=1000),
                               num_classes=1000, ema_decay=0.9999,
-                              lr_schedule=None)
+                              lr_schedule=None, device_aug=aug_cfg)
         self._make_train_step = make_train_step
         self._create_train_state = create_train_state
 
         import numpy as np
 
         rng = np.random.default_rng(0)
-        self.images = jnp.asarray(rng.normal(size=(batch, img, img, 3)),
-                                  jnp.float32)
+        # aug-on feeds raw [0,1] frames slightly larger than the crop, as
+        # the real loader does (native decode -> device RRC to `img`)
+        in_size = img + 32 if device_aug else img
+        self.images = jnp.asarray(
+            rng.random((batch, in_size, in_size, 3)) if device_aug
+            else rng.normal(size=(batch, img, img, 3)), jnp.float32)
         self.labels = jnp.asarray(rng.integers(0, 1000, batch), jnp.int32)
         self.key = jax.random.key(0)
 
@@ -214,7 +225,11 @@ def main():
 
     bench_model = (b.model.clone(use_pallas_mlp=True)
                    if mlp_variant == "pallas" else b.model)
-    step_time, final_loss = b.timed_run(bench_model, 20)
+    # 60 iters/chunk: each chunk's wall time includes one pipeline fill
+    # (~1 tunnel RTT ≈ 30 ms before the device queue is primed) — at 20
+    # iters that leaves ~1.5 ms/step of launch latency in the reading vs
+    # the profiler-measured 103.8 ms module span; 60 bounds it at ~0.5 ms
+    step_time, final_loss = b.timed_run(bench_model, 60 if not smoke else 20)
     ips = b.batch / step_time
     flops_b = vit_train_flops_per_image(img=64 if smoke else 224,
                                         dim=b.model.embed_dim,
@@ -234,12 +249,31 @@ def main():
         "mlp_variant": mlp_variant,
     }
 
+    # Flagship config with on-device augmentation (the real recipe runs
+    # RRC+flip+RandAugment; VERDICT r3 task 7 asks for this driver-visible):
+    # same step plus the jitted aug prologue on raw 256px frames.
+    if not smoke:
+        try:
+            ba = _ModelBench("my_vit_b", batch=128, img=224, smoke=False,
+                             device_aug=True)
+            at, _ = ba.timed_run(
+                ba.model.clone(use_pallas_mlp=True)
+                if mlp_variant == "pallas" else ba.model, 30)
+            result.update({
+                "device_aug_step_time_ms": round(at * 1e3, 2),
+                "device_aug_gap_ms": round((at - step_time) * 1e3, 2),
+                "device_aug_images_per_sec": round(ba.batch / at, 2),
+            })
+        except Exception as e:  # noqa: BLE001 — never lose the headline
+            print(f"bench: device-aug pass failed ({type(e).__name__}: {e})",
+                  file=sys.stderr)
+
     # Large-model regime (VERDICT r3 task 8): ViT-L/16 @ batch 64, same
     # step, recorded on the same line so the driver artifact carries it.
     if not smoke:
         try:
             bl = _ModelBench("my_vit_l", batch=64, img=224, smoke=False)
-            lt, _ = bl.timed_run(bl.model, 10)
+            lt, _ = bl.timed_run(bl.model, 30)
             l_ips = bl.batch / lt
             l_mfu = (l_ips * vit_train_flops_per_image(dim=1024, depth=24)
                      / _peak_flops_per_sec(device))
