@@ -339,6 +339,7 @@ def _hp_fwd_stats_call(qkv, scale, seq_len, h, d):
         out_shape=(jax.ShapeDtypeStruct((b, sp, h * d), qkv.dtype),
                    jax.ShapeDtypeStruct((h // 2, b, sp, 4), jnp.float32)),
         compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel"),
             vmem_limit_bytes=100 * 1024 * 1024),
         cost_estimate=pl.CostEstimate(
             flops=4 * b * h * sp * sp * d,
@@ -593,6 +594,7 @@ def _hp_bwd_pi_call(qkv, do, o, st, scale, seq_len, h, d):
         out_shape=(jax.ShapeDtypeStruct((b, sp, 3 * h * d), qkv.dtype),
                    jax.ShapeDtypeStruct((h // 2, b, 6 * d), jnp.float32)),
         compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel"),
             vmem_limit_bytes=100 * 1024 * 1024),
         cost_estimate=pl.CostEstimate(
             flops=10 * b * h * sp * sp * d,
