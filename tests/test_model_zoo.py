@@ -51,6 +51,15 @@ FAMILIES = [
                                    num_heads=2), 56),
     ("vit_medium_patch16_rope_reg1_gap_256",
      dict(img_size=64, embed_dim=64, depth=2, num_heads=2), 64),
+    # NaFlexVit (reference models/naflexvit.py): masked-avg + MAP pool
+    # variants; standard-image path here, NaFlex token path in
+    # tests/test_naflexvit.py
+    ("naflexvit_base_patch16_gap",
+     dict(img_size=64, embed_dim=64, depth=2, num_heads=2), 64),
+    ("naflexvit_base_patch16_map",
+     dict(img_size=64, embed_dim=64, depth=2, num_heads=2), 64),
+    ("naflexvit_base_patch16_parfac_gap",
+     dict(img_size=64, embed_dim=64, depth=2, num_heads=2), 64),
     # metaformer family: v1 (pool/GroupNorm1/LayerScale), v2 StarReLU
     # variants incl. the sep+attn caformer path with ResScale + MlpHead
     ("poolformer_s12", dict(depths=(1, 1, 1, 1),
@@ -185,6 +194,9 @@ CORE = {
     "resnet18d", "cspresnet50", "tresnet_m",
     "hgnetv2_b0", "repvgg_a0", "halonet26t", "tf_efficientnetv2_b0",
     "vit_medium_patch16_rope_reg1_gap_256",
+    "naflexvit_base_patch16_gap",
+    # (naflexvit map + parfac variants ride --full-zoo; the gap one covers
+    # the masked-pool + coordinate pos-embed code in the default suite)
     # dropped from the default set (slowest single-core compiles, classes
     # still covered: effnet builder by tf_efficientnetv2_b0, windowed by
     # swinv2, conv-attn hybrids by halonet/volo, token-mix by mixer):

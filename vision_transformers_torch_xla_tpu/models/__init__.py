@@ -26,6 +26,7 @@ from vision_transformers_torch_xla_tpu.models.vit import (  # noqa: F401
 # eager registrations (parity: reference models/__init__.py:11-12 registers
 # only the ViT family; ConvNeXt is the other family its CLI accepts)
 import vision_transformers_torch_xla_tpu.models.vision_transformer_zoo  # noqa: F401,E402
+import vision_transformers_torch_xla_tpu.models.naflexvit  # noqa: F401,E402
 import vision_transformers_torch_xla_tpu.models.my_vit  # noqa: F401,E402
 import vision_transformers_torch_xla_tpu.models.convnext  # noqa: F401,E402
 import vision_transformers_torch_xla_tpu.models.deit  # noqa: F401,E402

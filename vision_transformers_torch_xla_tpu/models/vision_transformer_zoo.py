@@ -293,6 +293,28 @@ VARIANTS = {
 }
 
 
+def _build_vit(cfg):
+    """Classic-ViT build with the `use_naflex` delegation hook: any vit_*
+    name can route through NaFlexVit (reference
+    vision_transformer.py:2650-2664 — TIMM_USE_NAFLEXVIT env default,
+    per-call `use_naflex=` override)."""
+    import os
+
+    use_naflex = cfg.pop("use_naflex", None)
+    if use_naflex is None:
+        use_naflex = (
+            os.environ.get("VTX_USE_NAFLEXVIT",
+                           os.environ.get("TIMM_USE_NAFLEXVIT", "false"))
+            .lower() == "true")
+    if use_naflex:
+        from vision_transformers_torch_xla_tpu.models.naflexvit import (
+            from_classic_cfg,
+        )
+
+        return from_classic_cfg(**cfg)
+    return VisionTransformer(**cfg)
+
+
 def _make_entrypoint(name, width_key, patch, img, extra):
     base_dim, base_depth, base_heads = _W[width_key]
 
@@ -302,7 +324,7 @@ def _make_entrypoint(name, width_key, patch, img, extra):
                    depth=base_depth, num_heads=base_heads)
         cfg.update(extra)
         cfg.update(kw)
-        return VisionTransformer(**cfg)
+        return _build_vit(cfg)
 
     entrypoint.__name__ = name
     entrypoint.__qualname__ = name
@@ -329,7 +351,7 @@ def _vit_extra(name, **cfg):
         kw = {k: v for k, v in kw.items() if v is not None}
         merged = dict(cfg)
         merged.update(kw)
-        return VisionTransformer(**merged)
+        return _build_vit(merged)
 
     build.__name__ = name
     build.__qualname__ = name

@@ -338,6 +338,11 @@ def _hp_fwd_stats_call(qkv, scale, seq_len, h, d):
         out_specs=(os_, sts),
         out_shape=(jax.ShapeDtypeStruct((b, sp, h * d), qkv.dtype),
                    jax.ShapeDtypeStruct((h // 2, b, sp, 4), jnp.float32)),
+        # dimension_semantics: semantically safe (grid programs write
+        # disjoint blocks, no cross-step accumulation); in-step A/B on the
+        # v5e chip measured NEUTRAL (104.33 ms/step with vs 104.36-104.43
+        # without, r5 bench at HEAD) — kept on the two hottest kernels
+        # where the A/B ran; sibling calls omit it (no measured benefit)
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel"),
             vmem_limit_bytes=100 * 1024 * 1024),
@@ -593,6 +598,8 @@ def _hp_bwd_pi_call(qkv, do, o, st, scale, seq_len, h, d):
         out_specs=(dpis, dbps),
         out_shape=(jax.ShapeDtypeStruct((b, sp, 3 * h * d), qkv.dtype),
                    jax.ShapeDtypeStruct((h // 2, b, 6 * d), jnp.float32)),
+        # dimension_semantics: measured NEUTRAL in-step at HEAD (see the
+        # matching note on _hp_fwd_stats_call); safe, kept, not propagated
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel"),
             vmem_limit_bytes=100 * 1024 * 1024),
