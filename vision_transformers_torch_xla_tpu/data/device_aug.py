@@ -91,13 +91,15 @@ def _shear_y(img, mag):
 
 
 def _translate_x(img, mag):
+    # timm TranslateXRel: pct = level/10 * 0.45 (auto_augment.py hparam
+    # translate_pct default)
     return _affine_sample(img, jnp.eye(2),
-                          jnp.array([0.0, mag * 0.3 * img.shape[1]]))
+                          jnp.array([0.0, mag * 0.45 * img.shape[1]]))
 
 
 def _translate_y(img, mag):
     return _affine_sample(img, jnp.eye(2),
-                          jnp.array([mag * 0.3 * img.shape[0], 0.0]))
+                          jnp.array([mag * 0.45 * img.shape[0], 0.0]))
 
 
 def _brightness(img, mag):
@@ -115,14 +117,22 @@ def _color(img, mag):
 
 
 def _posterize(img, mag):
-    bits = (8 - jnp.round(jnp.abs(mag) * 4)).astype(jnp.int32)
-    levels = 2.0 ** bits.astype(jnp.float32)
+    # timm PosterizeIncreasing (the rand-...-inc1 policy): keep
+    # bits = 4 - int(level/10 * 4) high bits; harsher as level rises
+    bits = 4.0 - jnp.floor(jnp.abs(mag) * 4.0)
+    levels = jnp.maximum(2.0 ** bits, 1.0)
     return jnp.floor(img * levels) / levels
 
 
 def _solarize(img, mag):
     thresh = 1.0 - jnp.abs(mag)
     return jnp.where(img >= thresh, 1.0 - img, img)
+
+
+def _solarize_add(img, mag):
+    # timm SolarizeAdd: add int(level/10*110) below the fixed 128 threshold
+    add = jnp.abs(mag) * 110.0 / 255.0
+    return jnp.where(img < 0.5, jnp.clip(img + add, 0.0, 1.0), img)
 
 
 def _invert(img, mag):
@@ -135,6 +145,30 @@ def _autocontrast(img, mag):
     return (img - lo) / jnp.maximum(hi - lo, 1e-5)
 
 
+def _equalize(img, mag):
+    """PIL/TF-EfficientNet histogram equalization per channel.
+
+    Same LUT construction as the TF reference implementation timm's
+    tf-style RandAugment uses (and data/pp_ops.py's TF-side op):
+    step = (sum(h) - h[-1]) // 255; lut = (cumsum(h) + step//2) // step,
+    shifted by one bin; identity when step == 0.
+    """
+    q = jnp.clip(jnp.floor(img * 255.0 + 0.5), 0.0, 255.0).astype(jnp.int32)
+
+    def one_channel(ch):
+        h = jnp.zeros((256,), jnp.int32).at[ch.reshape(-1)].add(1)
+        step = (h.sum() - h[255]) // 255
+        lut = (jnp.cumsum(h) + step // 2) // jnp.maximum(step, 1)
+        lut = jnp.concatenate([jnp.zeros((1,), lut.dtype), lut[:-1]])
+        lut = jnp.clip(lut, 0, 255)
+        out = lut[ch.reshape(-1)].reshape(ch.shape)
+        return jnp.where(step == 0, ch, out)
+
+    eq = jnp.stack([one_channel(q[..., c]) for c in range(img.shape[-1])],
+                   axis=-1)
+    return eq.astype(img.dtype) / 255.0
+
+
 def _sharpness(img, mag):
     k = jnp.asarray([[1, 1, 1], [1, 5, 1], [1, 1, 1]], jnp.float32) / 13.0
     blurred = jax.vmap(
@@ -143,9 +177,39 @@ def _sharpness(img, mag):
     return jnp.clip(img + (img - blurred) * mag * 0.9, 0.0, 1.0)
 
 
+# the 15 ops of timm's default 'rand-*' policy (auto_augment.py
+# rand_augment_ops, increasing transforms): AutoContrast, Equalize,
+# Invert, Rotate, Posterize, Solarize, SolarizeAdd, Color, Contrast,
+# Brightness, Sharpness, ShearX, ShearY, TranslateXRel, TranslateYRel
 _RA_OPS = (_rotate, _shear_x, _shear_y, _translate_x, _translate_y,
            _brightness, _contrast, _color, _posterize, _solarize,
-           _invert, _autocontrast, _sharpness)
+           _solarize_add, _equalize, _invert, _autocontrast, _sharpness)
+RA_OP_NAMES = ("Rotate", "ShearX", "ShearY", "TranslateXRel",
+               "TranslateYRel", "Brightness", "Contrast", "Color",
+               "Posterize", "Solarize", "SolarizeAdd", "Equalize",
+               "Invert", "AutoContrast", "Sharpness")
+
+
+def sample_ra_layer(rng, magnitude: float, mag_std: float,
+                    num_ops: int, apply_prob: float = 0.5):
+    """One RandAugment layer draw with timm's exact grammar
+    (timm auto_augment.py AugmentOp.__call__ / rand_augment_ops):
+
+      * level ~ N(magnitude, mag_std), clipped to [0, _LEVEL_DENOM=10],
+        normalized to [0, 1]
+      * ops are chosen uniformly; each APPLIES with prob 0.5 (the policy's
+        AugmentOp prob) — returns op_idx == num_ops for the identity case
+      * sign flips with prob 0.5 (timm _randomly_negate)
+
+    Returns (op_idx, signed_mag).
+    """
+    k_op, k_mag, k_sign, k_apply = jax.random.split(rng, 4)
+    level = magnitude + jax.random.normal(k_mag) * mag_std
+    level = jnp.clip(level, 0.0, 10.0) / 10.0
+    mag = level * jnp.where(jax.random.bernoulli(k_sign), 1.0, -1.0)
+    op_idx = jnp.where(jax.random.bernoulli(k_apply, apply_prob),
+                       jax.random.randint(k_op, (), 0, num_ops), num_ops)
+    return op_idx, mag
 
 
 # ---------------------------------------------------------------------------
@@ -219,8 +283,8 @@ _RA_BATCH_GEOM = {
     _rotate: lambda ims, mag: _rotate_batch(ims, mag * jnp.pi / 6),
     _shear_x: lambda ims, mag: _shear_x_batch(ims, mag * 0.3),
     _shear_y: lambda ims, mag: _shear_y_batch(ims, mag * 0.3),
-    _translate_x: lambda ims, mag: _translate_x_batch(ims, mag * 0.3),
-    _translate_y: lambda ims, mag: _translate_y_batch(ims, mag * 0.3),
+    _translate_x: lambda ims, mag: _translate_x_batch(ims, mag * 0.45),
+    _translate_y: lambda ims, mag: _translate_y_batch(ims, mag * 0.45),
 }
 
 
@@ -228,17 +292,19 @@ def rand_augment(rng: jax.Array, image: jax.Array, num_layers: int = 2,
                  magnitude: float = 9.0, mag_std: float = 0.5) -> jax.Array:
     """timm-style 'rand-mN-mstdS' on device. image (H, W, C) in [0, 1].
 
+    Grammar matches timm auto_augment.py exactly (see sample_ra_layer):
+    level/10 normalization, 0.5 apply-prob per layer, random sign.
+
     NOTE: per-image use under vmap is SLOW — vmapped lax.switch executes
     every branch (measured 11 s/step for ViT-B b128). Batched training goes
     through `rand_augment_batch` below instead.
     """
     for layer in range(num_layers):
-        k_op, k_mag, k_sign, rng = jax.random.split(rng, 4)
-        op_idx = jax.random.randint(k_op, (), 0, len(_RA_OPS))
-        mag = (magnitude + jax.random.normal(k_mag) * mag_std) / 30.0
-        mag = jnp.clip(mag, 0.0, 1.0) * jnp.where(
-            jax.random.bernoulli(k_sign), 1.0, -1.0)
+        k_layer, rng = jax.random.split(rng)
+        op_idx, mag = sample_ra_layer(k_layer, magnitude, mag_std,
+                                      len(_RA_OPS))
         branches = [lambda im, f=f: f(im, mag) for f in _RA_OPS]
+        branches.append(lambda im: im)  # apply-prob identity
         image = jax.lax.switch(op_idx, branches, image)
     return image
 
@@ -264,12 +330,10 @@ def rand_augment_batch(rng: jax.Array, images: jax.Array,
 
     ops = [batched(f) for f in _RA_OPS]
     for layer in range(num_layers):
-        k_op, k_mag, k_sign, rng = jax.random.split(rng, 4)
-        op_idx = jax.random.randint(k_op, (), 0, len(ops))
-        mag = (magnitude + jax.random.normal(k_mag) * mag_std) / 30.0
-        mag = jnp.clip(mag, 0.0, 1.0) * jnp.where(
-            jax.random.bernoulli(k_sign), 1.0, -1.0)
+        k_layer, rng = jax.random.split(rng)
+        op_idx, mag = sample_ra_layer(k_layer, magnitude, mag_std, len(ops))
         branches = [lambda ims, f=f: f(ims, mag) for f in ops]
+        branches.append(lambda ims: ims)  # apply-prob identity
         images = jax.lax.switch(op_idx, branches, images)
     return images
 
