@@ -22,8 +22,11 @@ def test_param_tree_structure(tiny):
     m, vs, _ = tiny
     p = vs["params"]
     for key in ["patch_embed", "cls_token", "pos_embed", "blocks_0",
-                "blocks_1", "norm", "fc_norm", "head"]:
+                "blocks_1", "norm", "head"]:
         assert key in p, key
+    # token pool (timm default): trunk norm active, fc_norm Identity —
+    # the two are mutually exclusive (reference :564-618)
+    assert "fc_norm" not in p
     # seq = (32/16)^2 + 1 cls = 5
     assert p["pos_embed"].value.shape == (1, 5, 64)
     assert p["blocks_0"]["attn"]["qkv"]["kernel"].value.shape == (64, 192)

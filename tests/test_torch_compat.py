@@ -26,8 +26,9 @@ def _timm_like_sd(dim=64, depth=2, heads=2, patch=16, seq=5, classes=10):
         "pos_embed": t(1, seq, dim),
         "patch_embed.proj.weight": t(dim, 3, patch, patch),
         "patch_embed.proj.bias": t(dim),
+        # token-pool timm ViT: trunk-final norm only (fc_norm is Identity
+        # unless global_pool is avg/avgmax/max — reference :564-618)
         "norm.weight": t(dim), "norm.bias": t(dim),
-        "fc_norm.weight": t(dim), "fc_norm.bias": t(dim),
         "head.weight": t(classes, dim), "head.bias": t(classes),
     }
     for i in range(depth):

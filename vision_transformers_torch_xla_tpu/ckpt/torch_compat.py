@@ -61,6 +61,10 @@ def convert_vit_state_dict(sd: Dict[str, Any]) -> Dict[str, Any]:
                 w.transpose(2, 3, 1, 0).reshape(kh * kw * c, d))
         elif name == "patch_embed.proj.bias":
             put(("patch_embed", "proj", "bias"), w)
+        elif m := re.match(r"patch_embed\.norm\.(weight|bias)", name):
+            # embed_norm (aimv2; reference embed_norm_layer)
+            put(("patch_embed", "norm",
+                 "scale" if m.group(1) == "weight" else "bias"), w)
         elif m := re.match(r"blocks\.(\d+)\.(.+)", name):
             i, rest = m.group(1), m.group(2)
             blk = f"blocks_{i}"
@@ -73,9 +77,14 @@ def convert_vit_state_dict(sd: Dict[str, Any]) -> Dict[str, Any]:
                     put((blk, "attn", sub, "kernel"), w.T)
                 else:
                     put((blk, "attn", sub, "bias"), w)
-            elif m2 := re.match(r"attn\.(q_norm|k_norm)\.(weight|bias)", rest):
+            elif m2 := re.match(r"attn\.(q_norm|k_norm|norm)\.(weight|bias)",
+                                rest):
                 put((blk, "attn", m2.group(1),
                      "scale" if m2.group(2) == "weight" else "bias"), w)
+            elif m2 := re.match(r"mlp\.norm\.(weight|bias)", rest):
+                # scale_mlp_norm (beit3 remaps)
+                put((blk, "mlp", "norm",
+                     "scale" if m2.group(1) == "weight" else "bias"), w)
             elif m2 := re.match(r"mlp\.(fc1|fc2)\.(weight|bias)", rest):
                 sub, kind = m2.group(1), m2.group(2)
                 if kind == "weight":
@@ -88,6 +97,16 @@ def convert_vit_state_dict(sd: Dict[str, Any]) -> Dict[str, Any]:
                 log.warning("unmapped block param %s", name)
         elif m := re.match(r"(norm|fc_norm)\.(weight|bias)", name):
             put((m.group(1), "scale" if m.group(2) == "weight" else "bias"), w)
+        elif name == "attn_pool.latent":
+            put(("attn_pool", "latent"), w)
+        elif m := re.match(r"attn_pool\.(q|kv|proj|mlp\.fc1|mlp\.fc2)"
+                           r"\.(weight|bias)", name):
+            sub, kind = m.group(1).split("."), m.group(2)
+            put(("attn_pool", *sub, "kernel" if kind == "weight" else "bias"),
+                w.T if kind == "weight" else w)
+        elif m := re.match(r"attn_pool\.norm\.(weight|bias)", name):
+            put(("attn_pool", "norm",
+                 "scale" if m.group(1) == "weight" else "bias"), w)
         elif m := re.match(r"head\.(weight|bias)", name):
             if m.group(1) == "weight":
                 put(("head", "kernel"), w.T)

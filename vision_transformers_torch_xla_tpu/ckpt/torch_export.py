@@ -122,7 +122,11 @@ def export_vit_state_dict(variables: Dict[str, Any]) -> Dict[str, np.ndarray]:
         if top in ("cls_token", "dist_token", "reg_token", "pos_embed"):
             sd[top] = w
         elif top == "patch_embed":
-            if path[-1] == "kernel":
+            if path[1] == "norm":
+                # embed_norm (aimv2 towers: reference embed_norm_layer)
+                sd["patch_embed.norm."
+                   + ("weight" if path[-1] == "scale" else "bias")] = w
+            elif path[-1] == "kernel":
                 kk, d = w.shape
                 p = int(round((kk // 3) ** 0.5))
                 sd["patch_embed.proj.weight"] = \
@@ -139,7 +143,7 @@ def export_vit_state_dict(variables: Dict[str, Any]) -> Dict[str, np.ndarray]:
                 sd[pre + f"{mod}.gamma"] = w
             elif mod == "attn":
                 sub = path[2]
-                if sub in ("q_norm", "k_norm"):
+                if sub in ("q_norm", "k_norm", "norm"):
                     sd[pre + f"attn.{sub}."
                        + ("weight" if path[3] == "scale" else "bias")] = w
                 else:
@@ -148,10 +152,27 @@ def export_vit_state_dict(variables: Dict[str, Any]) -> Dict[str, np.ndarray]:
                         w.T if path[3] == "kernel" else w
             elif mod == "mlp":
                 sd[pre + f"mlp.{path[2]}."
-                   + ("weight" if path[3] == "kernel" else "bias")] = \
+                   + ("weight" if path[3] in ("kernel",) else
+                      "weight" if path[3] == "scale" else "bias")] = \
                     w.T if path[3] == "kernel" else w
             else:
                 raise ValueError(f"vit export: unmapped {path}")
+        elif top == "attn_pool":
+            # MAP head (timm AttentionPoolLatent; reference :603-618)
+            sub = path[1]
+            if sub == "latent":
+                sd["attn_pool.latent"] = w
+            elif sub == "mlp":
+                sd[f"attn_pool.mlp.{path[2]}."
+                   + ("weight" if path[3] == "kernel" else "bias")] = \
+                    w.T if path[3] == "kernel" else w
+            elif sub == "norm":
+                sd["attn_pool.norm."
+                   + ("weight" if path[2] == "scale" else "bias")] = w
+            else:  # q / kv / proj
+                sd[f"attn_pool.{sub}."
+                   + ("weight" if path[2] == "kernel" else "bias")] = \
+                    w.T if path[2] == "kernel" else w
         elif top in ("norm", "fc_norm", "norm_pre"):
             sd[f"{top}." + ("weight" if path[1] == "scale" else "bias")] = w
         elif top in ("head", "head_dist"):

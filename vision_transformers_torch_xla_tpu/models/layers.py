@@ -64,7 +64,9 @@ def _layer_norm(dtype, param_dtype, name: str, eps: float = 1e-6,
 def act_fn(name: str) -> Callable:
     """Activation by timm name (reference act_layer= strings)."""
     table = {
-        "gelu": lambda x: nn.gelu(x, approximate=True),
+        # timm's GELU is torch nn.GELU = exact erf; "gelu_tanh" is the
+        # tanh approximation (timm act string of the same name)
+        "gelu": lambda x: nn.gelu(x, approximate=False),
         "gelu_tanh": lambda x: nn.gelu(x, approximate=True),
         "gelu_exact": lambda x: nn.gelu(x, approximate=False),
         "quick_gelu": lambda x: x * nn.sigmoid(1.702 * x),
@@ -107,6 +109,11 @@ class PatchEmbed(nn.Module):
     patch_size: int = 16
     embed_dim: int = 768
     use_bias: bool = True
+    use_norm: bool = False        # norm after proj (timm embed_norm_layer,
+    # reference vision_transformer.py:548-560 embed_args['norm_layer'] —
+    # aimv2 towers normalize patch tokens inside the embed)
+    norm_type: str = "layernorm"
+    norm_eps: float = 1e-6
     dtype: Dtype = jnp.bfloat16
     param_dtype: Dtype = jnp.float32
 
@@ -126,6 +133,9 @@ class PatchEmbed(nn.Module):
         x = x.transpose(0, 1, 3, 2, 4, 5).reshape(b, gh * gw, p * p * c)
         x = _dense(self.embed_dim, ("patch", "embed"), self.use_bias,
                    self.dtype, self.param_dtype, "proj")(x)
+        if self.use_norm:
+            x = _layer_norm(self.dtype, self.param_dtype, "norm",
+                            eps=self.norm_eps, norm_type=self.norm_type)(x)
         return x
 
 
@@ -172,6 +182,10 @@ class Mlp(nn.Module):
     use_bias: bool = True
     act: str = "gelu"
     glu: bool = False
+    use_norm: bool = False        # norm between act and fc2 (timm Mlp
+    # norm_layer; reference Block scale_mlp_norm — beit3 remaps)
+    norm_type: str = "layernorm"
+    norm_eps: float = 1e-6
     use_pallas: bool = False
     dtype: Dtype = jnp.bfloat16
     param_dtype: Dtype = jnp.float32
@@ -180,8 +194,10 @@ class Mlp(nn.Module):
     def __call__(self, x: jax.Array, deterministic: bool = True) -> jax.Array:
         # glu needs an even fc1 width to split into two gates
         hidden = self.hidden_dim // 2 * 2 if self.glu else self.hidden_dim
-        if (self.use_pallas and not self.glu
-                and self.act in ("gelu", "gelu_tanh")
+        # the fused kernel computes the tanh approximation internally —
+        # only route acts with those semantics through it
+        if (self.use_pallas and not self.glu and not self.use_norm
+                and self.act == "gelu_tanh"
                 and self.dropout == 0.0 and x.ndim == 3
                 and x.shape[-1] % 128 == 0 and hidden % 128 == 0
                 and self.out_dim % 128 == 0):
@@ -200,6 +216,10 @@ class Mlp(nn.Module):
         else:
             x = act_fn(self.act)(x)
         x = nn.Dropout(self.dropout)(x, deterministic=deterministic)
+        if self.use_norm:
+            # timm Mlp: fc1 -> act -> drop1 -> norm -> fc2 -> drop2
+            x = _layer_norm(self.dtype, self.param_dtype, "norm",
+                            eps=self.norm_eps, norm_type=self.norm_type)(x)
         x = self._dense_dot_db(self.out_dim, ("mlp", "embed"), "fc2", x)
         x = nn.Dropout(self.dropout)(x, deterministic=deterministic)
         return x
@@ -254,8 +274,13 @@ class Attention(nn.Module):
     num_heads: int
     qkv_bias: bool = True
     qk_norm: bool = False
+    scale_norm: bool = False      # norm on the merged heads before proj
+    # (timm Attention scale_norm; reference Block scale_attn_norm)
+    proj_bias: bool = True
     attn_drop: float = 0.0
     proj_drop: float = 0.0
+    norm_type: str = "layernorm"
+    norm_eps: float = 1e-6
     use_pallas: bool = False
     dtype: Dtype = jnp.bfloat16
     param_dtype: Dtype = jnp.float32
@@ -309,10 +334,12 @@ class Attention(nn.Module):
             qkv = qkv.reshape(b, s, 3, h, hd).transpose(2, 0, 3, 1, 4)
             q, k, v = qkv[0], qkv[1], qkv[2]
             if self.qk_norm:
-                q = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype,
-                                 param_dtype=self.param_dtype, name="q_norm")(q)
-                k = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype,
-                                 param_dtype=self.param_dtype, name="k_norm")(k)
+                q = _layer_norm(self.dtype, self.param_dtype, "q_norm",
+                                eps=self.norm_eps,
+                                norm_type=self.norm_type)(q)
+                k = _layer_norm(self.dtype, self.param_dtype, "k_norm",
+                                eps=self.norm_eps,
+                                norm_type=self.norm_type)(k)
             if attn_dropping:
                 # dropout on the softmax probabilities (timm Attention
                 # semantics, reference vision_transformer.py via _compat)
@@ -328,6 +355,11 @@ class Attention(nn.Module):
                                          use_pallas=False)
             o = o.transpose(0, 2, 1, 3)
         o = o.reshape(b, s, d)
+        if self.scale_norm:
+            # timm Attention: norm on the merged heads before proj
+            # (reference vision_transformer.py Block scale_attn_norm)
+            o = _layer_norm(self.dtype, self.param_dtype, "norm",
+                            eps=self.norm_eps, norm_type=self.norm_type)(o)
         if pallas_ok and s <= _MAX_VMEM_SEQ:
             # perf path: same math as nn.Dense, but the bias grad reduces
             # via an MXU dot (ops/bias_grad.py) — the XLA loop-fusion
@@ -337,12 +369,14 @@ class Attention(nn.Module):
                 bias_add,
             )
 
-            w_p, b_p = _DenseParams(d, True, ("qkv_out", "embed"),
+            w_p, b_p = _DenseParams(d, self.proj_bias, ("qkv_out", "embed"),
                                     self.param_dtype, name="proj")(d)
-            o = bias_add(jnp.einsum("bsc,cd->bsd", o.astype(self.dtype),
-                                    w_p.astype(self.dtype)), b_p)
+            o = jnp.einsum("bsc,cd->bsd", o.astype(self.dtype),
+                           w_p.astype(self.dtype))
+            if b_p is not None:
+                o = bias_add(o, b_p)
         else:
-            o = _dense(d, ("qkv_out", "embed"), True, self.dtype,
+            o = _dense(d, ("qkv_out", "embed"), self.proj_bias, self.dtype,
                        self.param_dtype, "proj")(o)
         o = nn.Dropout(self.proj_drop)(o, deterministic=deterministic)
         return o
@@ -375,6 +409,10 @@ class Block(nn.Module):
     mlp_ratio: float = 4.0
     qkv_bias: bool = True
     qk_norm: bool = False
+    scale_attn_norm: bool = False  # norm before attn proj (beit3 remaps)
+    scale_mlp_norm: bool = False   # norm between mlp act and fc2
+    proj_bias: bool = True         # attn proj + mlp fc biases (timm
+    # Block proj_bias; aimv2 towers disable it)
     init_values: Optional[float] = None
     drop_path_rate: float = 0.0
     proj_drop: float = 0.0
@@ -384,6 +422,7 @@ class Block(nn.Module):
     act: str = "gelu"
     glu: bool = False
     norm_type: str = "layernorm"
+    norm_eps: float = 1e-6
     mlp_hidden: Optional[int] = None  # overrides dim*mlp_ratio (channel
     # pruning, models/prune.py — reference models/_prune.py:116)
     dtype: Dtype = jnp.bfloat16
@@ -401,11 +440,14 @@ class Block(nn.Module):
         d = x.shape[-1]
         attn_out = Attention(
             num_heads=self.num_heads, qkv_bias=self.qkv_bias,
-            qk_norm=self.qk_norm, attn_drop=self.attn_drop,
-            proj_drop=self.proj_drop, use_pallas=self.use_pallas,
+            qk_norm=self.qk_norm, scale_norm=self.scale_attn_norm,
+            proj_bias=self.proj_bias, attn_drop=self.attn_drop,
+            proj_drop=self.proj_drop, norm_type=self.norm_type,
+            norm_eps=self.norm_eps, use_pallas=self.use_pallas,
             dtype=self.dtype, param_dtype=self.param_dtype, name="attn",
         )(_layer_norm(self.dtype, self.param_dtype, "norm1",
-                      norm_type=self.norm_type)(x), deterministic)
+                      eps=self.norm_eps, norm_type=self.norm_type)(x),
+          deterministic)
         if self.init_values is not None:
             attn_out = LayerScale(d, self.init_values, self.param_dtype,
                                   name="ls1")(attn_out)
@@ -414,12 +456,15 @@ class Block(nn.Module):
 
         mlp_out = Mlp(
             hidden_dim=self.mlp_hidden or int(d * self.mlp_ratio), out_dim=d,
-            dropout=self.proj_drop, act=self.act, glu=self.glu,
+            dropout=self.proj_drop, use_bias=self.proj_bias, act=self.act,
+            glu=self.glu, use_norm=self.scale_mlp_norm,
+            norm_type=self.norm_type, norm_eps=self.norm_eps,
             use_pallas=self.use_pallas_mlp,
             dtype=self.dtype,
             param_dtype=self.param_dtype, name="mlp",
         )(_layer_norm(self.dtype, self.param_dtype, "norm2",
-                      norm_type=self.norm_type)(x), deterministic)
+                      eps=self.norm_eps, norm_type=self.norm_type)(x),
+          deterministic)
         if self.init_values is not None:
             mlp_out = LayerScale(d, self.init_values, self.param_dtype,
                                  name="ls2")(mlp_out)
@@ -437,6 +482,7 @@ class AttentionPoolLatent(nn.Module):
 
     num_heads: int
     mlp_ratio: float = 4.0
+    norm_eps: float = 1e-6
     dtype: Dtype = jnp.bfloat16
     param_dtype: Dtype = jnp.float32
 
@@ -463,7 +509,8 @@ class AttentionPoolLatent(nn.Module):
                    self.param_dtype, "proj")(o)
         o = o + Mlp(int(d * self.mlp_ratio), d, dtype=self.dtype,
                     param_dtype=self.param_dtype, name="mlp")(
-            _layer_norm(self.dtype, self.param_dtype, "norm")(o))
+            _layer_norm(self.dtype, self.param_dtype, "norm",
+                        eps=self.norm_eps)(o))
         return o[:, 0]
 
 
@@ -487,6 +534,7 @@ class ResPostBlock(nn.Module):
     act: str = "gelu"
     glu: bool = False
     norm_type: str = "layernorm"
+    norm_eps: float = 1e-6
     dtype: Dtype = jnp.bfloat16
     param_dtype: Dtype = jnp.float32
 
@@ -494,7 +542,8 @@ class ResPostBlock(nn.Module):
         scale = nn.initializers.constant(self.init_values) \
             if self.init_values is not None else nn.initializers.ones_init()
         return nn.LayerNorm(
-            epsilon=1e-6, dtype=self.dtype, param_dtype=self.param_dtype,
+            epsilon=self.norm_eps, dtype=self.dtype,
+            param_dtype=self.param_dtype,
             scale_init=nn.with_logical_partitioning(scale, ("embed",)),
             bias_init=nn.with_logical_partitioning(
                 nn.initializers.zeros_init(), ("embed",)),
@@ -545,6 +594,7 @@ class ParallelScalingBlock(nn.Module):
     act: str = "gelu"
     glu: bool = False             # accepted for block_kwargs parity; unused
     norm_type: str = "layernorm"
+    norm_eps: float = 1e-6
     dtype: Dtype = jnp.bfloat16
     param_dtype: Dtype = jnp.float32
 
@@ -560,7 +610,7 @@ class ParallelScalingBlock(nn.Module):
         mlp_hidden = int(d * self.mlp_ratio)
 
         y = _layer_norm(self.dtype, self.param_dtype, "in_norm",
-                        norm_type=self.norm_type)(x)
+                        eps=self.norm_eps, norm_type=self.norm_type)(x)
         fused = _dense(3 * d + mlp_hidden, ("embed", "qkv_out"),
                        self.qkv_bias, self.dtype, self.param_dtype,
                        "in_proj")(y)
@@ -568,10 +618,10 @@ class ParallelScalingBlock(nn.Module):
         qkv = qkv.reshape(b, s, 3, h, hd).transpose(2, 0, 3, 1, 4)
         q, k, v = qkv[0], qkv[1], qkv[2]
         if self.qk_norm:
-            q = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype,
-                             param_dtype=self.param_dtype, name="q_norm")(q)
-            k = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype,
-                             param_dtype=self.param_dtype, name="k_norm")(k)
+            q = _layer_norm(self.dtype, self.param_dtype, "q_norm",
+                            eps=self.norm_eps, norm_type=self.norm_type)(q)
+            k = _layer_norm(self.dtype, self.param_dtype, "k_norm",
+                            eps=self.norm_eps, norm_type=self.norm_type)(k)
         o = multi_head_attention(q, k, v, scale=hd ** -0.5, use_pallas=False)
         o = o.transpose(0, 2, 1, 3).reshape(b, s, d)
         attn_out = _dense(d, ("qkv_out", "embed"), True, self.dtype,
@@ -608,6 +658,7 @@ class ParallelThingsBlock(nn.Module):
     act: str = "gelu"
     glu: bool = False
     norm_type: str = "layernorm"
+    norm_eps: float = 1e-6
     dtype: Dtype = jnp.bfloat16
     param_dtype: Dtype = jnp.float32
 
@@ -632,7 +683,8 @@ class ParallelThingsBlock(nn.Module):
                           dtype=self.dtype, param_dtype=self.param_dtype,
                           name=f"attns_{i}")(
                 _layer_norm(self.dtype, self.param_dtype,
-                            f"attn_norms_{i}")(x), deterministic)
+                            f"attn_norms_{i}", eps=self.norm_eps,
+                            norm_type=self.norm_type)(x), deterministic)
             if self.init_values is not None:
                 y = LayerScale(d, self.init_values, self.param_dtype,
                                name=f"attn_ls_{i}")(y)
@@ -646,7 +698,8 @@ class ParallelThingsBlock(nn.Module):
                     use_pallas=self.use_pallas_mlp, dtype=self.dtype,
                     param_dtype=self.param_dtype, name=f"mlps_{i}")(
                 _layer_norm(self.dtype, self.param_dtype,
-                            f"mlp_norms_{i}")(x), deterministic)
+                            f"mlp_norms_{i}", eps=self.norm_eps,
+                            norm_type=self.norm_type)(x), deterministic)
             if self.init_values is not None:
                 y = LayerScale(d, self.init_values, self.param_dtype,
                                name=f"mlp_ls_{i}")(y)

@@ -5,7 +5,6 @@ entrypoints). Each name maps to a config dict over the one Flax trunk
 implementation is TPU-native.
 
 Notes vs the reference configs:
-  * norm_layer eps differences (CLIP's 1e-5) are not modeled (fixed 1e-6).
   * `xp` variants use RMSNorm + ParallelScalingBlock + qk_norm like the
     reference (:2078-2118).
   * dinov2 giant uses the SwiGLU-packed MLP (mlp_ratio doubled, :1554).
@@ -43,11 +42,12 @@ _W = {
 }
 
 _GAP = dict(class_token=False, global_pool="avg", fc_norm=False)
-_CLIP = dict(pre_norm=True)
-_QUICK = dict(pre_norm=True, act_layer="quick_gelu")
-_SIGLIP = dict(class_token=False, global_pool="map", act_layer="gelu_tanh")
-_SIGLIP_GAP = dict(class_token=False, global_pool="avg", fc_norm=False,
-                   act_layer="gelu_tanh")
+_CLIP = dict(pre_norm=True, norm_eps=1e-5)
+_QUICK = dict(pre_norm=True, act_layer="quick_gelu", norm_eps=1e-5)
+# siglip towers use the default exact GELU (reference vision_transformer.py
+# :3562-3568 sets no act_layer)
+_SIGLIP = dict(class_token=False, global_pool="map")
+_SIGLIP_GAP = dict(class_token=False, global_pool="avg", fc_norm=False)
 _XP = dict(pre_norm=True, no_embed_class=True, norm_type="rmsnorm",
            block_type="parallel_scaling", qkv_bias=False, qk_norm=True)
 
@@ -368,9 +368,15 @@ for _n, _d, _h in (("flexivit_small", 384, 6), ("flexivit_base", 768, 12),
 
 # AIMv2 (reference :4138-4199): no class token, avg pool, SwiGLU MLP
 # (ratio 2.75), RMSNorm, silu, no qkv bias
+# reference aimv2 uses the NON-packed SwiGLU at mlp_ratio 2.75 (separate
+# fc1_g/fc1_x each dim x 2.75*dim). Our packed GluMlp convention splits
+# fc1's output in half, so the ratio doubles to 5.5 for the same effective
+# hidden width / param count (same packed-doubling timm itself applies to
+# dinov2-giant's SwiGLUPacked entrypoints).
 _AIMV2 = dict(patch_size=14, class_token=False, fc_norm=False,
-              mlp_ratio=2.75, global_pool="avg", qkv_bias=False,
-              act_layer="silu", norm_type="rmsnorm", swiglu_mlp=True)
+              mlp_ratio=5.5, global_pool="avg", qkv_bias=False,
+              proj_bias=False, act_layer="silu", norm_type="rmsnorm",
+              norm_eps=1e-5, embed_norm=True, swiglu_mlp=True)
 for _sz, (_d, _dep, _h) in {"large": (1024, 24, 8),
                             "huge": (1536, 24, 12),
                             "1b": (2048, 24, 16),
@@ -379,16 +385,16 @@ for _sz, (_d, _dep, _h) in {"large": (1024, 24, 8),
         _vit_extra(f"aimv2_{_sz}_patch14_{_res}", img_size=_res,
                    embed_dim=_d, depth=_dep, num_heads=_h, **_AIMV2)
 
-# BEiT-3 remaps (reference :4202-4250): plain ViT trunk + cls token +
-# avg pool (the reference's scale_attn/mlp sub-norms are folded; weights
-# load through the pretrained filter fns)
+# BEiT-3 remaps (reference :4351-4400): ViT trunk + cls token + avg pool
+# + scale_attn_norm/scale_mlp_norm sub-norms + eps 1e-5
 for _n, (_p, _d, _dep, _h, _res) in {
         "beit3_base_patch16_224": (16, 768, 12, 12, 224),
         "beit3_large_patch16_224": (16, 1024, 24, 16, 224),
         "beit3_giant_patch14_224": (14, 1408, 40, 16, 224),
         "beit3_giant_patch14_336": (14, 1408, 40, 16, 336)}.items():
     _vit_extra(_n, patch_size=_p, img_size=_res, embed_dim=_d, depth=_dep,
-               num_heads=_h, global_pool="avg", mlp_ratio=4.0
+               num_heads=_h, global_pool="avg", norm_eps=1e-5,
+               scale_attn_norm=True, scale_mlp_norm=True, mlp_ratio=4.0
                if "giant" not in _n else 6144 / 1408)
 
 for _res in (196, 336):

@@ -80,11 +80,20 @@ class VisionTransformer(nn.Module):
     mlp_ratio: float = 4.0
     qkv_bias: bool = True
     qk_norm: bool = False
+    scale_attn_norm: bool = False              # norm before attn proj
+    scale_mlp_norm: bool = False               # norm between mlp act and fc2
+    # (reference vision_transformer.py Block scale_attn/mlp_norm — beit3)
+    proj_bias: bool = True                     # attn proj + mlp biases
     init_values: Optional[float] = None       # LayerScale init; None disables
     class_token: bool = True
     reg_tokens: int = 0
-    global_pool: str = "avg"                   # '' | 'avg' | 'token' | 'map'
-    fc_norm: Optional[bool] = None             # default: global_pool == 'avg'
+    global_pool: str = "token"                 # '' | 'avg' | 'avgmax' |
+    # 'max' | 'token' | 'map' (timm default 'token'; reference :459)
+    pool_include_prefix: bool = False          # pool over prefix tokens too
+    # (reference :477 pool_include_prefix; default strips cls/reg first)
+    fc_norm: Optional[bool] = None             # default: global_pool in
+    # ('avg','avgmax','max'); when active the trunk-final norm is SKIPPED —
+    # norm and fc_norm are mutually exclusive (reference :564-618)
     drop_rate: float = 0.0
     pos_drop_rate: float = 0.0
     proj_drop_rate: float = 0.0
@@ -97,6 +106,11 @@ class VisionTransformer(nn.Module):
     # 'quick_gelu' (CLIP) | 'silu' — timm act_layer strings
     swiglu_mlp: bool = False                   # SwiGLUPacked MLP (dinov2 giant)
     norm_type: str = "layernorm"               # 'layernorm' | 'rmsnorm' (xp)
+    norm_eps: float = 1e-6                     # per-variant norm eps —
+    # CLIP/quickgelu/beit3 towers use 1e-5 (reference entrypoints pass
+    # norm_layer=partial(LayerNorm, eps=1e-5))
+    embed_norm: bool = False                   # norm inside the patch embed
+    # (reference embed_norm_layer — aimv2 towers)
     final_norm: bool = True                    # apply the trunk-final norm
     # (intern300m sets final_norm=False, reference vision_transformer.py)
     block_type: str = "block"                  # 'block' | 'respost' |
@@ -159,7 +173,12 @@ class VisionTransformer(nn.Module):
     def forward_features(self, x: jax.Array, deterministic: bool = True) -> jax.Array:
         """Parity: reference vision_transformer.py:934-951."""
         b = x.shape[0]
-        x = PatchEmbed(self.patch_size, self.embed_dim, dtype=self.dtype,
+        x = PatchEmbed(self.patch_size, self.embed_dim,
+                       # CLIP towers drop the embed bias under pre-norm
+                       # (reference :557 bias=not pre_norm)
+                       use_bias=not self.pre_norm,
+                       use_norm=self.embed_norm, norm_type=self.norm_type,
+                       norm_eps=self.norm_eps, dtype=self.dtype,
                        param_dtype=self.param_dtype, name="patch_embed")(x)
         n_patches = x.shape[1]
 
@@ -211,7 +230,7 @@ class VisionTransformer(nn.Module):
             x = self._patch_dropout(x)
         if self.pre_norm:
             x = _layer_norm(self.dtype, self.param_dtype, "norm_pre",
-                            norm_type=self.norm_type)(x)
+                            eps=self.norm_eps, norm_type=self.norm_type)(x)
 
         block_cls = BLOCK_TYPES[self.block_type]
         if self.remat:
@@ -226,8 +245,15 @@ class VisionTransformer(nn.Module):
             proj_drop=self.proj_drop_rate, attn_drop=self.attn_drop_rate,
             use_pallas=self.use_pallas_attn,
             use_pallas_mlp=self.use_pallas_mlp, act=self.act_layer,
-            glu=self.swiglu_mlp, norm_type=self.norm_type, dtype=self.dtype,
+            glu=self.swiglu_mlp, norm_type=self.norm_type,
+            norm_eps=self.norm_eps, dtype=self.dtype,
             param_dtype=self.param_dtype)  # shared by loop + scan paths
+        if self.block_type == "block":
+            # only the standard Block carries the beit3/aimv2 extras; the
+            # alternative block classes keep their reference signatures
+            block_kwargs.update(scale_attn_norm=self.scale_attn_norm,
+                                scale_mlp_norm=self.scale_mlp_norm,
+                                proj_bias=self.proj_bias)
         if self.mlp_hidden is not None and (self.scan_blocks or
                                             self.block_type != "block"):
             raise ValueError("mlp_hidden (pruned per-block widths) requires "
@@ -263,37 +289,49 @@ class VisionTransformer(nn.Module):
                 # vision_transformer.py:782-875): free unless the caller
                 # applies with mutable=["intermediates"]
                 self.sow("intermediates", f"block_{i}", x)
-        if self.final_norm:
+        if self.final_norm and not self._use_fc_norm:
+            # trunk norm and post-pool fc_norm are mutually exclusive
+            # (reference :602/:618: whichever use_fc_norm selects, the
+            # other is nn.Identity)
             x = _layer_norm(self.dtype, self.param_dtype, "norm",
-                            norm_type=self.norm_type)(x)
+                            eps=self.norm_eps, norm_type=self.norm_type)(x)
         return x
+
+    @property
+    def _use_fc_norm(self) -> bool:
+        return self.fc_norm if self.fc_norm is not None else \
+            self.global_pool in ("avg", "avgmax", "max")
 
     def forward_head(self, x: jax.Array, deterministic: bool = True,
                      pre_logits: bool = False) -> jax.Array:
         """Pool + fc_norm + head. Parity: reference vision_transformer.py:953-990."""
-        npt = self.num_prefix_tokens
-        if self.global_pool == "avg":
-            pooled = jnp.mean(x[:, npt:], axis=1)
-        elif self.global_pool == "token":
+        npt = 0 if self.pool_include_prefix else self.num_prefix_tokens
+        if self.global_pool == "token":
             pooled = x[:, 0]
+        elif self.global_pool in ("avg", "avgmax", "max"):
+            # reference global_pool_nlc (:419-441): strip prefix tokens
+            # unless pool_include_prefix, then reduce
+            tokens = x[:, npt:]
+            if self.global_pool == "avg":
+                pooled = jnp.mean(tokens, axis=1)
+            elif self.global_pool == "max":
+                pooled = jnp.max(tokens, axis=1)
+            else:
+                pooled = 0.5 * (jnp.max(tokens, axis=1)
+                                + jnp.mean(tokens, axis=1))
         elif self.global_pool == "map":
             pooled = AttentionPoolLatent(self.num_heads, self.mlp_ratio,
+                                         norm_eps=self.norm_eps,
                                          dtype=self.dtype,
                                          param_dtype=self.param_dtype,
-                                         name="attn_pool")(x)
+                                         name="attn_pool")(x[:, npt:])
         else:
             pooled = x  # no pooling: return token features
 
-        use_fc_norm = self.fc_norm if self.fc_norm is not None else \
-            self.global_pool == "avg"
-        if use_fc_norm and self.global_pool:
-            pooled = nn.LayerNorm(
-                epsilon=1e-6, dtype=self.dtype, param_dtype=self.param_dtype,
-                scale_init=nn.with_logical_partitioning(
-                    nn.initializers.ones_init(), ("embed",)),
-                bias_init=nn.with_logical_partitioning(
-                    nn.initializers.zeros_init(), ("embed",)),
-                name="fc_norm")(pooled)
+        if self.final_norm and self._use_fc_norm:
+            pooled = _layer_norm(self.dtype, self.param_dtype, "fc_norm",
+                                 eps=self.norm_eps,
+                                 norm_type=self.norm_type)(pooled)
         pooled = nn.Dropout(self.drop_rate)(pooled, deterministic=deterministic)
         if pre_logits or self.num_classes == 0:
             return pooled
