@@ -102,7 +102,13 @@ class _ModelBench:
         self.batch = batch
         # head-pair Pallas attention kernel: reads the fused qkv projection
         # output in place (no head transposes); +28% step throughput on v5e
-        # vs the XLA attention path (tools/bench_attn.py A/B)
+        # vs the XLA attention path (tools/bench_attn.py A/B).
+        # act gelu_tanh + avg pool = the flagship recipe
+        # (scripts/train_vit_b_v4_64.sh; reference main.py:647 pools avg):
+        # tanh-gelu saves 7.8 ms/step over the parity-default exact-erf
+        # GELU (104.09 vs 111.88 ms, r5 on-chip A/B)
+        model_kw.setdefault("act_layer", "gelu_tanh")
+        model_kw.setdefault("global_pool", "avg")
         self.model = create_model(name, drop_path_rate=0.1,
                                   use_pallas_attn=not smoke, **model_kw)
         images_host = jnp.zeros((batch, img, img, 3), jnp.float32)

@@ -20,6 +20,7 @@ python -m vision_transformers_torch_xla_tpu.launch.runner \
     --lr 4e-3 --min_lr 1e-6 --warmup_epochs 20 --warmup_lr 1e-6 \
     --weight_decay 0.05 --opt adamw \
     --smoothing 0.1 --mixup 0.8 --cutmix 1.0 --drop_path 0.1 \
+    --act_layer gelu_tanh \
     --model_ema true --model_ema_decay 0.9999 \
     --precision bf16 --mesh_shape data \
     --save_ckpt_freq 1 --save_ckpt_num 3 \

@@ -41,6 +41,11 @@ class TrainConfig:
     input_size: int = 224
     drop_path: float = 0.1
     global_pool: str = "avg"             # 'avg' | 'token' | 'map' | ''
+    # (the reference trainer hardcodes avg for vit models, main.py:647)
+    act_layer: str = ""                  # '' = model default. The flagship
+    # TPU recipe passes 'gelu_tanh': the tanh approximation saves 7.8
+    # ms/step on ViT-B/16 b128 v5e (104.09 vs 111.88, r5 on-chip A/B) over
+    # timm's exact-erf GELU, which stays the model default for parity.
     layer_scale_init_value: float = 0.0  # 0 disables LayerScale
     grad_checkpointing: bool = False     # jax.checkpoint on blocks
     scan_blocks: bool = False            # lax.scan over layers (fast compile)

@@ -197,6 +197,7 @@ def setup(cfg: TrainConfig) -> TrainerContext:
     model = create_model(
         cfg.model, num_classes=cfg.nb_classes, img_size=cfg.input_size,
         drop_path_rate=cfg.drop_path, global_pool=cfg.global_pool,
+        act_layer=cfg.act_layer or None,
         init_values=cfg.layer_scale_init_value or None,
         remat=cfg.grad_checkpointing,
         scan_blocks=cfg.scan_blocks or None,
