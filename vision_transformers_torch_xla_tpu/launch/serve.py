@@ -33,7 +33,11 @@ class InferenceEngine:
 
     def __init__(self, model_name: str, ckpt_dir: str = "",
                  image_size: int = 224, num_classes: int = 1000,
-                 use_ema: bool = False, device: str = ""):
+                 use_ema: bool = False, device: str = "",
+                 global_pool: str = "avg", act_layer: str = ""):
+        # global_pool/act_layer must mirror the TRAINED model's config;
+        # defaults match the trainer's (TrainConfig.global_pool='avg' —
+        # the reference trainer hardcodes avg too, main.py:647)
         from flax import linen as nn
 
         from vision_transformers_torch_xla_tpu.core.cache import enable_persistent_cache
@@ -45,7 +49,9 @@ class InferenceEngine:
         self.image_size = image_size
         self.model_name = model_name
         self.model = create_model(model_name, num_classes=num_classes,
-                                  img_size=image_size)
+                                  img_size=image_size,
+                                  global_pool=global_pool or None,
+                                  act_layer=act_layer or None)
         sample = jnp.zeros((1, image_size, image_size, 3), jnp.float32)
         variables = jax.jit(
             lambda k: self.model.init(k, sample, True))(
@@ -159,10 +165,15 @@ def main():
     ap.add_argument("--use_ema", action="store_true")
     ap.add_argument("--port", type=int, default=8476)
     ap.add_argument("--device", default="")
+    ap.add_argument("--global_pool", default="avg",
+                    help="must mirror the trained model (trainer default)")
+    ap.add_argument("--act_layer", default="",
+                    help="'' = model default; recipe runs use gelu_tanh")
     args = ap.parse_args()
     logging.basicConfig(level=logging.INFO)
     engine = InferenceEngine(args.model, args.ckpt, args.image_size,
-                             args.nb_classes, args.use_ema, args.device)
+                             args.nb_classes, args.use_ema, args.device,
+                             args.global_pool, args.act_layer)
     serve(engine, args.port).serve_forever()
 
 
