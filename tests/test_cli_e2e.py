@@ -26,26 +26,37 @@ def _cfg(tmp_path, **kw):
 
 
 @pytest.fixture(scope="module")
-def tiny_override(tmp_path_factory):
-    return tmp_path_factory.mktemp("cli")
+def base_run(tmp_path_factory):
+    """ONE baseline 1-epoch training run shared (read-only) by the
+    ckpt/log/resume tests below — each previously paid its own full
+    main() (~30 s of compiles apiece on this 1-core box)."""
+    path = tmp_path_factory.mktemp("cli_base")
+    stats = trainer.main(_cfg(path))
+    return path, stats
 
 
-def test_cli_train_eval_ckpt_log(tmp_path):
+def test_cli_train_eval_ckpt_log(base_run):
     # vit_tiny at 32px: small enough for the CPU test host
-    stats = trainer.main(_cfg(tmp_path))
+    path, stats = base_run
     assert "acc1" in stats and "train_loss" in stats
-    log_path = os.path.join(tmp_path, "log.txt")
+    log_path = os.path.join(path, "log.txt")
     assert os.path.exists(log_path)
     rec = json.loads(open(log_path).readline())
     assert rec["epoch"] == 0
-    assert os.path.isdir(os.path.join(tmp_path, "checkpoints", "0"))
+    assert os.path.isdir(os.path.join(path, "checkpoints", "0"))
 
 
-def test_cli_resume_continues(tmp_path):
-    trainer.main(_cfg(tmp_path, epochs=1))
-    stats = trainer.main(_cfg(tmp_path, epochs=2))
+def test_cli_resume_continues(base_run, tmp_path):
+    """Auto-resume in the same output dir (on a copy, keeping the shared
+    baseline pristine)."""
+    import shutil
+
+    base, _ = base_run
+    work = tmp_path / "cont"
+    shutil.copytree(base, work)
+    stats = trainer.main(_cfg(work, epochs=2))
     assert stats["epoch"] == 1  # resumed past epoch 0
-    lines = open(os.path.join(tmp_path, "log.txt")).readlines()
+    lines = open(os.path.join(work, "log.txt")).readlines()
     assert len(lines) == 2
 
 
@@ -62,11 +73,11 @@ def test_cli_eval_only(tmp_path):
     assert "acc1" in stats
 
 
-def test_cli_explicit_resume(tmp_path):
+def test_cli_explicit_resume(base_run, tmp_path):
     """--resume restores from a given Orbax dir (ADVICE r1: flag was parsed
-    but never loaded) — both the checkpoints root and an epoch dir work."""
-    src = tmp_path / "src"
-    trainer.main(_cfg(src, epochs=1))
+    but never loaded) — both the checkpoints root and an epoch dir work.
+    Resumes from the shared baseline's checkpoints (read-only)."""
+    src, _ = base_run
     dst = tmp_path / "dst"
     stats = trainer.main(_cfg(dst, epochs=2,
                               resume=str(src / "checkpoints")))

@@ -192,7 +192,7 @@ def get_feature_info(model, variables, input_shape: Sequence[int],
     return FeatureInfo(info, out_indices)
 
 
-def shape_signature(model, hw: int):
+def shape_signature(model, hw: int, with_params: bool = False):
     """Structural fingerprint of a model at input (1, hw, hw, 3): per-tap
     feature shapes plus the logits shape, derived with jax.eval_shape
     (zero compiles, zero FLOPs).
@@ -202,19 +202,26 @@ def shape_signature(model, hw: int):
     changes a tap or logits shape even when the param count is untouched.
     Returns [hw, [[tap shape...], ...], [logits shape]]; the tap list is
     empty for trunks that sow no stage/block intermediates.
+
+    with_params=True also returns the total parameter count from the SAME
+    single trace — init_with_output(mutable=True) yields output, params,
+    and sown intermediates in one pass, so the param and shape audits
+    share one trace per name instead of three (r5 suite-time work).
     """
+    import numpy as np
+
     x = jax.ShapeDtypeStruct((1, hw, hw, 3), jnp.float32)
-    vs = jax.eval_shape(lambda xx: model.init(
-        {"params": jax.random.key(0), "droppath": jax.random.key(1)},
-        xx, True), x)
-    try:
-        y, taps = jax.eval_shape(
-            lambda v, xx: _run_with_taps(model, v, xx, True), vs, x)
-        tap_shapes = [list(t.shape) for t in taps]
-    except ValueError:          # no taps sown in this trunk
-        y = jax.eval_shape(lambda v, xx: model.apply(v, xx, True), vs, x)
-        tap_shapes = []
-    return [hw, tap_shapes, list(y.shape)]
+    y, vs = jax.eval_shape(
+        lambda xx: model.init_with_output(
+            {"params": jax.random.key(0), "droppath": jax.random.key(1)},
+            xx, True, mutable=True), x)
+    inter = vs.get("intermediates", {})
+    taps = _collect_taps(inter, "stage") or _collect_taps(inter, "block")
+    sig = [hw, [list(t.shape) for t in taps], list(y.shape)]
+    if with_params:
+        n = sum(int(np.prod(l.shape)) for l in jax.tree.leaves(vs["params"]))
+        return sig, n
+    return sig
 
 
 class FeatureListNet:
